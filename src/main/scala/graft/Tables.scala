@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 import org.apache.spark.sql.types.DecimalType
-import org.apache.spark.sql.Column
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md) plus
   * shared helpers for oracle-parity arithmetic.
@@ -20,8 +20,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def df(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def df(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    // reader rejects; sessions must set
+    // spark.sql.legacy.parquet.nanosAsLong=true (see Sessions.config),
+    // and we rebuild a micros TimestampType column here. Floor-division
+    // truncation matches DuckDB's ns->micros behavior.
+    if (name == "events" && raw.schema("ts").dataType == types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 
   /** Exact-decimal sum of a column whose values carry at most `scale`
     * fractional decimal digits; returned as double for a stable schema. */

@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.Tables.{countIf, dec2}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second wave of the SURVEY.md §2 operator inventory, re-expressed over
+  * the driver's tables. Covers: theta/array-membership joins (J5/J6),
+  * min-max-normalized scoring (A2-A4/J7, the reference's
+  * master_data_entity_candidates, sql/V000001__init.sql:209-253), the
+  * one-row status rollup with filtered + tuple-distinct counts (A5,
+  * sql/V000012__more_concepts.sql:149-171), set ops (O3/O4), regex
+  * predicates (P5), exists-over-packed-arrays (P8/A1), window top-k (O2),
+  * the scalar-function surface (§2.6), semi/anti joins (P1), and JSON
+  * field access.
+  */
+object Extended {
+
+  /** J5/J6: equi + array-membership theta join — the reference joins
+    * columns to constraints on (schema, table) AND attnum = any(conkey)
+    * (sql/V000009…sql:130). Catalyst plans the array_contains as a
+    * residual on a broadcast/hash join rather than a cartesian blowup. */
+  private def q5(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.df(spark, dir, "lineitem")
+    val sup = Tables.df(spark, dir, "supplier")
+    val ordSupp = li.groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_suppkey")).as("supps"))
+    ordSupp.join(broadcast(sup), array_contains(col("supps"), col("s_suppkey")))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private val q5Sql =
+    """WITH ordsupp AS (
+      |  SELECT l_orderkey, list(DISTINCT l_suppkey) AS supps
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT s_suppkey, s_name, COUNT(*) AS n_orders
+      |FROM ordsupp JOIN supplier ON list_contains(supps, s_suppkey)
+      |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
+
+  /** A2-A4 + J7 + O2: the reference's master-data-entity scoring —
+    * per-entity stats, a broadcast 1-row min/max cross join, min-max
+    * normalization with nullif div-guards and coalesce, ranked desc
+    * (sql/V000001__init.sql:209-253). Note the rows term rewards FEWER
+    * rows (master data = small reference tables). */
+  private def q6(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.df(spark, dir, "customer")
+    val sup = Tables.df(spark, dir, "supplier")
+    val nat = Tables.df(spark, dir, "nation")
+    val custPer = cust.groupBy(col("c_nationkey")).agg(count(lit(1)).as("approx_rows"))
+    val supPer = sup.groupBy(col("s_nationkey")).agg(count(lit(1)).as("fk_count"))
+    val stats = nat
+      .join(custPer, col("n_nationkey") === col("c_nationkey"), "left")
+      .join(supPer, col("n_nationkey") === col("s_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("approx_rows"), lit(0L)).as("approx_rows"),
+        coalesce(col("fk_count"), lit(0L)).as("fk_count"))
+    val minmax = stats.agg(
+      min(col("approx_rows")).as("min_rows"), max(col("approx_rows")).as("max_rows"),
+      min(col("fk_count")).as("min_fk"), max(col("fk_count")).as("max_fk"))
+    stats.crossJoin(broadcast(minmax))
+      .select(col("n_name"), col("approx_rows"), col("fk_count"),
+        (coalesce((lit(0.5) * (col("max_rows") - col("approx_rows")).cast("double"))
+            / nullif((col("max_rows") - col("min_rows")).cast("double"), lit(0.0)), lit(0.0))
+          + coalesce((lit(0.5) * (col("fk_count") - col("min_fk")).cast("double"))
+            / nullif((col("max_fk") - col("min_fk")).cast("double"), lit(0.0)), lit(0.0)))
+          .as("score"))
+      .orderBy(col("score").desc, col("n_name"))
+      .limit(10)
+  }
+
+  private val q6Sql =
+    """WITH stats AS (
+      |  SELECT n_name,
+      |    COALESCE(c.approx_rows, 0) AS approx_rows,
+      |    COALESCE(s.fk_count, 0) AS fk_count
+      |  FROM nation
+      |  LEFT JOIN (SELECT c_nationkey, COUNT(*) AS approx_rows FROM customer GROUP BY 1) c
+      |    ON n_nationkey = c.c_nationkey
+      |  LEFT JOIN (SELECT s_nationkey, COUNT(*) AS fk_count FROM supplier GROUP BY 1) s
+      |    ON n_nationkey = s.s_nationkey),
+      |minmax AS (
+      |  SELECT MIN(approx_rows) AS min_rows, MAX(approx_rows) AS max_rows,
+      |         MIN(fk_count) AS min_fk, MAX(fk_count) AS max_fk FROM stats)
+      |SELECT n_name, approx_rows, fk_count,
+      |  COALESCE(0.5 * CAST(max_rows - approx_rows AS DOUBLE)
+      |      / NULLIF(CAST(max_rows - min_rows AS DOUBLE), 0.0), 0.0)
+      |  + COALESCE(0.5 * CAST(fk_count - min_fk AS DOUBLE)
+      |      / NULLIF(CAST(max_fk - min_fk AS DOUBLE), 0.0), 0.0) AS score
+      |FROM stats CROSS JOIN minmax
+      |ORDER BY score DESC, n_name LIMIT 10""".stripMargin
+
+  /** A5: one-row status rollup — plain, distinct, tuple-distinct and
+    * FILTERed counts in a single aggregate, like the reference's status()
+    * (sql/V000012__more_concepts.sql:149-171). */
+  private def q7(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.df(spark, dir, "orders")
+    ord.agg(
+      count(lit(1)).as("n_orders"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      countDistinct(col("o_custkey"), col("o_orderstatus")).as("n_cust_status"),
+      countIf(col("o_orderstatus") === "O").as("n_open"),
+      countIf(col("o_orderpriority").isin("1-URGENT", "2-HIGH")).as("n_high_prio"),
+      countIf(col("o_totalprice") > 200000.0).as("n_big"))
+  }
+
+  private val q7Sql =
+    """SELECT COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT (o_custkey, o_orderstatus)) AS n_cust_status,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) AS n_high_prio,
+      |  COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big
+      |FROM orders""".stripMargin
+
+  /** O3: deduplicating UNION (the reference's privilege-filtered +
+    * static ignored-schemas union, sql/V000006…sql:3-10). */
+  private def q8(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.df(spark, dir, "nation")
+    val cust = Tables.df(spark, dir, "customer")
+    val sup = Tables.df(spark, dir, "supplier")
+    val withCust = nat.join(cust, col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name"))
+    val withSup = nat.join(sup, col("n_nationkey") === col("s_nationkey"))
+      .select(col("n_name"))
+    withCust.union(withSup).distinct().orderBy(col("n_name"))
+  }
+
+  private val q8Sql =
+    """SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
+      |UNION
+      |SELECT n_name FROM nation JOIN supplier ON n_nationkey = s_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** O4/S4: UNION ALL of real rows with synthesized pseudo-rows (the
+    * generated-columns-as-pseudo-constraints union, sql/V000006…sql:59-77)
+    * — here, per-table row counts plus a literal synthetic row. */
+  private def q9(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(name: String) =
+      Tables.df(spark, dir, name).agg(count(lit(1)).as("n_rows"))
+        .select(lit(name).as("table_name"), col("n_rows"))
+    val synthetic = spark.range(1)
+      .select(lit("generated_pseudo").as("table_name"), lit(0L).as("n_rows"))
+    Seq("customer", "orders", "lineitem", "supplier", "part")
+      .map(cnt).reduce(_.unionByName(_))
+      .unionByName(synthetic)
+      .orderBy(col("table_name"))
+  }
+
+  private val q9Sql =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+      |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+      |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+      |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+      |  UNION ALL SELECT 'part', COUNT(*) FROM part
+      |  UNION ALL SELECT 'generated_pseudo', 0
+      |) ORDER BY table_name""".stripMargin
+
+  /** P5: anchored case-insensitive alternation regex — the reference's
+    * 60-alternative PII column-name matcher
+    * (sql/V000010__schema_concepts.sql:51-55). */
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.df(spark, dir, "part")
+    part.filter(lower(col("p_name")).rlike("^(red|blue|small|hot)\\b"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_matching"))
+      .orderBy(col("p_brand"))
+  }
+
+  private val q10Sql =
+    """SELECT p_brand, COUNT(*) AS n_matching
+      |FROM part
+      |WHERE regexp_matches(lower(p_name), '^(red|blue|small|hot)\b')
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** A1 + P8: pack detail rows into an array of structs per key
+    * (jsonb_agg in sql/V000009…sql:113-127), then probe it with an
+    * exists() higher-order function (the constraint-existence concepts,
+    * sql/V000012__more_concepts.sql:33-98). No UDF, stays in codegen. */
+  private def q11(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.df(spark, dir, "lineitem")
+    li.groupBy(col("l_orderkey"))
+      .agg(collect_list(struct(col("l_discount").as("disc"),
+        col("l_quantity").as("qty"))).as("items"))
+      .filter(exists(col("items"),
+        x => x.getField("disc") > 0.07 && x.getField("qty") > 40))
+      .select(col("l_orderkey").as("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q11Sql =
+    """SELECT DISTINCT l_orderkey AS o_orderkey FROM lineitem
+      |WHERE l_discount > 0.07 AND l_quantity > 40
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** O2: ranked top-k per group via window (the reference's ranked
+    * MDE candidates, consumers limit 10 — core_test.clj:132). Tie-broken
+    * on the key for determinism. */
+  private def q12(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.df(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  private val q12Sql =
+    """SELECT o_orderpriority, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  /** §2.6 scalar-function surface: trim/lower/substring/replace/length/
+    * regexp_replace/split_part — the string functions the reference uses
+    * across sql/V000009…sql:89, V000010…sql:8,54. */
+  private def q13(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.df(spark, dir, "part")
+    part.select(
+      col("p_partkey"),
+      lower(col("p_type")).as("type_lower"),
+      substring(col("p_name"), 1, 3).as("name_prefix"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      length(col("p_name")).as("name_len"),
+      element_at(split(col("p_brand"), "#"), 2).as("brand_num"),
+      trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"),
+      regexp_replace(col("p_name"), "^(red|blue) ", "color ").as("recolored"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private val q13Sql =
+    """SELECT p_partkey,
+      |  lower(p_type) AS type_lower,
+      |  substring(p_name, 1, 3) AS name_prefix,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  CAST(length(p_name) AS INT) AS name_len,
+      |  split_part(p_brand, '#', 2) AS brand_num,
+      |  trim('  ' || p_name || '  ') AS trimmed,
+      |  regexp_replace(p_name, '^(red|blue) ', 'color ') AS recolored
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** §2.6 date/time surface: date_trunc bucketing + exact-decimal sums
+    * over the events stream table. */
+  private def q14(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+    ev.groupBy(to_date(date_trunc("DAY", col("ts"))).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q14Sql =
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  /** §2.6 conditional surface: case/when bands, nullif, coalesce
+    * (the score expression guards, sql/V000001__init.sql:241-252). */
+  private def q15(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.df(spark, dir, "customer")
+    cust.select(
+      when(col("c_acctbal") < 0, "negative")
+        .when(col("c_acctbal") < 5000, "low")
+        .otherwise("high").as("band"),
+      coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("(other)"))
+        .as("segment"))
+      .groupBy(col("band"), col("segment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("band"), col("segment"))
+  }
+
+  private val q15Sql =
+    """SELECT
+      |  CASE WHEN c_acctbal < 0 THEN 'negative'
+      |       WHEN c_acctbal < 5000 THEN 'low'
+      |       ELSE 'high' END AS band,
+      |  COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), '(other)') AS segment,
+      |  COUNT(*) AS n_customers
+      |FROM customer GROUP BY 1, 2 ORDER BY band, segment""".stripMargin
+
+  /** P1: anti-join (the ignored-schemas NOT IN filter applied in every
+    * CTE, sql/V000009…sql:21,42,57). Left-anti avoids a shuffle of the
+    * big side when the exclusion list broadcasts. */
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.df(spark, dir, "customer")
+    val bigOrders = Tables.df(spark, dir, "orders")
+      .filter(col("o_totalprice") > 150000.0)
+    cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q16Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** A9: per-group count ranking — the reference's per-schema column
+    * counts test query (core_test.clj:225). */
+  private def q17(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("lang"), col("source"))
+  }
+
+  private val q17Sql =
+    """SELECT lang, source, COUNT(*) AS n_docs FROM documents
+      |GROUP BY lang, source ORDER BY n_docs DESC, lang, source""".stripMargin
+
+  /** §2.6 JSON surface: field extraction from an open-shaped JSON column
+    * (the reference's ->> access, sql/V000008…sql:7). */
+  private def q18(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+    ev.select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q18Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
+    QueryDef("q6_minmax_score", q6, Some(q6Sql)),
+    QueryDef("q7_status_rollup", q7, Some(q7Sql)),
+    QueryDef("q8_union_distinct", q8, Some(q8Sql)),
+    QueryDef("q9_unionall_counts", q9, Some(q9Sql)),
+    QueryDef("q10_regex_predicate", q10, Some(q10Sql)),
+    QueryDef("q11_exists_packed", q11, Some(q11Sql)),
+    QueryDef("q12_window_topk", q12, Some(q12Sql)),
+    QueryDef("q13_string_fns", q13, Some(q13Sql)),
+    QueryDef("q14_datetime_bucket", q14, Some(q14Sql)),
+    QueryDef("q15_case_coalesce", q15, Some(q15Sql)),
+    QueryDef("q16_anti_join", q16, Some(q16Sql)),
+    QueryDef("q17_group_ranking", q17, Some(q17Sql)),
+    QueryDef("q18_json_extract", q18, Some(q18Sql)))
+}

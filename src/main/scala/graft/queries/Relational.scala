@@ -50,8 +50,8 @@ object Relational {
     * (TPC-H Q6 shape). */
   private def q2(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.df(spark, dir, "lineitem")
-    li.filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp")
-        && col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
         && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
         && col("l_quantity") < 24)
       .agg(
@@ -65,8 +65,8 @@ object Relational {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))*CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_rows
       |FROM lineitem
-      |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      |  AND l_shipdate < TIMESTAMP '1995-01-01'
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
 
   /** J1/J2-class equi-join chain with broadcast dimensions (TPC-H Q5
