@@ -1,0 +1,137 @@
+package graft
+
+import graft.catalog.CatalogSnapshot
+import graft.concepts.ConceptRegistry
+import graft.mapping.BidiRegistry
+import graft.registry.{FragmentRegistry, Volatility, FragmentDef}
+import graft.smo.SmoBuilder
+import graft.scoring.Scoring
+import graft.status.Status
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType, StringType}
+
+/** The embedded-library facade — the Spark-first equivalent of installing
+  * the reference's schema + SDK into a database (SURVEY.md §3). State:
+  *
+  *   - an immutable CatalogSnapshot (refresh() swaps in a new one and
+  *     atomically invalidates the cached SMO — the matview semantics of
+  *     sql/V000001__init.sql:376-386 without locks);
+  *   - a ConceptRegistry (defineConcept widens columns()/status() on the
+  *     next call — the dynamic-view regeneration of V000012…sql:1-31);
+  *   - a FragmentRegistry (list_tenants / ignored_schemas / MDE hooks);
+  *   - a BidiRegistry (import value mappings);
+  *   - a single-row i18n store (V000001…sql:255-274).
+  *
+  * Every read path is a pure function of (snapshot, registries), which is
+  * what makes whatIf() a DataFrame transformation instead of the
+  * reference's rollback-only transaction dance (core_test.clj:209-254).
+  */
+final class Engine(
+    val spark: SparkSession,
+    initialSnapshot: CatalogSnapshot,
+    indexedSpaceQuirk: Boolean = true) {
+
+  @volatile private var snapshot: CatalogSnapshot = initialSnapshot
+  @volatile private var smoCache: Option[DataFrame] = None
+  @volatile private var conceptsReg: ConceptRegistry =
+    ConceptRegistry.builtins(indexedSpaceQuirk)
+  @volatile private var i18nValue: String = "{}"
+  private val mdeDefs = scala.collection.mutable.LinkedHashMap[String, String]()
+
+  val fragments: FragmentRegistry = FragmentRegistry.withDefaults(spark)
+  var bidiFns: BidiRegistry = BidiRegistry.withDefaults
+
+  // ---- snapshot / SMO ----------------------------------------------------
+
+  def currentSnapshot: CatalogSnapshot = snapshot
+
+  /** refresh(): recompute the SMO from the (possibly new) snapshot and
+    * atomically swap the cached copy — write-new-then-swap is the
+    * CONCURRENTLY mode of update_schema_metadata_overview. */
+  def refresh(newSnapshot: CatalogSnapshot = snapshot): Unit = synchronized {
+    val fresh = SmoBuilder.build(newSnapshot, ignoredSchemas).cache()
+    fresh.count() // materialize before swapping, like REFRESH CONCURRENTLY
+    smoCache.foreach(_.unpersist(blocking = false))
+    snapshot = newSnapshot
+    smoCache = Some(fresh)
+  }
+
+  def ignoredSchemas: DataFrame =
+    SmoBuilder.ignoredSchemas(snapshot, fragments.df("ignored_schemas"))
+
+  /** The SMO matview analog (cached until refresh). */
+  def smo: DataFrame = smoCache.getOrElse { refresh(); smoCache.get }
+
+  // ---- concepts ------------------------------------------------------------
+
+  def concepts: ConceptRegistry = conceptsReg
+
+  /** define_concept(name, boolSql) — idempotent; columns()/status()
+    * pick the new column up immediately (M5/M6). */
+  def defineConcept(name: String, boolSql: String): String = {
+    conceptsReg = conceptsReg.defineSql(name, boolSql)
+    name
+  }
+
+  def listConcepts: Seq[String] = conceptsReg.names
+
+  /** The dynamic `columns` view: SMO widened with is_* per concept. */
+  def columns: DataFrame = conceptsReg.applyAll(smo)
+
+  // ---- tenants / MDEs / status --------------------------------------------
+
+  def listTenants: DataFrame = fragments.df("list_tenants")
+
+  def defineMasterDataEntity(name: String, selectSql: String): Unit = {
+    val fragName = s"mde_$name"
+    val schema = spark.sql(selectSql).schema
+    fragments.register(FragmentDef(fragName, selectSql, schema, Volatility.Stable))
+    mdeDefs(name) = selectSql
+    spark.sql(selectSql).createOrReplaceTempView(fragName)
+  }
+
+  def listMdes: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      mdeDefs.keys.toSeq.sorted.map(org.apache.spark.sql.Row(_)).asJava,
+      StructType(Seq(StructField("mde_name", StringType, nullable = false))))
+  }
+
+  def mdeReferencedTables(name: String): Seq[String] =
+    fragments.referencedTables(s"mde_$name")
+
+  def status: DataFrame = Status.status(columns, listTenants, listMdes)
+
+  def verifyInstallation: DataFrame = Status.verifyInstallation(listTenants, listMdes)
+
+  def masterDataEntityCandidates: DataFrame =
+    Scoring.masterDataEntityCandidates(snapshot, ignoredSchemas)
+
+  // ---- i18n ----------------------------------------------------------------
+
+  def i18n: String = i18nValue
+  def updateI18n(json: String): Unit = i18nValue = json
+
+  // ---- what-if -------------------------------------------------------------
+
+  /** Simulate `DROP TABLE schema.table CASCADE` against the snapshot and
+    * return a new Engine view of the hypothetical catalog — the purely
+    * functional analog of the reference's transactional what-if test
+    * (core_test.clj:209-254). Cascade semantics: the table's rows vanish
+    * from every dataset, and FK constraints on OTHER tables that
+    * reference the dropped table are dropped too. */
+  def whatIfDropTable(schemaName: String, tableName: String): Engine = {
+    def not(df: DataFrame) =
+      df.filter(!(col("schema_name") === schemaName && col("table_name") === tableName))
+    val prunedConstraints = not(snapshot.constraints)
+      .filter(!(coalesce(col("references_schema"), lit("")) === schemaName
+        && coalesce(col("references_table"), lit("")) === tableName))
+    val sim = CatalogSnapshot(
+      not(snapshot.relations), not(snapshot.attributes),
+      prunedConstraints, not(snapshot.indexes), snapshot.schemaPrivs)
+    val e = new Engine(spark, sim, indexedSpaceQuirk)
+    e.conceptsReg = this.conceptsReg
+    e
+  }
+}

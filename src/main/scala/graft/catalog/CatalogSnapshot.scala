@@ -1,0 +1,119 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Immutable snapshot of a source database's catalog — the engine's
+  * primary input (SURVEY.md §2.1 S1-S6). Columns mirror what the
+  * reference's SMO pipeline consumes from pg_catalog
+  * (/root/reference/sql/V000009__track_index_definitions_in_smo.sql:12-99),
+  * with Postgres-only formatting functions (format_type, pg_get_expr,
+  * pg_get_constraintdef, pg_get_indexdef, pg_get_serial_sequence,
+  * has_schema_privilege) evaluated AT SNAPSHOT TIME — by the JDBC pushdown
+  * query against a live database, or pre-baked in fixture files. The
+  * engine itself never re-implements them.
+  *
+  * Everything downstream (SMO, concepts, status, scoring) is a pure
+  * function of this snapshot, which is what makes what-if simulation a
+  * DataFrame transformation instead of transactional DDL (SURVEY.md §3.3).
+  */
+final case class CatalogSnapshot(
+    relations: DataFrame,
+    attributes: DataFrame,
+    constraints: DataFrame,
+    indexes: DataFrame,
+    schemaPrivs: DataFrame)
+
+object CatalogSnapshot {
+
+  /** relkind ∈ 'r' (table) | 'v' (view) | 'm' (matview), as in pg_class. */
+  val relationsSchema: StructType = StructType(Seq(
+    StructField("schema_name", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("relkind", StringType, nullable = false),
+    StructField("description", StringType, nullable = true),
+    StructField("approx_rows", LongType, nullable = false)))
+
+  val attributesSchema: StructType = StructType(Seq(
+    StructField("schema_name", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("column_name", StringType, nullable = false),
+    StructField("attnum", IntegerType, nullable = false),
+    StructField("data_type", StringType, nullable = false),
+    StructField("not_null", BooleanType, nullable = false),
+    StructField("default_value", StringType, nullable = true),
+    StructField("column_description", StringType, nullable = true),
+    StructField("is_dropped", BooleanType, nullable = false),
+    // null | 's' (stored) | 'v' (virtual), as in pg_attribute.attgenerated
+    StructField("generated", StringType, nullable = true)))
+
+  /** constraint_type ∈ p|f|u|c|x as in pg_constraint.contype ('g' rows are
+    * synthesized by SmoBuilder from generated columns, not stored here).
+    * references_schema/table identify the target of 'f' constraints
+    * (pg_constraint.confrelid resolved at snapshot time) — scoring counts
+    * inbound FKs per table with it. */
+  val constraintsSchema: StructType = StructType(Seq(
+    StructField("schema_name", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("constraint_name", StringType, nullable = false),
+    StructField("constraint_type", StringType, nullable = false),
+    StructField("definition", StringType, nullable = false),
+    StructField("constraint_keys", ArrayType(IntegerType), nullable = false),
+    StructField("foreign_keys", ArrayType(IntegerType), nullable = true),
+    StructField("sequence_name", StringType, nullable = true),
+    StructField("references_schema", StringType, nullable = true),
+    StructField("references_table", StringType, nullable = true)))
+
+  val indexesSchema: StructType = StructType(Seq(
+    StructField("schema_name", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("index_name", StringType, nullable = false),
+    StructField("is_unique", BooleanType, nullable = false),
+    StructField("is_exclusion", BooleanType, nullable = false),
+    StructField("is_primary", BooleanType, nullable = false),
+    StructField("is_valid", BooleanType, nullable = false),
+    StructField("immediate", BooleanType, nullable = false),
+    StructField("definition", StringType, nullable = false),
+    StructField("index_keys", ArrayType(IntegerType), nullable = false)))
+
+  /** Schemas the snapshotting user lacks USAGE on — unioned into the
+    * ignore list (sql/V000006__ignore_all_schemas_without_usage.sql:3-10). */
+  val schemaPrivsSchema: StructType = StructType(Seq(
+    StructField("schema_name", StringType, nullable = false),
+    StructField("has_usage", BooleanType, nullable = false)))
+
+  private val files = Seq("relations", "attributes", "constraints",
+    "indexes", "schema_privs")
+
+  /** Load a snapshot persisted as one parquet per dataset under `dir`. */
+  def fromDir(spark: SparkSession, dir: String): CatalogSnapshot = {
+    val Seq(r, a, c, i, p) = files.map(f => spark.read.parquet(s"$dir/$f.parquet"))
+    CatalogSnapshot(r, a, c, i, p)
+  }
+
+  /** Persist, one parquet per dataset (the refresh()-materialized form). */
+  def write(snap: CatalogSnapshot, dir: String): Unit =
+    files.zip(Seq(snap.relations, snap.attributes, snap.constraints,
+      snap.indexes, snap.schemaPrivs)).foreach { case (f, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$f.parquet")
+    }
+
+  /** In-memory snapshot from rows — fixture/test construction. */
+  def fromRows(
+      spark: SparkSession,
+      relations: Seq[Row],
+      attributes: Seq[Row],
+      constraints: Seq[Row],
+      indexes: Seq[Row] = Seq.empty,
+      schemaPrivs: Seq[Row] = Seq.empty): CatalogSnapshot = {
+    def mk(rows: Seq[Row], schema: StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, math.max(1, rows.size min 4)), schema)
+    CatalogSnapshot(
+      mk(relations, relationsSchema),
+      mk(attributes, attributesSchema),
+      mk(constraints, constraintsSchema),
+      mk(indexes, indexesSchema),
+      mk(schemaPrivs, schemaPrivsSchema))
+  }
+}
