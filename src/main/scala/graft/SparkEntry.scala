@@ -15,7 +15,8 @@ object SparkEntry {
     queries0
 
   private lazy val queries0: Seq[QueryDef] =
-    graft.queries.Relational.defs ++ graft.queries.Extended.defs
+    graft.queries.Relational.defs ++ graft.queries.Extended.defs ++
+      graft.queries.Pipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

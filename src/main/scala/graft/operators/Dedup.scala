@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.functions.TextFns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  * Four families, in increasing sophistication:
+  *
+  *   1. exact        — hash-groupBy on a canonical text key; one shuffle.
+  *   2. n-gram Jaccard — shingle inverted index + pair-count join; exact
+  *      similarity, cost ∝ Σ_s df(s)^2 (fine when shingles are selective;
+  *      the LSH variant is the scale path).
+  *   3. MinHash + LSH — signature → band buckets → candidates → exact
+  *      verify. Cost ∝ candidates, not pairs; the 100 TB path.
+  *   4. SimHash      — one 32/64-bit fingerprint per doc; near-dups =
+  *      same-bucket fingerprints at small Hamming distance.
+  *
+  * All hashing is md5-derived (TextFns) so results are deterministic and
+  * reproducible by the DuckDB oracle — no JVM-seed drift between runs or
+  * engines.
+  *
+  * Scale notes (100 TB, 1000 executors):
+  *   - every operator is a pure shuffle-on-key plan: exact dedup shuffles
+  *     on the 128-bit text hash, LSH shuffles on (band, key) — both
+  *     uniform unless the corpus is pathologically skewed;
+  *   - the shingle inverted index drops ultra-frequent shingles above
+  *     `maxDocFreq` (stopword-shingle skew guard) — the classic
+  *     df-cap from MinHash dedup systems;
+  *   - candidate verification joins back to the (small) per-doc shingle
+  *     arrays rather than re-exploding, so the exact-Jaccard step is
+  *     |candidates| × O(shingles) not a second index build.
+  */
+object Dedup {
+
+  /** Exact dedup: group by md5(normText). Returns one row per distinct
+    * normalized text: the keeper (min id), the duplicate count. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(normText(col(textCol))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-doc distinct word-n-gram shingle arrays: (id, shingles).
+    *
+    * Deliberately staged: repartition first (a single parquet file would
+    * otherwise pin all the regex/tokenize work on one core), then
+    * materialize the token array in its OWN projection — `toks` is
+    * referenced multiple times by the shingle expression, so
+    * CollapseProject keeps it as an attribute and the tokenizer runs
+    * once per row instead of once per shingle lambda-invocation. */
+  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        tokens(normText(col(textCol))).as("toks"))
+      .select(col("doc_id"), wordShingles(col("toks"), n).as("shingles"))
+
+  /** Exact n-gram Jaccard pairs with similarity ≥ num/den (an integer
+    * ratio — the threshold check `den*inter ≥ num*union` stays in exact
+    * integer arithmetic, so Spark and the oracle agree bit-for-bit).
+    *
+    * @param maxDocFreq shingles occurring in more docs are dropped from
+    *   the inverted index (both sides of every surviving pair keep them
+    *   in their arrays, so |union| stays exact; only candidate
+    *   *generation* ignores them — a pair sharing ONLY ultra-common
+    *   shingles is not considered a near-dup candidate).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, num: Int = 7, den: Int = 10,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    // persisted: both sides of the pair self-join and the two size
+    // lookups read it — without this the whole shingle pipeline runs 4×.
+    val sh = shingleDocs(docs, idCol, textCol, n).persist()
+    val inv0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inv = maxDocFreq.fold(inv0) { cap =>
+      val rare = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select(col("s"))
+      inv0.join(rare, Seq("s"))
+    }
+    val pairs = inv.as("a")
+      .join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sh.select(col("doc_id").as("ida"), size(col("shingles")).as("na")), "ida")
+      .join(sh.select(col("doc_id").as("idb"), size(col("shingles")).as("nb")), "idb")
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * den >= col("union_sz") * num)
+      .select(col("ida"), col("idb"), col("inter"), col("union_sz"))
+  }
+
+  /** MinHash signatures: (doc_id, shingles, sig[k]). The md5 shingle
+    * hashes materialize once in their own projection; the k permutations
+    * are long arithmetic over that array. */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    shingleDocs(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("shingles"),
+        transform(col("shingles"), s => hash32(s)).as("hashes"))
+      .select(col("doc_id"), col("shingles"),
+        minhashSignature(col("hashes"), minhashParams(k)).as("sig"))
+
+  /** MinHash+LSH near-dup pairs, exact-verified.
+    *
+    * Plan shape: signature (narrow) → explode band keys → shuffle on
+    * (band, key) self-join → distinct candidate pairs → join back to
+    * shingle arrays → exact Jaccard ≥ num/den in integer arithmetic.
+    * Only candidates ever pair up — at 100 TB the band join is the sole
+    * wide stage and its key space is uniform md5 output.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 32, bands: Int = 8,
+      num: Int = 7, den: Int = 10): DataFrame = {
+    require(k % bands == 0, s"bands=$bands must divide k=$k")
+    // persisted: sigs feeds the band keys AND the verify-stage shingle
+    // lookups; keys feeds both sides of the bucket self-join.
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k).persist()
+    val keys = sigs.select(col("doc_id"),
+        explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .persist()
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val sh = sigs.select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("ida"), col("shingles").as("sha")), "ida")
+      .join(sh.select(col("doc_id").as("idb"), col("shingles").as("shb")), "idb")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("inter"))
+      .filter(col("inter") * den >= col("union_sz") * num)
+      .select(col("ida"), col("idb"), col("inter"), col("union_sz"))
+  }
+
+  /** SimHash fingerprints: (doc_id, simhash). Staged like shingleDocs:
+    * repartition for parallelism, tokens then token-hashes as their own
+    * projections (the 32 bit-probes reference the hash array 64×). */
+  def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        tokens(normText(col(textCol))).as("toks"))
+      .select(col("doc_id"), transform(col("toks"), t => hash32(t)).as("th"))
+      .select(col("doc_id"), simhash32(col("th")).as("simhash"))
+
+  /** SimHash near-dup pairs: block on identical fingerprint bytes (any of
+    * the 4 bytes equal → candidate, the standard Hamming-block trick:
+    * distance ≤ 3 ⇒ at least one of 4 bytes identical), then verify
+    * Hamming ≤ maxDist. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val fp = simhashDocs(docs, idCol, textCol)
+    // persisted: both sides of the block self-join
+    val blocks = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { byte =>
+          struct(lit(byte).as("blk"),
+            shiftright(col("simhash"), byte * 8).bitwiseAND(255).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.blk").as("blk"), col("bk.key").as("key"))
+      .persist()
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Embedding near-dup pairs: cosine similarity > threshold over all
+    * pairs (exact, brute force — the verification half; LSH bucketing in
+    * Similarity.scala is the candidate-generation half at scale).
+    * Accumulates in double, sequentially by element index, matching the
+    * oracle's list_reduce order bit-for-bit. */
+  def embeddingNearDupPairs(
+      embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val par = embs.sparkSession.sparkContext.defaultParallelism
+    val v = embs.select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    // norms precompute per vector (not per pair); broadcast one side,
+    // repartition the stream side for core parallelism.
+    val a = v.repartition(par, col("vec_id"))
+      .select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") > threshold)
+      .select(col("ida"), col("idb"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling: media travels as an
+  * opaque `binary` column next to typed metadata, and per-item decode /
+  * feature-extraction runs batch-at-a-time inside partitions — the Spark
+  * plumbing (schema, partitioning, batch shape) is real; only the codec
+  * call is stubbed (no image/audio libraries in this container) behind
+  * [[StubCodec]], clearly marked and deterministic so tests and the
+  * DuckDB oracle can verify the pipeline end-to-end.
+  *
+  * Scale notes: media blobs dominate row size, so the decode stage
+  * repartitions by id to spread blobs evenly (no skew from source
+  * file-ordering), runs mapPartitions (one codec init per partition, the
+  * same shape a Pandas-UDF/Arrow batch would have), and projects features
+  * only — the binary column is dropped as early as possible so downstream
+  * shuffles move kilobytes, not media.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      source: String)
+
+  /** Deterministic fake features — stands in for the real decoder.
+    * ======================== STUB ========================
+    * Real deployment swaps decode() for an actual codec (JPEG decode,
+    * PCM resample, frame sampling). Signature and batch shape are the
+    * contract; the body is a deterministic fake over the bytes so the
+    * pipeline is testable without native libs.
+    * ====================================================== */
+  object StubCodec {
+    final case class Features(
+        media_id: Long,
+        kind: String,
+        n_bytes: Int,
+        checksum: Long, // stand-in for perceptual hash
+        width: Int, // fake "decoded" dims derived from payload
+        height: Int)
+
+    def decode(row: MediaRow): Features = {
+      val n = row.payload.length
+      // byte-sum checksum — deterministic, oracle-reproducible
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += (row.payload(i) & 0xff).toLong; i += 1 }
+      Features(row.media_id, row.kind, n, sum, 16 + (sum % 64).toInt,
+        16 + ((sum / 64) % 64).toInt)
+    }
+  }
+
+  /** Wrap a text table as fake media rows (payload = utf8 bytes). Lets
+    * the full pipeline run against the driver's documents table. */
+  def fakeMediaFromDocs(docs: DataFrame): Dataset[MediaRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"))
+      .as[MediaRow]
+  }
+
+  /** The decode/feature-extract stage: repartition to spread blobs, then
+    * batch-decode per partition (mapPartitions ≈ one Arrow batch per
+    * call), returning a narrow features frame with the payload dropped. */
+  def extractFeatures(media: Dataset[MediaRow], partitions: Int = 0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val balanced =
+      if (partitions > 0) media.repartition(partitions, col("media_id"))
+      else media
+    balanced.mapPartitions { it => it.map(StubCodec.decode) }.toDF()
+  }
+
+  /** End-to-end: docs → fake media → features → per-kind rollup. */
+  def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractFeatures(fakeMediaFromDocs(docs))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("width")).as("min_width"), max(col("height")).as("max_height"),
+        sum(col("checksum")).as("checksum_sum"))
+      .orderBy(col("kind"))
+}

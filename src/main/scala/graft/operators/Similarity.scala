@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *   - `bruteForceTopK` — exact cosine top-k: queries × corpus join,
+  *     window-ranked. The correctness baseline; cost |Q|·|C|·dim.
+  *   - `lshTopK` — random-hyperplane LSH: sign-bit sketch per vector,
+  *     candidates share a sketch band, exact re-rank inside candidates.
+  *     The 100 TB path: the corpus is sketched once (narrow), the join
+  *     shuffles on small band keys, and the exact distance runs only on
+  *     bucket collisions.
+  *
+  * Hyperplanes are seeded deterministically (splitmix-style LCG) so
+  * results are reproducible run-to-run; dot products fold left-to-right
+  * in double precision (zip_with + aggregate), matching the DuckDB
+  * oracle's list_reduce semantics bit-for-bit.
+  */
+object Similarity {
+
+  /** Sequential-order dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Project out id + double vector + precomputed norm. The norm
+    * materializes BEFORE any pair join, so each ‖v‖ is computed once per
+    * vector, not once per pair; cos(a,b) = dot/(nrm_a·nrm_b) is then the
+    * exact same IEEE op sequence as the naive formula. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+      id: String, vec: String): DataFrame =
+    df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
+      sqrt(aggregate(zip_with(col(vecCol).cast("array<double>"),
+          col(vecCol).cast("array<double>"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)).as(s"${vec}_n"))
+
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors (excluding itself), ranked desc with id tie-break. The
+    * (small) query set broadcasts; the corpus is the repartitioned
+    * stream side — a single-file corpus would otherwise run the whole
+    * nested-loop on one core. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .repartition(par(corpus), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes: `planes(p)(i)` is
+    * ±1 — sign sketches only need the component signs, so ±1 components
+    * (a.k.a. sign-random-projection with Rademacher vectors) preserve the
+    * cosine-LSH collision property. */
+  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 0x9E3779B97F4A7C15L
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    Seq.fill(nPlanes)(Seq.fill(dim)(if ((next() >>> 40) % 2 == 0) 1.0 else -1.0))
+  }
+
+  /** Sign sketch: bit p = (v · plane_p) >= 0, packed into a long per
+    * band of `bitsPerBand` planes. */
+  private def sketchBands(
+      v: Column, planes: Seq[Seq[Double]], bitsPerBand: Int): Column = {
+    val bits: Seq[Column] = planes.map { p =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(v, planeLit) >= 0, 1L).otherwise(0L)
+    }
+    val bands = bits.grouped(bitsPerBand).toSeq
+    array(bands.zipWithIndex.map { case (bs, bandIdx) =>
+      val key = bs.zipWithIndex.map { case (b, i) => b * lit(1L << i) }.reduce(_ + _)
+      struct(lit(bandIdx).as("band"), key.as("key"))
+    }: _*)
+  }
+
+  /** LSH ANN top-k: candidates = corpus vectors sharing ≥1 sketch band
+    * with the query; exact cosine re-rank inside candidates. Recall
+    * grows with bands; precision with bitsPerBand. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bands: Int = 16, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bands * bitsPerBand, dim)
+    def keyed(df: DataFrame, id: String, vec: String) =
+      withNorm(df, idCol, vecCol, id, vec)
+        .repartition(par(df), col(id))
+        .select(col(id), col(vec), col(s"${vec}_n"),
+          explode(sketchBands(col(vec), planes, bitsPerBand)).as("bk"))
+        .select(col(id), col(vec), col(s"${vec}_n"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    val qk = keyed(queries, "query_id", "qv")
+    val ck = keyed(corpus, "neighbor_id", "cv")
+    val cand = qk.join(ck, Seq("band", "key"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("qv_n"),
+        col("neighbor_id"), col("cv"), col("cv_n"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

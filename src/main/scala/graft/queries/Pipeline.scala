@@ -1,0 +1,337 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators as driver-gated queries over the
+  * documents/embeddings tables: the dedup family (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding cosine), similarity search (exact
+  * top-k + LSH ANN), text analysis (language ID, quality scoring, token
+  * counting, fingerprinting), and the multimodal binary-column pipeline.
+  *
+  * Every DuckDB oracle is generated from the SAME Scala constants as the
+  * Spark plan (minhash parameters, language profiles, thresholds), and
+  * all cross-engine hashing goes through md5 — the two engines compute
+  * bit-identical results, including the doubles (sequential left-to-right
+  * folds in both).
+  */
+object Pipeline {
+
+  // ---- shared oracle-SQL fragments (DuckDB dialect) -----------------------
+
+  /** trim/collapse/strip — must mirror TextFns.normText exactly. */
+  private def normSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private def toksSql(norm: String) =
+    s"list_filter(string_split_regex($norm, '\\s+'), tk -> length(tk) > 0)"
+
+  /** Distinct word n-grams — mirrors TextFns.wordShingles. */
+  private def shinglesSql(toks: String, n: Int) =
+    s"list_distinct(list_transform(generate_series(0, greatest(len($toks)-$n, 0)), " +
+      s"i -> array_to_string($toks[i+1:i+$n], ' ')))"
+
+  private def hash32Sql(c: String) =
+    s"(('0x' || substr(md5($c), 1, 8))::BIGINT)"
+
+  /** Sequential double dot product — mirrors Similarity.dot. */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  private def cosSql(a: String, b: String) =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  private val ShingleN = 5
+  private val JaccardNum = 7 // threshold num/den = 0.7, checked in integers
+  private val JaccardDen = 10
+  private val MinhashK = 32
+  private val LshBands = 8
+  private val NearDupCos = 0.45
+  private val TopK = 5
+
+  // ---- dedup --------------------------------------------------------------
+
+  private def p01(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.df(spark, dir, "documents"), "doc_id", "text")
+
+  private val p01Sql =
+    s"""SELECT md5(${normSql("text")}) AS text_hash,
+       |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+       |FROM documents GROUP BY 1""".stripMargin
+
+  private def p02(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.df(spark, dir, "documents"),
+      "doc_id", "text", ShingleN, JaccardNum, JaccardDen)
+
+  private val p02Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""WITH sh AS (SELECT doc_id, $sh AS shingles FROM documents),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.ida, p.idb, p.inter,
+       |  (len(sa.shingles) + len(sb.shingles) - p.inter)::BIGINT AS union_sz
+       |FROM pairs p
+       |JOIN sh sa ON sa.doc_id = p.ida
+       |JOIN sh sb ON sb.doc_id = p.idb
+       |WHERE p.inter * $JaccardDen >=
+       |  (len(sa.shingles) + len(sb.shingles) - p.inter) * $JaccardNum""".stripMargin
+  }
+
+  private def p03(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.df(spark, dir, "documents"),
+      "doc_id", "text", ShingleN, MinhashK, LshBands, JaccardNum, JaccardDen)
+      .select(col("ida"), col("idb"),
+        col("inter").cast("long").as("inter"),
+        col("union_sz").cast("long").as("union_sz"))
+
+  private val p03Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    val sigExprs = TextFns.minhashParams(MinhashK).map { case (a, b) =>
+      s"list_min(list_transform(shingles, s -> ($a * ${hash32Sql("s")} + $b) % ${TextFns.MinhashPrime}))"
+    }.mkString("[", ",\n    ", "]")
+    val r = MinhashK / LshBands
+    s"""WITH sh AS (SELECT doc_id, $sh AS shingles FROM documents),
+       |sig AS (SELECT doc_id, shingles, $sigExprs AS sig FROM sh),
+       |keys AS (
+       |  SELECT doc_id, g.band,
+       |    md5(array_to_string(sig[g.band*$r+1 : g.band*$r+$r], ',')) AS key
+       |  FROM sig, generate_series(0, ${LshBands - 1}) g(band)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM keys a JOIN keys b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT c.ida, c.idb,
+       |  len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS inter,
+       |  (len(sa.shingles) + len(sb.shingles)
+       |    - len(list_intersect(sa.shingles, sb.shingles)))::BIGINT AS union_sz
+       |FROM cand c
+       |JOIN sh sa ON sa.doc_id = c.ida
+       |JOIN sh sb ON sb.doc_id = c.idb
+       |WHERE len(list_intersect(sa.shingles, sb.shingles)) * $JaccardDen >=
+       |  (len(sa.shingles) + len(sb.shingles)
+       |    - len(list_intersect(sa.shingles, sb.shingles))) * $JaccardNum""".stripMargin
+  }
+
+  private def p04(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.df(spark, dir, "documents"), "doc_id", "text")
+
+  private val p04Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    list_transform($toks, tk -> ${hash32Sql("tk")}) AS th
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(generate_series(0, 31), b ->
+       |      CASE WHEN 2 * len(list_filter(th, x -> ((x >> b) & 1) = 1)) >= len(th)
+       |           THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
+       |  FROM h),
+       |blk AS (
+       |  SELECT doc_id, simhash, g.byte, ((simhash >> (g.byte*8)) & 255) AS key
+       |  FROM f, generate_series(0, 3) g(byte)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM blk a JOIN blk b
+       |    ON a.byte = b.byte AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
+  }
+
+  private def p05(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(Tables.df(spark, dir, "embeddings"),
+      "vec_id", "embedding", NearDupCos)
+
+  private val p05Sql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings)
+       |SELECT a.vec_id AS ida, b.vec_id AS idb
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} > $NearDupCos""".stripMargin
+
+  // ---- similarity search --------------------------------------------------
+
+  private def p06(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(v.filter(col("vec_id") % 50 === 0), v,
+        "vec_id", "embedding", TopK)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  private val p06Sql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM q JOIN v c ON q.vec_id != c.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+       |FROM r WHERE rnk <= $TopK""".stripMargin
+
+  /** LSH ANN — hyperplane sketches are not portable SQL, so no oracle;
+    * the driver records rows>0 and SimilaritySpec pins recall ≥ 0.6 vs
+    * the exact top-k. */
+  private def p07(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+    Similarity.lshTopK(v.filter(col("vec_id") % 50 === 0), v,
+        "vec_id", "embedding", TopK)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  // ---- text analysis ------------------------------------------------------
+
+  private def p08(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val toks = TextFns.tokens(TextFns.normText(col("text")))
+    val scored = docs.select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        TextFns.LangProfiles.map { case (l, words) =>
+          TextFns.stopwordHits(col("toks"), words).as(s"s_$l")
+        }: _*)
+    val langs = TextFns.LangProfiles.map(_._1)
+    val pred = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val beats = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(beats, lit(l)).otherwise(rest)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("lang_pred"))
+  }
+
+  private val p08Sql = {
+    val toks = toksSql(normSql("text"))
+    val scoreCols = TextFns.LangProfiles.map { case (l, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, tk -> list_contains($list, tk))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextFns.LangProfiles.map(_._1)
+    val cases = langs.init.map { l =>
+      val beats = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM t)
+       |SELECT doc_id, lang,
+       |  CASE $cases
+       |    ELSE '${langs.last}' END AS lang_pred
+       |FROM sc""".stripMargin
+  }
+
+  private def p09(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val toks = TextFns.tokens(TextFns.normText(col("text")))
+    val en = TextFns.LangProfiles.head._2
+    docs.select(col("doc_id"), length(col("text")).as("n_chars_raw"),
+        toks.as("toks"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_chars"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        size(col("toks")).as("n_tokens"),
+        TextFns.stopwordHits(col("toks"), en).as("stop_hits"),
+        col("punct_chars"))
+      .select(col("doc_id"), col("n_chars_raw"), col("n_tokens"),
+        col("stop_hits"), col("punct_chars"),
+        (lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
+          + lit(0.3) * (col("stop_hits").cast("double") / col("n_tokens"))
+          + lit(0.2) * (lit(1.0) - col("punct_chars").cast("double") / col("n_chars_raw")))
+          .as("quality"))
+  }
+
+  private val p09Sql = {
+    val toks = toksSql(normSql("text"))
+    val en = TextFns.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(length(text) AS INT) AS n_chars_raw,
+       |    $toks AS toks,
+       |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS punct_chars
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_chars_raw,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(toks, tk -> list_contains($en, tk))) AS INT) AS stop_hits,
+       |    punct_chars
+       |  FROM t)
+       |SELECT doc_id, n_chars_raw, n_tokens, stop_hits, punct_chars,
+       |  0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |  + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+       |  + 0.2 * (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_raw) AS quality
+       |FROM m""".stripMargin
+  }
+
+  private def p10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    docs.select(col("doc_id"),
+      size(TextFns.tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("sub_tokens"))
+  }
+
+  private val p10Sql =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split_regex(text, '\\s+'), tk -> length(tk) > 0)) AS INT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INT) AS sub_tokens
+       |FROM documents""".stripMargin
+
+  private def p11(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val norm = TextFns.normText(col("text"))
+    val shingles = TextFns.wordShingles(TextFns.tokens(norm), ShingleN)
+    docs.select(col("doc_id"),
+      TextFns.hash60(norm).as("fingerprint"),
+      array_min(transform(shingles, s => TextFns.hash32(s))).as("min_shingle_hash"))
+  }
+
+  private val p11Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""SELECT doc_id,
+       |  ('0x' || substr(md5(${normSql("text")}), 1, 15))::BIGINT AS fingerprint,
+       |  list_min(list_transform($sh, s -> ${hash32Sql("s")})) AS min_shingle_hash
+       |FROM documents""".stripMargin
+  }
+
+  // ---- multimodal ---------------------------------------------------------
+
+  private def p12(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.featureSummary(spark, Tables.df(spark, dir, "documents"))
+
+  private val p12Sql =
+    """WITH feat AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(length(text) AS INT) AS n_bytes,
+      |    list_sum(list_transform(generate_series(1, length(text)),
+      |      i -> ascii(text[i:i])))::BIGINT AS checksum
+      |  FROM documents)
+      |SELECT kind, COUNT(*) AS n_items,
+      |  SUM(n_bytes)::BIGINT AS total_bytes,
+      |  MIN(16 + (checksum % 64))::INT AS min_width,
+      |  MAX(16 + ((checksum // 64) % 64))::INT AS max_height,
+      |  SUM(checksum)::BIGINT AS checksum_sum
+      |FROM feat GROUP BY kind ORDER BY kind""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
+    QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
+    QueryDef("p03_minhash_lsh", p03, Some(p03Sql)),
+    QueryDef("p04_simhash", p04, Some(p04Sql)),
+    QueryDef("p05_embed_neardup", p05, Some(p05Sql)),
+    QueryDef("p06_cosine_topk", p06, Some(p06Sql)),
+    QueryDef("p07_lsh_ann", p07, None),
+    QueryDef("p08_langid", p08, Some(p08Sql)),
+    QueryDef("p09_quality", p09, Some(p09Sql)),
+    QueryDef("p10_token_count", p10, Some(p10Sql)),
+    QueryDef("p11_fingerprint", p11, Some(p11Sql)),
+    QueryDef("p12_multimodal", p12, Some(p12Sql)))
+}

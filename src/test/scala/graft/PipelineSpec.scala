@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for the training-data pipeline operators at sf0.001.
+  * Value-level parity is enforced by the DuckDB oracle gate (29/29);
+  * these pin the cross-operator invariants the oracle can't see:
+  * LSH-vs-exact recall, MinHash-vs-Jaccard agreement, SimHash metric
+  * properties, and the multimodal batch plumbing.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(8)
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.df(spark, sf, "documents")
+  private def embs = Tables.df(spark, sf, "embeddings")
+
+  test("exact dedup: keepers unique, copy counts sum to row count") {
+    val d = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(d.map(_.getAs[Long]("keep_id")).distinct.length == d.length)
+    assert(d.map(_.getAs[Long]("n_copies")).sum == docs.count())
+  }
+
+  test("minhash LSH finds every high-Jaccard pair the exact operator finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5,
+        num = 8, den = 10)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 5,
+        k = 32, bands = 8, num = 8, den = 10)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // at J >= 0.8, k=32/b=8 collision prob is ~1-(1-0.8^4)^8 ≈ 0.98+;
+    // the exact-verify step makes LSH ⊆ exact always.
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= exact.size * 9 / 10,
+      s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash: near-dup pairs have closer fingerprints than random pairs") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+    val nearDup = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = pairs.select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every textual near-dup should be simhash-close
+    assert(nearDup.nonEmpty && (nearDup -- found).size <= nearDup.size / 5,
+      s"simhash missed ${(nearDup -- found).size} of ${nearDup.size} near-dups")
+    assert(pairs.collect().forall(_.getAs[Int]("dist") <= 3))
+  }
+
+  test("LSH ANN: recall >= 0.6 of exact top-5, exact re-rank order correct") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ann = Similarity.lshTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(exact.nonEmpty)
+    val recall = (exact intersect ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall")
+  }
+
+  test("brute-force top-k: ranks dense from 1, no self-matches") {
+    val rows = Similarity.bruteForceTopK(
+      embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", 5).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.values.forall(_.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5)))
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id")))
+  }
+
+  test("multimodal: features preserve rows, payload dropped, batch decode works") {
+    val media = Multimodal.fakeMediaFromDocs(docs)
+    val feats = Multimodal.extractFeatures(media, partitions = 4)
+    assert(feats.count() == docs.count())
+    assert(!feats.columns.contains("payload"))
+    val f = feats.filter(col("media_id") === 0).collect()(0)
+    assert(f.getAs[Int]("n_bytes") > 0)
+    assert(f.getAs[Int]("width") >= 16 && f.getAs[Int]("width") < 80)
+    // kinds partition the id space 3 ways
+    val kinds = Multimodal.featureSummary(spark, docs).collect()
+    assert(kinds.map(_.getAs[String]("kind")).sorted.sameElements(
+      Array("audio", "image", "video")))
+    assert(kinds.map(_.getAs[Long]("n_items")).sum == docs.count())
+  }
+
+  test("embedding near-dup: symmetric threshold, ida < idb") {
+    val pairs = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.45)
+      .collect()
+    assert(pairs.forall(r => r.getAs[Long]("ida") < r.getAs[Long]("idb")))
+  }
+}
