@@ -1,0 +1,163 @@
+package graft.etl
+
+import graft.mapping.BidiFn
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The import half of the engine: staging load → SMO-derived validation
+  * → bidi-mapped projection → sink, with `data_migrations` bookkeeping
+  * (SURVEY.md §2.1 S15, §7.1 item 9). The reference declares this flow
+  * (staging `dm_*` tables + state machine,
+  * /root/reference/sql/V000002__data_migrations.sql:21-28,
+  * rust/grant_schemamap_usage.sql:59-66) but the load logic lives in the
+  * closed cloud service; this is our Spark-native realization.
+  *
+  * Scale: validation is pure aggregation (one pass, partial-aggregated),
+  * FK checks are anti-joins that broadcast when the reference side is
+  * small; nothing collects to the driver except the final one-row
+  * summary. A 100 TB staging load validates in one shuffle-free map pass
+  * plus one anti-join per FK.
+  */
+object Import {
+
+  /** Load a CSV into a staging DataFrame (header + schema inference off
+    * by default at scale — pass an explicit DDL schema when known). */
+  def stageCsv(spark: SparkSession, path: String,
+      schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schemaDdl.fold(r.option("inferSchema", "true"))(d => r.schema(d)).csv(path)
+  }
+
+  /** One declarative validation rule over the staging frame. */
+  final case class Rule(name: String, column: String, violation: Column)
+
+  /** Derive rules from the SMO rows of the target table:
+    *   - not-null columns without a default ⇒ null is a violation;
+    *   - `character varying(n)` / `character(n)` types ⇒ length > n;
+    *   - generated columns ('g' pseudo-constraint) ⇒ any non-null value
+    *     (they cannot be written to — sql/V000006…sql:59-77).
+    * Columns absent from staging are skipped (mapped imports rename
+    * before validating). */
+  def rulesFromSmo(smo: DataFrame, schemaName: String, tableName: String,
+      stagingCols: Seq[String]): Seq[Rule] = {
+    val rows = smo
+      .filter(col("schema_name") === schemaName && col("table_name") === tableName)
+      .select("column_name", "data_type", "not_null", "default_value", "constraints")
+      .collect() // catalog-sized (one table's columns), not data-sized
+    val varcharN = """character(?: varying)?\((\d+)\)""".r
+    rows.toSeq.filter(r => stagingCols.contains(r.getString(0))).flatMap { r =>
+      val c = r.getString(0)
+      val generated = Option(r.getSeq[org.apache.spark.sql.Row](4))
+        .exists(_.exists(_.getAs[String]("type") == "g"))
+      val notNull =
+        if (r.getBoolean(2) && r.isNullAt(3) && !generated)
+          Some(Rule(s"not_null", c, col(c).isNull))
+        else None
+      val maxLen = r.getString(1) match {
+        case varcharN(n) =>
+          Some(Rule(s"max_length_$n", c, length(col(c)) > n.toInt))
+        case _ => None
+      }
+      val gen =
+        if (generated) Some(Rule("generated_readonly", c, col(c).isNotNull))
+        else None
+      notNull.toSeq ++ maxLen ++ gen
+    }
+  }
+
+  /** Evaluate rules in ONE aggregation pass: (rule, column, violations). */
+  def validate(staging: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "no rules to validate")
+    val counts = staging.agg(
+      count(lit(1)).as("_total"),
+      rules.map(r => count(when(r.violation, 1)).as(s"${r.name}:${r.column}")): _*)
+    val spark = staging.sparkSession
+    import spark.implicits._
+    val row = counts.collect()(0)
+    rules.map { r =>
+      (r.name, r.column, row.getAs[Long](s"${r.name}:${r.column}"),
+        row.getAs[Long]("_total"))
+    }.toDF("rule", "column", "violations", "total_rows")
+  }
+
+  /** FK pre-validation: staging values with no match in the reference
+    * table (left-anti join; Catalyst broadcasts small reference sides). */
+  def fkViolations(staging: DataFrame, fkCol: String,
+      ref: DataFrame, refCol: String): DataFrame =
+    staging.filter(col(fkCol).isNotNull)
+      .join(ref.select(col(refCol)), col(fkCol) === col(refCol), "left_anti")
+      .groupBy(col(fkCol)).agg(count(lit(1)).as("n_rows"))
+
+  /** One column mapping: staging column → target column via a bidi fn's
+    * forward transform. */
+  final case class ColumnMapping(from: String, to: String, fn: BidiFn)
+
+  /** Project staging to the target shape (bidi forward transforms). */
+  def applyMapping(staging: DataFrame, mappings: Seq[ColumnMapping]): DataFrame =
+    staging.select(mappings.map(m => m.fn.forward(col(m.from)).as(m.to)): _*)
+
+  /** Full import run with bookkeeping: LOADING → LOADED → IMPORTING →
+    * IMPORTED (or *_FAILED), optimistic-version checked at every step.
+    * The sink is injected (JDBC writer in production, parquet in tests).
+    * Returns the final migration row; `summary` carries the validation
+    * counts as JSON. */
+  def runImport(
+      store: MigrationStore,
+      source: MigrationSource,
+      mdeName: String,
+      load: () => DataFrame,
+      mappings: Seq[ColumnMapping],
+      rules: DataFrame => Seq[Rule],
+      sink: DataFrame => Unit): DataMigration = {
+    val m = store.create(source, mdeName)
+    val staged =
+      try {
+        val df = load()
+        df.persist()
+        df.count() // materialize the load before declaring LOADED
+        df
+      } catch {
+        case e: Exception =>
+          store.transition(m.id, MigrationState.LoadFailed, m.version,
+            Some(s"""{"error":${jsonStr(e.getMessage)}}"""))
+          throw e
+      }
+    val loaded = store.transition(m.id, MigrationState.Loaded, m.version)
+    val mapped = applyMapping(staged, mappings)
+    val checks = validate(mapped, rules(mapped)).collect()
+    val bad = checks.filter(_.getAs[Long]("violations") > 0)
+    val summaryJson = checks.map(r =>
+        s"""{"rule":${jsonStr(r.getString(0))},"column":${jsonStr(r.getString(1))},""" +
+          s""""violations":${r.getLong(2)}}""")
+      .mkString("[", ",", "]")
+    if (bad.nonEmpty) {
+      store.transition(loaded.id, MigrationState.Importing, loaded.version)
+      store.transition(loaded.id, MigrationState.ImportFailed, loaded.version + 1,
+        Some(summaryJson))
+      store.get(m.id).get
+    } else {
+      val importing =
+        store.transition(loaded.id, MigrationState.Importing, loaded.version)
+      try {
+        sink(mapped)
+        store.transition(importing.id, MigrationState.Imported,
+          importing.version, Some(summaryJson))
+      } catch {
+        case e: Exception =>
+          store.transition(importing.id, MigrationState.ImportFailed,
+            importing.version,
+            Some(s"""{"error":${jsonStr(e.getMessage)}}"""))
+          throw e
+      }
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + Option(s).getOrElse("").flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the events stream
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §1.1 — no streams as
+  * first-class abstractions), so these are the engine's forward-looking
+  * stream surface: the same aggregations the batch side runs (q14/q18
+  * shapes), expressed as incremental plans, plus stateful
+  * sessionization — the three canonical streaming shapes:
+  *
+  *   1. watermark + tumbling-window aggregate (late data dropped after
+  *      the watermark horizon — bounded state at any scale);
+  *   2. watermark + windowed deduplication (dropDuplicates within the
+  *      event-time horizon — the streaming face of Dedup.exact);
+  *   3. flatMapGroupsWithState sessionization (custom per-key state with
+  *      processing/event-time timeouts).
+  *
+  * All three run identically from a file/Kafka source; tests drive them
+  * with MemoryStream. State stores shard by groupBy key — user_id/
+  * event_type partition uniformly, so a 1000-executor cluster splits the
+  * state linearly.
+  */
+object Streams {
+
+  /** Tumbling-window per-type counts/sums with a watermark: the
+    * incremental form of q14_datetime_bucket. */
+  def windowedEventStats(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming analog of Dedup.exact: duplicates arriving within
+    * `watermark` of the original are dropped; state is bounded by the
+    * horizon. */
+  def dedupedEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(
+      events: Long, totalValue: Double, start: Long, lastSeen: Long)
+
+  final case class Session(
+      user_id: Long, n_events: Long, total_value: Double,
+      started_at: Timestamp, ended_at: Timestamp, duration_sec: Long)
+
+  /** Gap-based sessionization: a user's events belong to one session
+    * until `gap` of inactivity; a closed session emits when a later
+    * event exceeds the gap, and (with a timeout configured) the final
+    * open session emits on timeout. Custom state via
+    * flatMapGroupsWithState; production uses ProcessingTimeTimeout (the
+    * default), tests pass NoTimeout for deterministic batch-only runs. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.events, s.totalValue,
+              new Timestamp(s.start), new Timestamp(s.lastSeen),
+              (s.lastSeen - s.start) / 1000L))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(SessionState(s.events + 1, s.totalValue + e.value,
+                    s.start, math.max(s.lastSeen, t)))
+                case Some(s) => // gap exceeded: close previous, open new
+                  closed += Session(userId, s.events, s.totalValue,
+                    new Timestamp(s.start), new Timestamp(s.lastSeen),
+                    (s.lastSeen - s.start) / 1000L)
+                  cur = Some(SessionState(1L, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1L, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+                state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

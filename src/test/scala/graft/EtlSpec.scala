@@ -1,0 +1,127 @@
+package graft
+
+import graft.etl._
+import graft.mapping.BidiRegistry
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Import-flow tests: the migration state machine with optimistic
+  * locking, SMO-derived validation rules, FK anti-join checks, bidi
+  * mapping, and the end-to-end staged import (happy + failure paths). */
+class EtlSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+
+  test("state machine: legal path walks, illegal jumps rejected") {
+    val s = new MigrationStore
+    val m = s.create(MigrationSource.Csv, "products")
+    assert(m.state == "LOADING" && m.version == 0)
+    val loaded = s.transition(m.id, MigrationState.Loaded, 0)
+    assert(loaded.version == 1)
+    intercept[IllegalStateException] { // LOADED -> IMPORTED skips IMPORTING
+      s.transition(m.id, MigrationState.Imported, 1)
+    }
+    val imp = s.transition(m.id, MigrationState.Importing, 1)
+    assert(imp.importStartedAt.isDefined)
+    val done = s.transition(m.id, MigrationState.Imported, 2)
+    assert(done.importedAt.isDefined && done.version == 3)
+    intercept[IllegalStateException] { // terminal
+      s.transition(m.id, MigrationState.Importing, 3)
+    }
+  }
+
+  test("optimistic lock: stale version rejected (M7 trigger analog)") {
+    val s = new MigrationStore
+    val m = s.create(MigrationSource.Xlsx, "x")
+    s.transition(m.id, MigrationState.Loaded, 0)
+    val e = intercept[IllegalStateException] {
+      s.transition(m.id, MigrationState.Importing, 0) // stale
+    }
+    assert(e.getMessage.contains("version conflict"))
+  }
+
+  test("rulesFromSmo: not-null, varchar length, generated-readonly") {
+    import spark.implicits._
+    val smo = Seq(
+      ("s", "t", "name", "character varying(5)", true, null: String, null: Seq[(String, String, String, String)]),
+      ("s", "t", "id", "bigint", true, "nextval('seq')", null: Seq[(String, String, String, String)]),
+      ("s", "t", "derived", "numeric", false, null: String, Seq(("generated_column", "g", "(a+b)", null: String))),
+      ("s", "t", "note", "text", false, null: String, null: Seq[(String, String, String, String)]))
+      .toDF("schema_name", "table_name", "column_name", "data_type",
+        "not_null", "default_value", "raw_constraints")
+      .withColumn("constraints", when(col("raw_constraints").isNotNull,
+        transform(col("raw_constraints"), c => struct(
+          c.getField("_1").as("name"), c.getField("_2").as("type"),
+          c.getField("_3").as("definition"), c.getField("_4").as("sequence_name")))))
+    val rules = Import.rulesFromSmo(smo, "s", "t",
+      Seq("name", "id", "derived", "note"))
+    assert(rules.map(r => (r.name, r.column)).toSet == Set(
+      ("not_null", "name"), ("max_length_5", "name"),
+      ("generated_readonly", "derived")))
+    // id is not-null but serial-defaulted -> no rule; note nullable -> none
+
+    val staging = Seq(("okay", 1L, null: String, "x"),
+        ("toolong!", 2L, "oops", null: String),
+        (null: String, 3L, null: String, "y"))
+      .toDF("name", "id", "derived", "note")
+    val v = Import.validate(staging, rules).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(v(("not_null", "name")) == 1)
+    assert(v(("max_length_5", "name")) == 1)
+    assert(v(("generated_readonly", "derived")) == 1)
+  }
+
+  test("fk violations: anti-join finds dangling keys") {
+    import spark.implicits._
+    val staging = Seq(
+        (Some(1L), "a"), (Some(2L), "b"), (Some(99L), "c"),
+        (Some(99L), "d"), (None: Option[Long], "e"))
+      .toDF("cust_id", "v")
+    val ref = Seq(1L, 2L, 3L).toDF("c_id")
+    val bad = Import.fkViolations(staging, "cust_id", ref, "c_id").collect()
+    assert(bad.length == 1)
+    assert(bad(0).getAs[Long]("cust_id") == 99L && bad(0).getAs[Long]("n_rows") == 2)
+  }
+
+  test("end-to-end import: CSV -> map -> validate -> sink, states land IMPORTED") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("etl").toFile.getAbsolutePath
+    Files.writeString(java.nio.file.Path.of(s"$dir/in.csv"),
+      "raw_name,tags\n  alice  ,\"a,b\"\n  bob ,c\n")
+    val store = new MigrationStore
+    val reg = BidiRegistry.withDefaults
+    var sunk: Array[Row] = Array.empty
+    val result = Import.runImport(
+      store, MigrationSource.Csv, "people",
+      load = () => Import.stageCsv(spark, s"$dir/in.csv"),
+      mappings = Seq(
+        Import.ColumnMapping("raw_name", "name", reg("trim_str")),
+        Import.ColumnMapping("tags", "tag_array", reg("split_comma_array"))),
+      rules = df => Seq(Import.Rule("not_null", "name", col("name").isNull)),
+      sink = df => sunk = df.collect())
+    assert(result.state == "IMPORTED")
+    assert(result.summary.get.contains("\"violations\":0"))
+    assert(sunk.map(_.getString(0)).sorted.sameElements(Array("alice", "bob")))
+    assert(sunk.find(_.getString(0) == "alice").get
+      .getSeq[String](1) == Seq("a", "b"))
+    assert(store.list.map(_.state) == Seq("IMPORTED"))
+  }
+
+  test("import with violations lands IMPORT_FAILED with summary, sink never runs") {
+    import spark.implicits._
+    val store = new MigrationStore
+    var sinkRan = false
+    val result = Import.runImport(
+      store, MigrationSource.Postgres, "bad",
+      load = () => Seq((null: String, 1), ("x", 2)).toDF("name", "n"),
+      mappings = Seq(Import.ColumnMapping("name", "name",
+        BidiRegistry.withDefaults("identity"))),
+      rules = _ => Seq(Import.Rule("not_null", "name", col("name").isNull)),
+      sink = _ => sinkRan = true)
+    assert(result.state == "IMPORT_FAILED")
+    assert(!sinkRan)
+    assert(result.summary.get.contains("\"violations\":1"))
+  }
+}

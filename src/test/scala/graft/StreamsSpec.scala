@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Structured Streaming semantics driven through MemoryStream: windowed
+  * aggregation with watermark, streaming dedup, and stateful
+  * sessionization. */
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+
+  private def ts(minute: Int) = new Timestamp(3600L * 1000 * 24 + minute * 60000L)
+
+  test("windowed stats aggregate incrementally per event_type") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 2, "click", 2.0),
+      Event(3, ts(12), 1, "view", 5.0), Event(4, ts(3), 3, "view", 4.0))
+    val q = Streams.windowedEventStats(in.toDF(), "10 minutes", "20 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_stats").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+    assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 4.0), ("view", 1L, 5.0)))
+  }
+
+  test("streaming dedup drops same-id events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.dedupedEvents(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(2, ts(3), 2, "view", 2.0), Event(3, ts(4), 3, "buy", 9.0))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_ev").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("sessionization: gap splits sessions, totals accumulate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // user 1: events at 0,2,4 min (one session), then 20,21 (second);
+    // the second session stays open (would emit on timeout in prod).
+    in.addData(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(2), 1, "a", 2.0),
+      Event(3, ts(4), 1, "a", 3.0), Event(4, ts(20), 1, "a", 4.0),
+      Event(5, ts(21), 1, "a", 5.0))
+    val q = Streams.sessionize(in.toDS(), gapMs = 5 * 60000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sessions").collect()
+    assert(sessions.length == 1) // first session closed by the 20-min event
+    val s = sessions(0)
+    assert(s.getAs[Long]("user_id") == 1L)
+    assert(s.getAs[Long]("n_events") == 3L)
+    assert(s.getAs[Double]("total_value") == 6.0)
+    assert(s.getAs[Long]("duration_sec") == 240L)
+  }
+}
