@@ -1,0 +1,27 @@
+package graft
+
+import graft.expressions.DotProduct
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions so they are callable from SQL and via
+  * `call_function(...)` from the Column API.
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (done by [[Sessions.builder]]) — the idiomatic injection point for
+  * third-party Catalyst extensions; works identically on a real cluster
+  * via the same conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      }))
+  }
+}
