@@ -1,0 +1,123 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Live-database catalog snapshotting over Spark JDBC (SURVEY.md §2.1
+  * S1-S6). Each dataset is ONE pushdown query: Postgres-only formatting
+  * functions (format_type, pg_get_expr, pg_get_constraintdef,
+  * pg_get_indexdef, pg_get_serial_sequence, obj_description,
+  * col_description, has_schema_privilege) evaluate inside the source
+  * database — the engine never re-implements them (SURVEY.md §2.6), it
+  * just receives their results as plain columns shaped exactly like
+  * [[CatalogSnapshot]]'s schemas.
+  *
+  * The SQL re-expresses the reference's SMO CTEs
+  * (/root/reference/sql/V000009__track_index_definitions_in_smo.sql:12-99,
+  * V000006…sql:3-10,59-77) as snapshot queries; filtering/packing happens
+  * afterwards in Spark (SmoBuilder), so these stay simple scans the PG
+  * planner handles with catalog indexes.
+  *
+  * Catalog tables are small (≤10^5 rows for thousand-table databases) —
+  * a single-partition JDBC read per dataset is the right plan; there is
+  * nothing to parallelize against a hot production catalog, and one
+  * connection per dataset respects the reference's connection-budget
+  * ethos (rust/create_schemamap_users.sql:11-17).
+  */
+object JdbcCatalogSource {
+
+  val relationsQuery: String =
+    """select n.nspname  as schema_name,
+      |       c.relname  as table_name,
+      |       c.relkind::text as relkind,
+      |       obj_description(c.oid, 'pg_class') as description,
+      |       greatest(c.reltuples::bigint, 0) as approx_rows
+      |from pg_catalog.pg_class c
+      |join pg_catalog.pg_namespace n on n.oid = c.relnamespace
+      |where c.relkind in ('r','v','m')""".stripMargin
+
+  val attributesQuery: String =
+    """select n.nspname as schema_name,
+      |       c.relname as table_name,
+      |       a.attname as column_name,
+      |       a.attnum::int as attnum,
+      |       format_type(a.atttypid, a.atttypmod) as data_type,
+      |       a.attnotnull as not_null,
+      |       pg_get_expr(d.adbin, d.adrelid) as default_value,
+      |       col_description(c.oid, a.attnum) as column_description,
+      |       a.attisdropped as is_dropped,
+      |       nullif(a.attgenerated::text, '') as generated
+      |from pg_catalog.pg_attribute a
+      |join pg_catalog.pg_class c on c.oid = a.attrelid
+      |join pg_catalog.pg_namespace n on n.oid = c.relnamespace
+      |left join pg_catalog.pg_attrdef d
+      |  on d.adrelid = a.attrelid and d.adnum = a.attnum
+      |where c.relkind in ('r','v','m')""".stripMargin
+
+  val constraintsQuery: String =
+    """select n.nspname as schema_name,
+      |       c.relname as table_name,
+      |       con.conname as constraint_name,
+      |       con.contype::text as constraint_type,
+      |       pg_get_constraintdef(con.oid) as definition,
+      |       con.conkey::int[] as constraint_keys,
+      |       con.confkey::int[] as foreign_keys,
+      |       case when con.contype = 'p' then
+      |         pg_get_serial_sequence(quote_ident(n.nspname) || '.' ||
+      |           quote_ident(c.relname),
+      |           (select attname from pg_attribute
+      |            where attrelid = c.oid and attnum = con.conkey[1]))
+      |       end as sequence_name,
+      |       fn.nspname as references_schema,
+      |       fc.relname as references_table
+      |from pg_catalog.pg_constraint con
+      |join pg_catalog.pg_class c on c.oid = con.conrelid
+      |join pg_catalog.pg_namespace n on n.oid = c.relnamespace
+      |left join pg_catalog.pg_class fc on fc.oid = con.confrelid
+      |left join pg_catalog.pg_namespace fn on fn.oid = fc.relnamespace""".stripMargin
+
+  val indexesQuery: String =
+    """select n.nspname as schema_name,
+      |       tc.relname as table_name,
+      |       ic.relname as index_name,
+      |       i.indisunique as is_unique,
+      |       i.indisexclusion as is_exclusion,
+      |       i.indisprimary as is_primary,
+      |       i.indisvalid as is_valid,
+      |       i.indimmediate as immediate,
+      |       regexp_replace(pg_get_indexdef(i.indexrelid),
+      |                      '(^.*USING )', '') as definition,
+      |       i.indkey::int[] as index_keys
+      |from pg_catalog.pg_index i
+      |join pg_catalog.pg_class tc on tc.oid = i.indrelid
+      |join pg_catalog.pg_class ic on ic.oid = i.indexrelid
+      |join pg_catalog.pg_namespace n on n.oid = tc.relnamespace""".stripMargin
+
+  val schemaPrivsQuery: String =
+    """select nspname as schema_name,
+      |       has_schema_privilege(nspname, 'usage') as has_usage
+      |from pg_catalog.pg_namespace""".stripMargin
+
+  val allQueries: Map[String, String] = Map(
+    "relations" -> relationsQuery,
+    "attributes" -> attributesQuery,
+    "constraints" -> constraintsQuery,
+    "indexes" -> indexesQuery,
+    "schema_privs" -> schemaPrivsQuery)
+
+  private def read(spark: SparkSession, url: String,
+      props: Map[String, String], query: String): DataFrame =
+    props.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("query", query)
+    ) { case (r, (k, v)) => r.option(k, v) }.load()
+
+  /** Snapshot a live database's catalog. `props` carries user/password/
+    * driver options for the Spark JDBC source. */
+  def snapshot(spark: SparkSession, url: String,
+      props: Map[String, String] = Map.empty): CatalogSnapshot =
+    CatalogSnapshot(
+      read(spark, url, props, relationsQuery),
+      read(spark, url, props, attributesQuery),
+      read(spark, url, props, constraintsQuery),
+      read(spark, url, props, indexesQuery),
+      read(spark, url, props, schemaPrivsQuery))
+}

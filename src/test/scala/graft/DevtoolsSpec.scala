@@ -1,0 +1,183 @@
+package graft
+
+import graft.config.ConnConfig
+import graft.devtools.Snapshots
+import graft.util.PgFormat
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Path}
+
+/** Config-resolver chain, snapshot/restore lifecycle, and formatting
+  * helpers — the CLI-support surface (SURVEY.md §2.1 S12, §2.8, §7.3). */
+class DevtoolsSpec extends AnyFunSuite {
+
+  // ---- ConnConfig ---------------------------------------------------------
+
+  test("DATABASE_URL parsing incl. passwordless and port-less forms") {
+    assert(ConnConfig.fromUrl("postgres://u:p@h:5433/db") ==
+      Some(ConnConfig("h", 5433, "db", "u", Some("p"))))
+    assert(ConnConfig.fromUrl("postgresql://h/db") ==
+      Some(ConnConfig("h", 5432, "db", "postgres", None)))
+    assert(ConnConfig.fromUrl("not-a-url").isEmpty)
+  }
+
+  test("env chain: DATABASE_URL wins over PG*, PG* over defaults") {
+    val both = Map("DATABASE_URL" -> "postgres://a@urlhost/d1",
+      "PGHOST" -> "pghost")
+    assert(ConnConfig.fromEnv(both).get.host == "urlhost")
+    val pgOnly = Map("PGHOST" -> "pghost", "PGPORT" -> "5444", "PGUSER" -> "me")
+    val c = ConnConfig.fromEnv(pgOnly).get
+    assert(c.host == "pghost" && c.port == 5444 && c.user == "me")
+    assert(ConnConfig.fromEnv(Map.empty).isEmpty)
+  }
+
+  test("pgpass: wildcards, escapes, first-match (reference parser parity)") {
+    val lines = Seq(
+      "# comment",
+      "otherhost:5432:*:u:nope",
+      "h:5432:d\\:b:u:pw\\\\1", // escaped colon in dbname, backslash in pw
+      "*:*:*:*:fallback")
+    assert(ConnConfig.pgpassLookup(lines, "h", 5432, "d:b", "u") == Some("pw\\1"))
+    assert(ConnConfig.pgpassLookup(lines, "x", 1, "y", "z") == Some("fallback"))
+    assert(ConnConfig.pgpassLookup(lines.init, "x", 1, "y", "z").isEmpty)
+  }
+
+  test("resolve: explicit beats env; pgpass fills missing password") {
+    val pgpass = Files.createTempFile("pgpass", "")
+    Files.writeString(pgpass, "h:5432:db:u:secret\n")
+    val r = ConnConfig.resolve(
+      explicit = Some(ConnConfig("h", 5432, "db", "u", None)),
+      env = Map("DATABASE_URL" -> "postgres://x@elsewhere/other"),
+      pgpassPath = Some(pgpass))
+    assert(r.host == "h" && r.password == Some("secret"))
+    assert(r.jdbcUrl == "jdbc:postgresql://h:5432/db")
+  }
+
+  // ---- Snapshots ----------------------------------------------------------
+
+  test("snapshot/restore/list/drop/gc lifecycle") {
+    val root = Files.createTempDirectory("snaps")
+    val src = Files.createTempDirectory("src")
+    Files.writeString(src.resolve("a.parquet"), "AAA")
+    Files.createDirectories(src.resolve("nested"))
+    Files.writeString(src.resolve("nested/b.parquet"), "BBBB")
+
+    val s = new Snapshots(root)
+    val info = s.create("base", src)
+    assert(info.sizeBytes == 7)
+    assert(s.list.map(_.name) == Seq("base"))
+
+    // mutate source, restore, verify rollback
+    Files.writeString(src.resolve("a.parquet"), "CHANGED")
+    Files.delete(src.resolve("nested/b.parquet"))
+    s.restore("base", src)
+    assert(Files.readString(src.resolve("a.parquet")) == "AAA")
+    assert(Files.readString(src.resolve("nested/b.parquet")) == "BBBB")
+
+    // gc removes orphaned bookkeeping
+    val orphan = root.resolve("broken")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("_snapshot.json"), """{"name":"broken"}""")
+    assert(s.gc() == Seq("broken"))
+
+    assert(s.drop("base"))
+    assert(!s.drop("base"))
+    assert(s.list.isEmpty)
+    intercept[IllegalArgumentException](s.create("../evil", src))
+  }
+
+  // ---- PgFormat -----------------------------------------------------------
+
+  test("pg_size_pretty thresholds match Postgres") {
+    assert(PgFormat.pgSizePretty(0) == "0 bytes")
+    assert(PgFormat.pgSizePretty(10239) == "10239 bytes")
+    assert(PgFormat.pgSizePretty(10240) == "10 kB")
+    assert(PgFormat.pgSizePretty(10485760) == "10 MB")
+    assert(PgFormat.pgSizePretty(5L * 1024 * 1024 * 1024) == "5120 MB")
+    assert(PgFormat.pgSizePretty(11L * 1024 * 1024 * 1024) == "11 GB")
+  }
+
+  test("quote_ident quotes exactly when needed") {
+    assert(PgFormat.quoteIdent("simple_name1") == "simple_name1")
+    assert(PgFormat.quoteIdent("CamelCase") == "\"CamelCase\"")
+    assert(PgFormat.quoteIdent("has space") == "\"has space\"")
+    assert(PgFormat.quoteIdent("quo\"te") == "\"quo\"\"te\"")
+  }
+
+  test("jsonPretty indents and preserves strings verbatim") {
+    val pretty = PgFormat.jsonPretty("""{"a":1,"b":["x,y","{z}"],"c":{"d":null}}""")
+    assert(pretty.contains("\"a\": 1"))
+    assert(pretty.contains("\"x,y\"")) // comma inside string untouched
+    assert(pretty.contains("\"{z}\"")) // brace inside string untouched
+    assert(pretty.linesIterator.size > 5)
+  }
+
+  // ---- JdbcCatalogSource query surface ------------------------------------
+
+  test("catalog pushdown queries cover every snapshot dataset and only use snapshot-time PG functions") {
+    val qs = graft.catalog.JdbcCatalogSource.allQueries
+    assert(qs.keySet == Set("relations", "attributes", "constraints",
+      "indexes", "schema_privs"))
+    // the PG-only formatting functions stay server-side (SURVEY.md §2.6)
+    assert(qs("attributes").contains("format_type"))
+    assert(qs("attributes").contains("pg_get_expr"))
+    assert(qs("constraints").contains("pg_get_constraintdef"))
+    assert(qs("constraints").contains("pg_get_serial_sequence"))
+    assert(qs("indexes").contains("pg_get_indexdef"))
+    assert(qs("schema_privs").contains("has_schema_privilege"))
+    // column lists line up with CatalogSnapshot's schemas
+    graft.catalog.CatalogSnapshot.relationsSchema.fieldNames.foreach(f =>
+      assert(qs("relations").contains(f), s"relations query missing $f"))
+    graft.catalog.CatalogSnapshot.attributesSchema.fieldNames.foreach(f =>
+      assert(qs("attributes").contains(f), s"attributes query missing $f"))
+  }
+
+  // ---- CLI ----------------------------------------------------------------
+
+  test("cli: init + doctor on empty metastore fails snapshot check cleanly") {
+    val dir = Files.createTempDirectory("graftcli")
+    val outs = Seq.newBuilder[String]
+    assert(graft.cli.Main.run(
+      Array("init", s"--dir=$dir"), outs += _) == 0)
+    assert(Files.exists(dir.resolve("snapshots")))
+    val code = graft.cli.Main.run(Array("doctor", s"--dir=$dir"), outs += _)
+    assert(code == 1) // no snapshot yet → doctor reports it
+    val doctorOut = outs.result().mkString("\n")
+    assert(doctorOut.contains("\"check\": \"catalog_snapshot\""))
+    assert(doctorOut.contains("false"))
+  }
+
+  test("cli: status over a persisted fixture snapshot emits pretty JSON") {
+    import org.apache.spark.sql.Row
+    val spark = Sessions.local(4)
+    val dir = Files.createTempDirectory("graftcli2")
+    val snap = graft.catalog.CatalogSnapshot.fromRows(spark,
+      relations = Seq(Row("s", "t", "r", null, 10L)),
+      attributes = Seq(
+        Row("s", "t", "id", 1, "bigint", true, null, null, false, null),
+        Row("s", "t", "email", 2, "text", true, null, null, false, null)),
+      constraints = Seq(Row("s", "t", "t_pkey", "p", "PRIMARY KEY (id)",
+        Seq(1), null, null, null, null)),
+      schemaPrivs = Seq(Row("s", true)))
+    graft.catalog.CatalogSnapshot.write(snap, dir.resolve("snapshot").toString)
+    val outs = Seq.newBuilder[String]
+    assert(graft.cli.Main.run(Array("status", s"--dir=$dir"), outs += _) == 0)
+    val json = outs.result().mkString("\n")
+    assert(json.contains("\"column_count\": 2"))
+    assert(json.contains("\"pii_count\": 1"))
+    // doctor now passes end-to-end (SMO builds from the stored snapshot)
+    assert(graft.cli.Main.run(Array("doctor", s"--dir=$dir"), _ => ()) == 0)
+    // snapshot/restore round-trip through the CLI
+    assert(graft.cli.Main.run(Array("snapshot", "base", s"--dir=$dir"), _ => ()) == 0)
+    assert(graft.cli.Main.run(Array("restore", "base", s"--dir=$dir"), _ => ()) == 0)
+    val listOut = Seq.newBuilder[String]
+    assert(graft.cli.Main.run(Array("list", s"--dir=$dir"), listOut += _) == 0)
+    assert(listOut.result().mkString.contains("\"base\""))
+  }
+
+  test("cli: usage on unknown command") {
+    val outs = Seq.newBuilder[String]
+    assert(graft.cli.Main.run(Array("wat"), outs += _) == 2)
+    assert(outs.result().head.startsWith("usage:"))
+  }
+}
