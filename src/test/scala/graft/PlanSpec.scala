@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Skew
+import graft.registry.Grants
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality assertions — the scale contract, checked at test speed:
+  * filters reach the parquet scan, projections prune columns, small
+  * dimensions broadcast, salted joins preserve results while splitting
+  * hot keys. A regression here is a 100 TB regression that sf0.01
+  * row-counts would never catch. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(8)
+  private val sf = "/root/testdata/sf0.001"
+
+  private def fmt(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  private def plan(name: String): String =
+    fmt(SparkEntry.queries(name)(spark, sf))
+
+  test("q2: predicate pushes into the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).get.group(1)
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity"), pushed)
+  }
+
+  test("q1: scan reads only the columns the aggregate needs") {
+    val p = plan("q1_agg_pricing")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    val cols = read.split(",").map(_.split(":")(0)).toSet
+    assert(cols == Set("l_returnflag", "l_linestatus", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax"), read)
+  }
+
+  test("q3: dimension tables broadcast, fact side streams") {
+    val p = plan("q3_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "small-dim join should not SMJ")
+  }
+
+  test("SMO builder: ignored-schema anti-joins broadcast") {
+    val e = new Engine(spark, graft.catalog.CatalogSnapshot.fromRows(spark,
+      Seq(org.apache.spark.sql.Row("s", "t", "r", null, 1L)),
+      Seq(org.apache.spark.sql.Row("s", "t", "c", 1, "text", false, null, null, false, null)),
+      Seq.empty, Seq.empty, Seq.empty))
+    val p = e.smo.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("whole-stage codegen covers the dot-product pair scan") {
+    val embs = Tables.df(spark, sf, "embeddings")
+    val df = graft.operators.Dedup
+      .embeddingNearDupPairs(embs, "vec_id", "embedding", 0.45)
+    assert(fmt(df).contains("graft_dot"))
+    // force execution so AQE finalizes. Catalyst pushes the
+    // `cos > threshold` predicate INTO the nested-loop join condition —
+    // the right plan (no 2M-row intermediate), compiled by
+    // GeneratePredicate with DotProduct.doGenCode inlined. Pin that the
+    // dot stays in the join condition and the probe side is codegen'd.
+    df.collect() // count() would spawn a separate execution; collect
+    // finalizes THIS df's AQE plan
+    val fin = df.queryExecution.executedPlan.toString
+    val dotLine = fin.linesIterator.find(_.contains("graft_dot"))
+    assert(dotLine.isDefined, fin.take(800))
+    assert(dotLine.get.contains("Join"),
+      s"expected graft_dot pushed into the join condition: ${dotLine.get.take(200)}")
+    assert(fin.contains("*("), "no WholeStageCodegen stage in final plan")
+  }
+
+  test("salted join: same rows as plain join, salt splits the hot key") {
+    import spark.implicits._
+    // left: hot key 1 (1000 rows), cold keys; right: tiny dim
+    val left = (1 to 1000).map(i => (1L, i.toLong)) ++
+      Seq((2L, 2000L), (3L, 3000L))
+    val l = left.toDF("k", "payload")
+    val r = Seq((1L, "hot"), (2L, "cold2"), (3L, "cold3"), (4L, "unmatched"))
+      .toDF("k", "label")
+    val salted = Skew.saltedJoin(l, r, "k", "payload", salt = 8)
+      .select("k", "payload", "label")
+    val plain = l.join(r, Seq("k")).select("k", "payload", "label")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("grants plan: role validation, supabase normalization, quoting") {
+    assert(Grants.validRoleName("app_reader"))
+    assert(!Grants.validRoleName("x; drop table users--"))
+    assert(Grants.normalizeUsername("postgres.abcdefghij12") == "postgres")
+    assert(Grants.normalizeUsername("plain_user") == "plain_user")
+    val sql = Grants.grantUsageSql("postgres.abcdefghij12", Seq("sales", "Weird Schema"))
+    assert(sql.exists(_ == "grant usage on schema sales to postgres"))
+    assert(sql.exists(_.contains("\"Weird Schema\"")))
+    intercept[IllegalArgumentException] {
+      Grants.grantUsageSql("bad;role", Seq("s"))
+    }
+    assert(Grants.createRolesSql.length == 4)
+  }
+}
