@@ -156,6 +156,45 @@ object Pipeline {
        |FROM v a JOIN v b ON a.vec_id < b.vec_id
        |WHERE ${cosSql("a.embedding", "b.embedding")} > $NearDupCos""".stripMargin
 
+  /** Near-dup clusters: connected components over the exact-Jaccard pair
+    * edges (one keeper = min doc_id per component). The oracle replays
+    * the pair query and closes it transitively with a recursive CTE —
+    * feasible for the oracle's scale, while the Spark side runs the
+    * large-star/small-star iteration that holds at 10^9 edges. */
+  private def p13(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.df(spark, dir, "documents"),
+        "doc_id", "text", ShingleN, JaccardNum, JaccardDen))
+
+  private val p13Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""WITH RECURSIVE
+       |sh AS (SELECT doc_id, $sh AS shingles FROM documents),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pr AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT p.ida, p.idb
+       |  FROM pr p
+       |  JOIN sh sa ON sa.doc_id = p.ida
+       |  JOIN sh sb ON sb.doc_id = p.idb
+       |  WHERE p.inter * $JaccardDen >=
+       |    (len(sa.shingles) + len(sb.shingles) - p.inter) * $JaccardNum),
+       |und AS (SELECT ida AS u, idb AS v FROM pairs
+       |        UNION SELECT idb, ida FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+       |  WHERE r.u != e.v)
+       |SELECT n.u AS doc_id, least(n.u, MIN(r.v)) AS cluster_id
+       |FROM (SELECT DISTINCT u FROM und) n
+       |JOIN reach r ON r.u = n.u
+       |GROUP BY n.u""".stripMargin
+  }
+
   // ---- similarity search --------------------------------------------------
 
   private def p06(spark: SparkSession, dir: String): DataFrame = {
@@ -327,6 +366,7 @@ object Pipeline {
     QueryDef("p03_minhash_lsh", p03, Some(p03Sql)),
     QueryDef("p04_simhash", p04, Some(p04Sql)),
     QueryDef("p05_embed_neardup", p05, Some(p05Sql)),
+    QueryDef("p13_dedup_clusters", p13, Some(p13Sql)),
     QueryDef("p06_cosine_topk", p06, Some(p06Sql)),
     QueryDef("p07_lsh_ann", p07, None),
     QueryDef("p08_langid", p08, Some(p08Sql)),
