@@ -67,12 +67,15 @@ object Clusters {
         .distinct()
         .persist()
 
-      // convergence: same canonical edge multiset as last round
-      val diff = small.exceptAll(edges).limit(1).count() +
-        edges.exceptAll(small).limit(1).count()
+      // convergence: canonical edge-set fingerprint (count + order-free
+      // hash sum) unchanged — one cheap aggregate instead of two
+      // exceptAll shuffles per round.
+      def fp(df: DataFrame) =
+        df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      val (before, after) = (fp(edges), fp(small))
       edges.unpersist(blocking = false)
       edges = small
-      converged = diff == 0
+      converged = before == after
       iter += 1
     }
     // after convergence every edge is (root, member)
