@@ -282,6 +282,23 @@ class EngineSpec extends AnyFunSuite {
     assert(reg.names == Seq("identity", "split_comma_array", "trim_str"))
   }
 
+  test("SparkCatalogSource: engine introspects the session's own tables") {
+    import spark.implicits._
+    Seq((1L, "a@x.com"), (2L, "b@y.org")).toDF("id", "email")
+      .createOrReplaceTempView("introspect_me")
+    val snap = graft.catalog.SparkCatalogSource.snapshot(spark)
+    val e = new Engine(spark, snap)
+    val me = e.columns.filter(col("table_name") === "introspect_me").collect()
+    assert(me.length == 2)
+    assert(me.forall(_.getAs[String]("object_type") == "v"))
+    val email = me.find(_.getAs[String]("column_name") == "email").get
+    assert(email.getAs[Boolean]("is_pii"))
+    assert(email.getAs[String]("data_type") == "string")
+    // no constraint metadata in Spark: key concepts degrade to false
+    assert(!email.getAs[Boolean]("is_primary_key"))
+    assert(e.status.count() == 1)
+  }
+
   test("refresh swaps snapshots atomically") {
     val e2 = new Engine(spark, snap)
     val before = e2.smo.count()
