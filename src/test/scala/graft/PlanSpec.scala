@@ -71,6 +71,28 @@ class PlanSpec extends AnyFunSuite {
     assert(fin.contains("*("), "no WholeStageCodegen stage in final plan")
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern to graft_dot") {
+    import spark.implicits._
+    // parquet-backed so ConvertToLocalRelation cannot pre-fold the plan
+    val e = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val hof = e.select(col("vec_id"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), optimized)
+    assert(!optimized.contains("aggregate(zip_with"), optimized)
+    // rewrite is value-preserving vs the native path
+    val native = e.select(col("vec_id"),
+      graft.operators.Similarity.dot(col("v"), col("v")).as("d"))
+    assert(hof.orderBy("vec_id").collect().map(_.getDouble(1))
+      .sameElements(native.orderBy("vec_id").collect().map(_.getDouble(1))))
+    // non-matching shapes are left alone (sum without product)
+    val plain = e.select(
+      aggregate(col("v"), lit(0.0d), (acc, x) => acc + x).as("s"))
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("salted join: same rows as plain join, salt splits the hot key") {
     import spark.implicits._
     // left: hot key 1 (1000 rows), cold keys; right: tiny dim
