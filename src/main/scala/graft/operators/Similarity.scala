@@ -67,6 +67,64 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** IVF-flat ANN: partition the corpus into `nLists` Voronoi cells
+    * around deterministic centroids (evenly id-spaced corpus vectors —
+    * reproducible without RNG; a k-means refinement would slot in
+    * here), then answer queries by probing the `nProbe` nearest cells
+    * and exact-ranking only their members.
+    *
+    * Scale shape: centroids are tiny and broadcast twice (assignment +
+    * probe); the corpus shuffles ONCE on list_id and can be written
+    * bucketed-by-list for reuse across query batches; per-query work is
+    * |corpus| * nProbe / nLists. Recall/latency trade via nProbe.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nLists: Int = 8, nProbe: Int = 3): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .repartition(par(corpus), col("neighbor_id"))
+    // deterministic centroids: every (n/nLists)-th vector by id rank
+    val n = c.count()
+    val step = math.max(1L, n / nLists)
+    val rw = Window.orderBy(col("neighbor_id"))
+    val centroids = c.withColumn("_rn", row_number().over(rw) - 1)
+      .filter(col("_rn") % step === 0 && col("_rn") < step * nLists)
+      .select((col("_rn") / step).cast("int").as("list_id"),
+        col("cv").as("centroid"), col("cv_n").as("centroid_n"))
+    // cell assignment: argmax cosine to centroid (one broadcast join)
+    val byVec = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val assigned = c.join(broadcast(centroids))
+      .select(col("neighbor_id"), col("cv"), col("cv_n"), col("list_id"),
+        (dot(col("cv"), col("centroid")) / (col("cv_n") * col("centroid_n")))
+          .as("c_cos"))
+      .withColumn("_r", row_number().over(byVec))
+      .filter(col("_r") === 1)
+      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
+    // query probes: nProbe nearest centroids per query
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val probes = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("qv_n"), col("list_id"),
+        (dot(col("qv"), col("centroid")) / (col("qv_n") * col("centroid_n")))
+          .as("c_cos"))
+      .withColumn("_r", row_number().over(byQuery))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qv_n"), col("list_id"))
+    // exact re-rank inside probed cells
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes: `planes(p)(i)` is
     * ±1 — sign sketches only need the component signs, so ±1 components
     * (a.k.a. sign-random-projection with Rademacher vectors) preserve the

@@ -338,6 +338,74 @@ object Extended {
       |  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Batch sessionization via window lag + running gap count — the batch
+    * twin of streaming.Streams.sessionize: a session breaks after >30min
+    * inactivity per user; per-session rollup. Exercises lag(), windowed
+    * running sums, and event-time bucketing in one plan. */
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev.select(col("user_id"), col("ts"), dec2(col("value")).as("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800)
+          .cast("int"))
+      .withColumn("session_no", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).cast("double").as("total_value"),
+        min(col("ts")).as("started_at"), max(col("ts")).as("ended_at"))
+      .select(col("user_id"), col("session_no").cast("long").as("session_no"),
+        col("n_events"), col("total_value"), col("started_at"), col("ended_at"))
+  }
+
+  private val q19Sql =
+    """WITH g AS (
+      |  SELECT user_id, ts, CAST(value AS DECIMAL(12,2)) AS value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_no
+      |  FROM g)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(value) AS DOUBLE) AS total_value,
+      |  MIN(ts) AS started_at, MAX(ts) AS ended_at
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
+  /** Multi-level rollup totals (grouping-sets surface): per
+    * (priority, status), per priority, and grand total, with grouping
+    * flags for unambiguous NULLs. */
+  private def q20(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.df(spark, dir, "orders")
+    ord.rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        count(lit(1)).as("n"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("g_prio"), col("g_status"), col("n"), col("total"))
+  }
+
+  private val q20Sql =
+    """SELECT
+      |  COALESCE(o_orderpriority, '(all)') AS priority,
+      |  COALESCE(o_orderstatus, '(all)') AS status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
     QueryDef("q6_minmax_score", q6, Some(q6Sql)),
@@ -352,5 +420,7 @@ object Extended {
     QueryDef("q15_case_coalesce", q15, Some(q15Sql)),
     QueryDef("q16_anti_join", q16, Some(q16Sql)),
     QueryDef("q17_group_ranking", q17, Some(q17Sql)),
-    QueryDef("q18_json_extract", q18, Some(q18Sql)))
+    QueryDef("q18_json_extract", q18, Some(q18Sql)),
+    QueryDef("q19_sessionize", q19, Some(q19Sql)),
+    QueryDef("q20_rollup", q20, Some(q20Sql)))
 }

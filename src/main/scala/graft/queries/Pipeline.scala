@@ -228,6 +228,54 @@ object Pipeline {
       .withColumnRenamed("rank", "rnk")
   }
 
+  /** IVF ANN, oracle-gated: centroid seeding, cell assignment, probe
+    * selection, and re-rank are all deterministic (id-spaced centroids,
+    * bit-exact cosines, id tie-breaks), so even the approximate result
+    * is exactly reproducible in SQL. */
+  private def p14(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+    Similarity.ivfTopK(v.filter(col("vec_id") % 50 === 0), v,
+        "vec_id", "embedding", TopK, nLists = 8, nProbe = 3)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  private val p14Sql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |n AS (SELECT count(*) AS cnt FROM v),
+       |ranked AS (
+       |  SELECT vec_id, embedding,
+       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+       |  FROM v),
+       |cent AS (
+       |  SELECT CAST(rn // s.step AS INT) AS list_id, embedding AS centroid
+       |  FROM ranked, (SELECT greatest(1, cnt // 8) AS step FROM n) s
+       |  WHERE rn % s.step = 0 AND rn < s.step * 8),
+       |assigned AS (
+       |  SELECT list_id, vec_id, embedding FROM (
+       |    SELECT c.list_id, v.vec_id, v.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.embedding", "c.centroid")} DESC, c.list_id) AS r
+       |    FROM v, cent c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qv, list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC, c.list_id) AS r
+       |    FROM v q, cent c WHERE q.vec_id % 50 = 0)
+       |  WHERE r <= 3),
+       |res AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      ${cosSql("p.qv", "a.embedding")} AS cos
+       |    FROM probes p JOIN assigned a USING (list_id)
+       |    WHERE p.query_id != a.vec_id))
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+       |FROM res WHERE rnk <= $TopK""".stripMargin
+
   // ---- text analysis ------------------------------------------------------
 
   private def p08(spark: SparkSession, dir: String): DataFrame = {
@@ -369,6 +417,7 @@ object Pipeline {
     QueryDef("p13_dedup_clusters", p13, Some(p13Sql)),
     QueryDef("p06_cosine_topk", p06, Some(p06Sql)),
     QueryDef("p07_lsh_ann", p07, None),
+    QueryDef("p14_ivf_ann", p14, Some(p14Sql)),
     QueryDef("p08_langid", p08, Some(p08Sql)),
     QueryDef("p09_quality", p09, Some(p09Sql)),
     QueryDef("p10_token_count", p10, Some(p10Sql)),

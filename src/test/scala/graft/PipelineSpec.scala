@@ -60,6 +60,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall $recall")
   }
 
+  test("IVF ANN: recall >= 0.5 of exact top-5 at nProbe=3/8") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(queries, embs, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // full-probe IVF degenerates to exact search
+    val full = Similarity.ivfTopK(queries, embs, "vec_id", "embedding", 5,
+        nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == exact)
+  }
+
   test("brute-force top-k: ranks dense from 1, no self-matches") {
     val rows = Similarity.bruteForceTopK(
       embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding", 5).collect()
