@@ -101,6 +101,9 @@ final class Engine(
   def mdeReferencedTables(name: String): Seq[String] =
     fragments.referencedTables(s"mde_$name")
 
+  /** SQL text of defined MDEs — the persistable form (EngineState). */
+  def mdeSqlDefs: Seq[(String, String)] = mdeDefs.toSeq
+
   def status: DataFrame = Status.status(columns, listTenants, listMdes)
 
   def verifyInstallation: DataFrame = Status.verifyInstallation(listTenants, listMdes)

@@ -129,7 +129,10 @@ object Main {
     require(Files.exists(snapDir.resolve("relations.parquet")),
       s"no catalog snapshot at $snapDir — run init/refresh with --jdbc-url " +
         "or place fixture parquet there")
-    new Engine(spark, CatalogSnapshot.fromDir(spark, snapDir.toString))
+    val e = new Engine(spark, CatalogSnapshot.fromDir(spark, snapDir.toString))
+    // pick up host-app-installed state (SQL concepts, fragments, MDEs)
+    val state = dir.resolve("state")
+    if (Files.exists(state)) graft.EngineState.load(e, state) else e
   }
 
   /** doctor: the reference checks schema existence, role grants and MDE

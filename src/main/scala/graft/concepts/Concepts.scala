@@ -19,17 +19,21 @@ final case class ConceptDef(name: String, predicate: Column)
   * reference's `create or replace function`), and is idempotent
   * (core_test.clj:163-171).
   */
-final class ConceptRegistry private (private val defs: SortedMap[String, Column]) {
+final class ConceptRegistry private (
+    private val defs: SortedMap[String, Column],
+    /** SQL text of SQL-defined concepts — the persistable subset. */
+    val sqlDefs: Map[String, String]) {
 
   def define(name: String, predicate: Column): ConceptRegistry =
-    new ConceptRegistry(defs.updated(name, predicate))
+    new ConceptRegistry(defs.updated(name, predicate), sqlDefs - name)
 
   /** define_concept(name, bool_select_sql): the SQL-text form, parsed with
     * Spark's own expression parser (functions.expr ⇒
     * sessionState.sqlParser.parseExpression). The expression sees the SMO
     * columns directly, e.g. "column_name in ('created_at','updated_at')". */
   def defineSql(name: String, boolSql: String): ConceptRegistry =
-    define(name, expr(boolSql))
+    new ConceptRegistry(defs.updated(name, expr(boolSql)),
+      sqlDefs.updated(name, boolSql))
 
   def names: Seq[String] = defs.keys.toSeq // already sorted
 
@@ -48,7 +52,7 @@ final class ConceptRegistry private (private val defs: SortedMap[String, Column]
 }
 
 object ConceptRegistry {
-  def empty: ConceptRegistry = new ConceptRegistry(SortedMap.empty)
+  def empty: ConceptRegistry = new ConceptRegistry(SortedMap.empty, Map.empty)
 
   /** PG semantics: jsonb_array_elements(NULL) yields no rows, so EXISTS
     * over a NULL packed array is FALSE — Spark's exists() returns NULL

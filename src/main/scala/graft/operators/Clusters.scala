@@ -48,12 +48,13 @@ object Clusters {
         .union(edges.select(col("v").as("n"), col("u").as("x")))
       val mins = nbrs.groupBy("n")
         .agg(least(min(col("x")), first(col("n"))).as("m"))
+      // no distinct here: small-star dedups at round end, and the
+      // duplicate factor is bounded by node degree — one less shuffle.
       val large = nbrs.join(mins, "n")
         .filter(col("x") > col("n"))
         .select(least(col("x"), col("m")).as("u"),
           greatest(col("x"), col("m")).as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
 
       // small-star on the large-star output: for each node n, connect all
       // smaller-or-equal neighbors to the minimum.

@@ -299,6 +299,27 @@ class EngineSpec extends AnyFunSuite {
     assert(e.status.count() == 1)
   }
 
+  test("EngineState round-trips SQL concepts, fragments, MDEs, i18n") {
+    val dir = java.nio.file.Files.createTempDirectory("graftstate")
+    val e1 = new Engine(spark, snap)
+    e1.defineConcept("texty", "data_type = 'text'")
+    e1.fragments.update("list_tenants",
+      """SELECT 't1' AS tenant_id, 't1' AS tenant_short_name,
+        |'T1' AS tenant_display_name, 'de-DE' AS tenant_locale,
+        |CAST(null AS STRING) AS tenant_data""".stripMargin)
+    e1.defineMasterDataEntity("things", "SELECT 1 AS thing_id")
+    e1.updateI18n("""{"de":{"status":"Zustand"}}""")
+    EngineState.save(e1, dir)
+
+    val e2 = EngineState.load(new Engine(spark, snap), dir)
+    assert(e2.listConcepts.contains("texty"))
+    assert(e2.columns.filter(col("is_texty")).count() ==
+      e1.columns.filter(col("is_texty")).count())
+    assert(e2.listTenants.collect()(0).getString(0) == "t1")
+    assert(e2.listMdes.collect().map(_.getString(0)).contains("things"))
+    assert(e2.i18n.contains("Zustand"))
+  }
+
   test("refresh swaps snapshots atomically") {
     val e2 = new Engine(spark, snap)
     val before = e2.smo.count()

@@ -109,6 +109,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("bucketed tables co-locate: fact-fact join plans without exchanges") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      (1 to 1000).map(i => (i.toLong, s"o$i")).toDF("k", "ov")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+        .saveAsTable("bkt_orders")
+      (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "lv")
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+        .saveAsTable("bkt_lines")
+      val joined = spark.table("bkt_orders").join(spark.table("bkt_lines"), "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed join should not shuffle:\n${p.take(600)}")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_orders")
+      spark.sql("DROP TABLE IF EXISTS bkt_lines")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("grants plan: role validation, supabase normalization, quoting") {
     assert(Grants.validRoleName("app_reader"))
     assert(!Grants.validRoleName("x; drop table users--"))
