@@ -7,22 +7,22 @@ import org.apache.spark.sql.functions._
   * turns `Dedup.*Pairs` output into keep/drop decisions (one keeper per
   * duplicate cluster).
   *
-  * Algorithm: alternating large-star / small-star (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
-  * DataFrame self-joins:
+  * Algorithm: distributed min-label propagation. Every node starts
+  * labeled with itself; each round every node takes the minimum label
+  * among itself and its neighbors; converged when no label changes.
+  * Each round is ONE shuffle (neighbor-min aggregation) plus one cheap
+  * change-count action, and rounds equal the cluster diameter — for
+  * dedup graphs (shallow, star-like clusters of mutually-similar docs)
+  * that is 2-4 rounds. For adversarial high-diameter graphs (long
+  * chains) an O(log n)-round star-contraction variant (Kiveris et al.,
+  * SoCC'14) is the fallback; dedup similarity graphs do not produce
+  * those shapes, so the simpler round structure wins on real wall-clock.
   *
-  *   large-star: every node connects its larger neighbors to its current
-  *     minimum neighbor; small-star: every node connects its smaller-or-
-  *     equal neighbors to the minimum. Each round is two shuffles on the
-  *     node id; converged when the edge multiset stops changing (checked
-  *     via a count+min aggregate). Rounds are O(log n) in the worst
-  *     case, 2-4 in practice for dedup graphs (small, star-like
-  *     clusters).
-  *
-  * 100 TB note: this never materializes components on the driver; state
-  * is always an edge DataFrame keyed by node, so 10^9-edge graphs shard
-  * across executors. Each iteration persists and the previous iteration
-  * unpersists — peak footprint is two edge sets.
+  * 100 TB note: state is always (node, label) + the static adjacency
+  * list, both sharded by node id across executors; nothing collects to
+  * the driver. Adjacency persists once; labels persist per round with
+  * the previous round unpersisted — peak footprint is adjacency + two
+  * label sets.
   */
 object Clusters {
 
@@ -31,59 +31,38 @@ object Clusters {
     *   cluster_id is the minimum doc_id of the component (so the
     *   cluster_id row itself is the natural keeper).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // canonical undirected edges u < v
-    var edges = pairs.select(
-        least(col("ida"), col("idb")).as("u"),
-        greatest(col("ida"), col("idb")).as("v"))
-      .filter(col("u") =!= col("v"))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    // adjacency in both directions, deduplicated once
+    val adj = pairs.select(col("ida").as("n"), col("idb").as("x"))
+      .union(pairs.select(col("idb").as("n"), col("ida").as("x")))
+      .filter(col("n") =!= col("x"))
       .distinct()
+      .persist()
+
+    var labels = adj.select(col("n")).distinct()
+      .withColumn("label", col("n"))
       .persist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // large-star: for each node n with neighbors N(n) (both directions),
-      // m = min(N(n) ∪ {n}); emit (x, m) for x in N(n) where x > n.
-      val nbrs = edges.select(col("u").as("n"), col("v").as("x"))
-        .union(edges.select(col("v").as("n"), col("u").as("x")))
-      val mins = nbrs.groupBy("n")
-        .agg(least(min(col("x")), first(col("n"))).as("m"))
-      // no distinct here: small-star dedups at round end, and the
-      // duplicate factor is bounded by node degree — one less shuffle.
-      val large = nbrs.join(mins, "n")
-        .filter(col("x") > col("n"))
-        .select(least(col("x"), col("m")).as("u"),
-          greatest(col("x"), col("m")).as("v"))
-        .filter(col("u") =!= col("v"))
-
-      // small-star on the large-star output: for each node n, connect all
-      // smaller-or-equal neighbors to the minimum.
-      val nbrs2 = large.select(col("v").as("n"), col("u").as("x")) // x <= n
-      val mins2 = nbrs2.groupBy("n").agg(min(col("x")).as("m"))
-      val small = nbrs2.join(mins2, "n")
-        .select(least(col("x"), col("m")).as("u"),
-          greatest(col("x"), col("m")).as("v"))
-        .filter(col("u") =!= col("v"))
-        .union(mins2.select(col("m").as("u"), col("n").as("v")))
-        .distinct()
+      // each node pulls its neighbors' labels and keeps the minimum
+      val nbrMin = adj
+        .join(labels.select(col("n").as("x"), col("label").as("xlabel")), "x")
+        .groupBy(col("n")).agg(min(col("xlabel")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
         .persist()
-
-      // convergence: canonical edge-set fingerprint (count + order-free
-      // hash sum) unchanged — one cheap aggregate instead of two
-      // exceptAll shuffles per round.
-      def fp(df: DataFrame) =
-        df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).collect()(0)
-      val (before, after) = (fp(edges), fp(small))
-      edges.unpersist(blocking = false)
-      edges = small
-      converged = before == after
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "n")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
       iter += 1
     }
-    // after convergence every edge is (root, member)
-    val members = edges.select(col("v").as("doc_id"), col("u").as("cluster_id"))
-    val roots = edges.select(col("u")).distinct()
-      .select(col("u").as("doc_id"), col("u").as("cluster_id"))
-    members.unionByName(roots).distinct()
+    adj.unpersist(blocking = false)
+    labels.select(col("n").as("doc_id"), col("label").as("cluster_id"))
   }
 
   /** keep/drop plan: one row per clustered doc with its keeper; docs in
