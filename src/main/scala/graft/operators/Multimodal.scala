@@ -79,6 +79,25 @@ object Multimodal {
     balanced.mapPartitions { it => it.map(StubCodec.decode) }.toDF()
   }
 
+  /** Frame sampling: expand each video row into `n` evenly-spaced frame
+    * rows — the one-to-many media expansion (video → frames, audio →
+    * windows) done lazily with a generator, so a 2-hour video never
+    * materializes as one row downstream. The frame "decode" slices the
+    * payload deterministically (STUB — a real codec seeks+decodes);
+    * the output shape (media_id, frame_idx, frame_payload, offset) is
+    * the contract. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    media.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), lit(n - 1))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        (col("frame_idx") * (length(col("payload")) / n)).cast("int").as("offset"),
+        expr(s"substring(payload, cast(frame_idx * (length(payload) / $n) as int) + 1, " +
+          s"greatest(cast(length(payload) / $n as int), 1))").as("frame_payload"))
+  }
+
   /** End-to-end: docs → fake media → features → per-kind rollup. */
   def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(fakeMediaFromDocs(docs))

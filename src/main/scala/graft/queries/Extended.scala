@@ -406,6 +406,43 @@ object Extended {
       |FROM orders
       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin
 
+  /** Ordered-funnel analysis: per user, the earliest time of each step
+    * event; a user converts at step k if the steps' first occurrences
+    * are time-ordered. Single pass: conditional min aggregation, then
+    * ordering predicates — no joins, no explode. */
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+    val steps = ev.groupBy(col("user_id"))
+      .agg(firstTs("view").as("t_view"), firstTs("click").as("t_click"),
+        firstTs("purchase").as("t_purchase"))
+    val s1 = col("t_view").isNotNull
+    val s2 = s1 && col("t_click").isNotNull && col("t_click") >= col("t_view")
+    val s3 = s2 && col("t_purchase").isNotNull && col("t_purchase") >= col("t_click")
+    steps.agg(
+      count(when(s1, 1)).as("n_view"),
+      count(when(s2, 1)).as("n_view_click"),
+      count(when(s3, 1)).as("n_full_funnel"),
+      count(lit(1)).as("n_users"))
+  }
+
+  private val q21Sql =
+    """WITH steps AS (
+      |  SELECT user_id,
+      |    MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+      |    MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+      |    MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT
+      |  COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+      |  COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+      |    AND t_click >= t_view) AS n_view_click,
+      |  COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click IS NOT NULL
+      |    AND t_click >= t_view AND t_purchase IS NOT NULL
+      |    AND t_purchase >= t_click) AS n_full_funnel,
+      |  COUNT(*) AS n_users
+      |FROM steps""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
     QueryDef("q6_minmax_score", q6, Some(q6Sql)),
@@ -422,5 +459,6 @@ object Extended {
     QueryDef("q17_group_ranking", q17, Some(q17Sql)),
     QueryDef("q18_json_extract", q18, Some(q18Sql)),
     QueryDef("q19_sessionize", q19, Some(q19Sql)),
-    QueryDef("q20_rollup", q20, Some(q20Sql)))
+    QueryDef("q20_rollup", q20, Some(q20Sql)),
+    QueryDef("q21_funnel", q21, Some(q21Sql)))
 }

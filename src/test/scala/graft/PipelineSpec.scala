@@ -99,6 +99,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(kinds.map(_.getAs[Long]("n_items")).sum == docs.count())
   }
 
+  test("frame sampling: n frames per video, offsets evenly spaced, payload sliced") {
+    val media = Multimodal.fakeMediaFromDocs(docs)
+    val frames = Multimodal.sampleFrames(media, 4)
+    val nVideos = media.toDF().filter(col("kind") === "video").count()
+    assert(frames.count() == nVideos * 4)
+    val one = frames.filter(col("media_id") === 2).orderBy("frame_idx").collect()
+    assert(one.map(_.getAs[Int]("frame_idx")).sameElements(Array(0, 1, 2, 3)))
+    val offs = one.map(_.getAs[Int]("offset"))
+    assert(offs.sameElements(offs.sorted) && offs.head == 0)
+    assert(one.forall(_.getAs[Array[Byte]]("frame_payload").nonEmpty))
+  }
+
   test("embedding near-dup: symmetric threshold, ida < idb") {
     val pairs = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.45)
       .collect()
