@@ -28,6 +28,42 @@ object Import {
     schemaDdl.fold(r.option("inferSchema", "true"))(d => r.schema(d)).csv(path)
   }
 
+  /** Postgres→staging load over Spark JDBC, partitioned for parallel
+    * pull: with a numeric split column the read fans out across
+    * `numPartitions` range-predicated connections (the scale path for
+    * the reference's POSTGRES source); without one it is a single
+    * cursor. */
+  def stageJdbc(spark: SparkSession, url: String, table: String,
+      props: Map[String, String] = Map.empty,
+      splitBy: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = props.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    ) { case (r, (k, v)) => r.option(k, v) }
+    splitBy.fold(base) { case (col0, lo, hi, n) =>
+      base.option("partitionColumn", col0)
+        .option("lowerBound", lo.toString).option("upperBound", hi.toString)
+        .option("numPartitions", n.toString)
+    }.load()
+  }
+
+  /** Declared-but-connector-dependent sources (reference
+    * data_migration_sources: GOOGLE_SPREADSHEET, XLSX, SALESFORCE).
+    * This container has no connector jars (zero egress), so these fail
+    * loudly with the dependency they need; the import flow itself is
+    * source-agnostic — any `() => DataFrame` plugs into runImport. */
+  def stageXlsx(spark: SparkSession, path: String): DataFrame =
+    throw new UnsupportedOperationException(
+      "XLSX staging requires a spreadsheet connector (e.g. spark-excel); " +
+        "pass its DataFrame to runImport(load = ...)")
+  def stageGoogleSheet(spark: SparkSession, sheetId: String): DataFrame =
+    throw new UnsupportedOperationException(
+      "Google Sheets staging requires an API connector; " +
+        "pass its DataFrame to runImport(load = ...)")
+  def stageSalesforce(spark: SparkSession, soql: String): DataFrame =
+    throw new UnsupportedOperationException(
+      "Salesforce staging requires an API connector; " +
+        "pass its DataFrame to runImport(load = ...)")
+
   /** One declarative validation rule over the staging frame. */
   final case class Rule(name: String, column: String, violation: Column)
 
