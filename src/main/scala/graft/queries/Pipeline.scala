@@ -387,6 +387,84 @@ object Pipeline {
        |FROM documents""".stripMargin
   }
 
+  /** End-to-end corpus curation — the composed training-data pipeline:
+    * quality-score every doc, drop low quality, cluster near-dups among
+    * survivors, keep one doc per cluster (min id) plus all unclustered
+    * docs, then report the surviving corpus per source. Exercises the
+    * full operator chain in one plan-DAG. */
+  private def p15(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val toks = TextFns.tokens(TextFns.normText(col("text")))
+    val en = TextFns.LangProfiles.head._2
+    val scored = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("n_chars_raw"), toks.as("toks"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_chars"))
+      .select(col("doc_id"), col("source"), col("text"),
+        size(col("toks")).as("n_tokens"),
+        (lit(0.5) * least(lit(1.0), size(col("toks")).cast("double") / 100.0)
+          + lit(0.3) * (TextFns.stopwordHits(col("toks"), en).cast("double")
+            / size(col("toks")))
+          + lit(0.2) * (lit(1.0) - col("punct_chars").cast("double")
+            / col("n_chars_raw"))).as("quality"))
+    val good = scored.filter(col("quality") >= 0.2).persist()
+    val pairs = Dedup.ngramJaccardPairs(
+      good.select(col("doc_id"), col("text")), "doc_id", "text",
+      ShingleN, JaccardNum, JaccardDen)
+    val clusters = graft.operators.Clusters.connectedComponents(pairs)
+    good.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"))
+  }
+
+  private val p15Sql = {
+    val toksS = toksSql(normSql("text"))
+    val en = TextFns.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""WITH RECURSIVE
+       |scored AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(len($toksS) AS INT) AS n_tokens,
+       |    0.5 * least(1.0, CAST(len($toksS) AS DOUBLE) / 100.0)
+       |    + 0.3 * (CAST(len(list_filter($toksS, tk -> list_contains($en, tk))) AS DOUBLE)
+       |        / len($toksS))
+       |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |        / length(text)) AS quality
+       |  FROM documents),
+       |good AS (SELECT * FROM scored WHERE quality >= 0.2),
+       |gsh AS (SELECT doc_id, $sh AS shingles FROM good),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM gsh),
+       |pr AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT p.ida, p.idb FROM pr p
+       |  JOIN gsh sa ON sa.doc_id = p.ida
+       |  JOIN gsh sb ON sb.doc_id = p.idb
+       |  WHERE p.inter * $JaccardDen >=
+       |    (len(sa.shingles) + len(sb.shingles) - p.inter) * $JaccardNum),
+       |und AS (SELECT ida AS u, idb AS v FROM pairs
+       |        UNION SELECT idb, ida FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+       |  WHERE r.u != e.v),
+       |cc AS (
+       |  SELECT n.u AS doc_id, least(n.u, MIN(r.v)) AS cluster_id
+       |  FROM (SELECT DISTINCT u FROM und) n
+       |  JOIN reach r ON r.u = n.u
+       |  GROUP BY n.u)
+       |SELECT g.source, COUNT(*) AS n_docs,
+       |  CAST(SUM(g.n_tokens) AS BIGINT) AS total_tokens
+       |FROM good g LEFT JOIN cc ON cc.doc_id = g.doc_id
+       |WHERE cc.cluster_id IS NULL OR cc.cluster_id = g.doc_id
+       |GROUP BY g.source""".stripMargin
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
@@ -422,5 +500,6 @@ object Pipeline {
     QueryDef("p09_quality", p09, Some(p09Sql)),
     QueryDef("p10_token_count", p10, Some(p10Sql)),
     QueryDef("p11_fingerprint", p11, Some(p11Sql)),
-    QueryDef("p12_multimodal", p12, Some(p12Sql)))
+    QueryDef("p12_multimodal", p12, Some(p12Sql)),
+    QueryDef("p15_curation", p15, Some(p15Sql)))
 }
