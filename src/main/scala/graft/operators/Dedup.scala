@@ -20,6 +20,10 @@ import org.apache.spark.sql.functions._
   * reproducible by the DuckDB oracle — no JVM-seed drift between runs or
   * engines.
   *
+  * Operators persist() shared intermediates (self-join inputs); a
+  * long-lived session running many pipelines should
+  * `spark.catalog.clearCache()` between them (Bench/Verify do).
+  *
   * Scale notes (100 TB, 1000 executors):
   *   - every operator is a pure shuffle-on-key plan: exact dedup shuffles
   *     on the 128-bit text hash, LSH shuffles on (band, key) — both

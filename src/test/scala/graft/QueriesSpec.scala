@@ -20,6 +20,15 @@ class QueriesSpec extends AnyFunSuite {
   test("every query has distinct name and runs at sf0.001") {
     val names = SparkEntry.queries.keys.toSeq
     assert(names.distinct.size == names.size)
+    // execute each one: catches runtime breakage (analysis errors,
+    // overflow, bad casts) at sbt-test speed, independent of the
+    // DuckDB oracle gate
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sf).count(); spark.catalog.clearCache(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   test("every oracle key exists in queries") {
