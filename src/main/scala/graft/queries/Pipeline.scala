@@ -465,6 +465,128 @@ object Pipeline {
        |GROUP BY g.source""".stripMargin
   }
 
+  /** Gopher-style lexical quality rules (Rae et al. 2021, §A1.1 —
+    * published filter heuristics): word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, fraction of words with an alphabetic
+    * character, minimum stopword hits. Per-doc booleans + overall pass,
+    * aggregated per source. All integer/length arithmetic. */
+  private def p16(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val toks = TextFns.tokens(col("text"))
+    val en = TextFns.LangProfiles.head._2
+    val d = docs.select(col("doc_id"), col("source"), toks.as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).as("n_words"),
+        (aggregate(transform(col("toks"), t => length(t)),
+          lit(0), (acc, x) => acc + x).cast("double")
+          / size(col("toks"))).as("mean_word_len"),
+        (size(filter(col("toks"), t => t.rlike("[#…]")))
+          .cast("double") / size(col("toks"))).as("symbol_ratio"),
+        (size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
+          .cast("double") / size(col("toks"))).as("alpha_frac"),
+        TextFns.stopwordHits(transform(col("toks"), t => lower(t)), en)
+          .as("stop_hits"))
+    val pass = col("n_words") >= 5 && col("n_words") <= 100000 &&
+      col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0 &&
+      col("symbol_ratio") <= 0.1 && col("alpha_frac") >= 0.8 &&
+      col("stop_hits") >= 1
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_words") >= 5 && col("n_words") <= 100000, 1))
+          .as("ok_words"),
+        count(when(col("mean_word_len") >= 2.0 && col("mean_word_len") <= 10.0, 1))
+          .as("ok_word_len"),
+        count(when(col("alpha_frac") >= 0.8, 1)).as("ok_alpha"),
+        count(when(col("stop_hits") >= 1, 1)).as("ok_stop"),
+        count(when(pass, 1)).as("n_pass"))
+  }
+
+  private val p16Sql = {
+    val toksS = toksSql("text")
+    val en = TextFns.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($toksS) AS INT) AS n_words,
+       |    CAST(list_sum(list_transform($toksS, t -> length(t))) AS DOUBLE)
+       |      / len($toksS) AS mean_word_len,
+       |    CAST(len(list_filter($toksS, t -> regexp_matches(t, '[#…]'))) AS DOUBLE)
+       |      / len($toksS) AS symbol_ratio,
+       |    CAST(len(list_filter($toksS, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+       |      / len($toksS) AS alpha_frac,
+       |    CAST(len(list_filter(list_transform($toksS, t -> lower(t)),
+       |      tk -> list_contains($en, tk))) AS INT) AS stop_hits
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE n_words BETWEEN 5 AND 100000) AS ok_words,
+       |  COUNT(*) FILTER (WHERE mean_word_len BETWEEN 2.0 AND 10.0) AS ok_word_len,
+       |  COUNT(*) FILTER (WHERE alpha_frac >= 0.8) AS ok_alpha,
+       |  COUNT(*) FILTER (WHERE stop_hits >= 1) AS ok_stop,
+       |  COUNT(*) FILTER (WHERE n_words BETWEEN 5 AND 100000
+       |    AND mean_word_len BETWEEN 2.0 AND 10.0 AND symbol_ratio <= 0.1
+       |    AND alpha_frac >= 0.8 AND stop_hits >= 1) AS n_pass
+       |FROM d GROUP BY source""".stripMargin
+  }
+
+  /** Repetition scoring (the other Gopher family): fraction of all
+    * word-bigram occurrences taken by the single most frequent bigram —
+    * high values flag template/boilerplate docs. Inverted-index shape
+    * (explode + count + max), shuffles on (doc, bigram). */
+  private def p17(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val toks = TextFns.tokens(TextFns.normText(col("text")))
+    val bigrams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2))).as("bigrams"))
+      .select(col("doc_id"), explode(col("bigrams")).as("bg"))
+    bigrams.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bigram_cnt"),
+        sum(col("cnt")).cast("long").as("n_bigrams"))
+      .select(col("doc_id"), col("top_bigram_cnt"), col("n_bigrams"),
+        (col("top_bigram_cnt").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+  }
+
+  private val p17Sql = {
+    val toksS = toksSql(normSql("text"))
+    s"""WITH t AS (SELECT doc_id, $toksS AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(0, greatest(len(toks)-2, 0)),
+       |      i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bg
+       |  FROM t),
+       |cnts AS (
+       |  SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+       |SELECT doc_id, MAX(cnt) AS top_bigram_cnt,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+       |  CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac
+       |FROM cnts GROUP BY doc_id""".stripMargin
+  }
+
+  /** Deterministic stratified sampling: keep a doc iff
+    * md5-hash32(doc_id) mod 100 < pct — reproducible across runs,
+    * engines, and cluster sizes (no rand(), no per-partition state),
+    * the property a training-data pipeline needs for resumable /
+    * auditable corpus subsets. Reported per source stratum. */
+  private def p18(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val keep = TextFns.hash32(col("doc_id").cast("string")) % 100 < 20
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(keep, 1)).as("n_sampled"))
+  }
+
+  private val p18Sql =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(*) FILTER (WHERE
+       |    ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 20) AS n_sampled
+       |FROM documents GROUP BY source""".stripMargin
+
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
@@ -501,5 +623,8 @@ object Pipeline {
     QueryDef("p10_token_count", p10, Some(p10Sql)),
     QueryDef("p11_fingerprint", p11, Some(p11Sql)),
     QueryDef("p12_multimodal", p12, Some(p12Sql)),
-    QueryDef("p15_curation", p15, Some(p15Sql)))
+    QueryDef("p15_curation", p15, Some(p15Sql)),
+    QueryDef("p16_gopher_rules", p16, Some(p16Sql)),
+    QueryDef("p17_repetition", p17, Some(p17Sql)),
+    QueryDef("p18_stratified_sample", p18, Some(p18Sql)))
 }
