@@ -39,8 +39,10 @@ object Clusters {
       .distinct()
       .persist()
 
-    var labels = adj.select(col("n")).distinct()
-      .withColumn("label", col("n"))
+    // seed labels with min(self, direct neighbors) — one propagation
+    // round folded into initialization for free
+    var labels = adj.groupBy(col("n"))
+      .agg(least(min(col("x")), first(col("n"))).as("label"))
       .persist()
     var converged = false
     var iter = 0

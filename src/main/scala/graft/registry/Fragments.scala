@@ -24,20 +24,25 @@ final case class FragmentDef(
     reserved: Boolean = false)
 
 final class FragmentRegistry(spark: SparkSession) {
+  // synchronized: the engine facade is shared; registration races with
+  // reads otherwise (the reference gets this for free from Postgres DDL
+  // transactionality)
   private val defs = scala.collection.mutable.LinkedHashMap[String, FragmentDef]()
 
-  def register(d: FragmentDef): Unit = defs(d.name) = d
+  def register(d: FragmentDef): Unit = synchronized { defs(d.name) = d }
 
-  def list: Seq[String] = defs.keys.toSeq.sorted
+  def list: Seq[String] = synchronized { defs.keys.toSeq.sorted }
 
   /** update_function_definition() 0-arity: the redefinable set — non
     * volatile, non reserved (sql/V000003…sql:5-26). */
   def listRedefinable: Seq[String] =
-    defs.values.filter(d => !d.reserved && d.volatility != Volatility.Volatile)
-      .map(_.name).toSeq.sorted
+    synchronized {
+      defs.values.filter(d => !d.reserved && d.volatility != Volatility.Volatile)
+        .map(_.name).toSeq.sorted
+    }
 
   /** update_function_definition(name) 1-arity: current definition text. */
-  def definition(name: String): Option[String] = defs.get(name).map(_.sql)
+  def definition(name: String): Option[String] = synchronized { defs.get(name).map(_.sql) }
 
   /** update_function_definition(name, body): replace the SQL while
     * preserving the declared signature. Mirrors the reference's guards:
@@ -46,8 +51,8 @@ final class FragmentRegistry(spark: SparkSession) {
     * own parser; side-effecting statements fail the parsePlan-is-a-query
     * check. */
   def update(name: String, newSql: String): Unit = {
-    val d = defs.getOrElse(name,
-      throw new IllegalArgumentException(s"unknown fragment: $name"))
+    val d = synchronized { defs.getOrElse(name,
+      throw new IllegalArgumentException(s"unknown fragment: $name")) }
     if (d.volatility == Volatility.Volatile)
       throw new IllegalStateException(s"fragment $name is volatile. update not allowed.")
     val plan = spark.sessionState.sqlParser.parsePlan(newSql)
@@ -58,18 +63,18 @@ final class FragmentRegistry(spark: SparkSession) {
     require(actual.fields.map(f => (f.name, f.dataType)).sameElements(
       want.fields.map(f => (f.name, f.dataType))),
       s"fragment $name signature mismatch: got ${actual.simpleString}, want ${want.simpleString}")
-    defs(name) = d.copy(sql = newSql)
+    synchronized { defs(name) = d.copy(sql = newSql) }
   }
 
   /** Evaluate a fragment. Callers treat the result as a table function. */
-  def df(name: String): DataFrame = spark.sql(defs(name).sql)
+  def df(name: String): DataFrame = spark.sql(synchronized { defs(name).sql })
 
   /** Tables a fragment's SQL references (the reference cloud service
     * "analyzes your SELECT"; rust/src/doctor.rs:252-264 documents MDEs
     * written with deliberately-false join conditions just to declare
     * related tables — plan analysis picks those up too). */
   def referencedTables(name: String): Seq[String] = {
-    val plan = spark.sessionState.sqlParser.parsePlan(defs(name).sql)
+    val plan = spark.sessionState.sqlParser.parsePlan(synchronized { defs(name).sql })
     plan.collect { case r: UnresolvedRelation => r.multipartIdentifier.mkString(".") }
       .distinct.sorted
   }
