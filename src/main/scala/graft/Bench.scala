@@ -7,14 +7,27 @@ object Bench {
     val spark = Sessions.local(cpus)
     // JIT/classloader warmup at the smallest SF: first-query timings
     // otherwise absorb janino compilation and parquet-reader class
-    // loading rather than query cost.
-    try SparkEntry.queries.values.foreach { f =>
-      f(spark, "/root/testdata/sf0.001").count()
-      spark.catalog.clearCache() // operators persist intermediates
-    } catch { case _: Throwable => () }
+    // loading rather than query cost. Warmup failures are non-fatal
+    // (the timed run surfaces them) but still logged.
+    SparkEntry.queries.foreach { case (name, f) =>
+      try {
+        f(spark, "/root/testdata/sf0.001").count()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"warmup failed for $name: $e")
+      } finally spark.catalog.clearCache() // operators persist intermediates
+    }
+    // A failed query is a FAILURE, not a slow query: record it as such,
+    // report every failure on stderr, and exit nonzero.
+    val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAILURE in $name:")
+          e.printStackTrace()
+      }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // isolate queries: no cross-query caches
       name -> t
@@ -22,7 +35,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -86,7 +86,9 @@ object JdbcCatalogSource {
       |       i.indimmediate as immediate,
       |       regexp_replace(pg_get_indexdef(i.indexrelid),
       |                      '(^.*USING )', '') as definition,
-      |       i.indkey::int[] as index_keys
+      |       -- indkey is int2vector, which has NO registered cast to
+      |       -- int[]; its text form is space-separated, so go via text
+      |       string_to_array(i.indkey::text, ' ')::int[] as index_keys
       |from pg_catalog.pg_index i
       |join pg_catalog.pg_class tc on tc.oid = i.indrelid
       |join pg_catalog.pg_class ic on ic.oid = i.indexrelid

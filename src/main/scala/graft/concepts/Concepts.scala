@@ -81,7 +81,7 @@ object ConceptRegistry {
     "alembic_version_table", "knex_migrations", "knex_migrations_lock",
     "phinxlog", "typeorm_metadata", "goose_db_version")
 
-  /** The 16 built-in concepts of V000010 + V000012.
+  /** The 15 built-in concepts of V000010 + V000012.
     *
     * @param indexedSpaceQuirk the reference's is_indexed tests type IN
     *   ('p',' u','x') / ('i',' u','x') with a literal leading space before

@@ -16,8 +16,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the embedding similarity operators (Similarity, Dedup.embedding*)
   * fully codegen'd — the difference is ~4× on the brute-force pair scan.
   *
-  * Summation is sequential by index, identical to the HOF fold and to
-  * the DuckDB oracle's list_reduce — results stay bit-exact.
+  * Null semantics MATCH the HOF fold exactly (so the
+  * [[DotProductRewrite]] optimizer rule is semantics-preserving on every
+  * input, not just the clean ones): NULL if either array is NULL, if the
+  * lengths differ (zip_with null-pads the shorter side, poisoning the
+  * sum), or if any element is NULL. Otherwise the summation is
+  * sequential by index, identical to the HOF fold and to the DuckDB
+  * oracle's list_reduce — results stay bit-exact. The per-element null
+  * probes are emitted only when the input types admit null elements.
   *
   * Registered as SQL function `graft_dot` by [[graft.GraftExtensions]].
   */
@@ -37,7 +43,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null also on length mismatch / null elements, independent of child
+  // nullability
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -46,10 +63,16 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsMayBeNull
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -58,13 +81,24 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullProbe =
+        if (elementsMayBeNull)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullProbe
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 }

@@ -14,10 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   * naturally writes with `org.apache.spark.sql.functions`; interpreted
   * lambda evaluation makes it ~4× slower than the generated loop, and
   * the fold order is identical (left-to-right, 0.0 init), so the
-  * rewrite is semantics- and bit-preserving (x*y == y*x and
+  * rewrite is bit-preserving on clean inputs (x*y == y*x and
   * 0.0 + x1 == x1 in IEEE, so either lambda-argument order qualifies
-  * only when the multiply references both zip sides — enforced below).
-  * Injected by [[graft.GraftExtensions]] via injectOptimizerRule.
+  * only when the multiply references both zip sides — enforced below)
+  * AND on degenerate ones: [[DotProduct]] implements the HOF's null
+  * semantics exactly (NULL on length mismatch — zip_with null-pads —
+  * and on null elements), so the rule is safe to inject globally via
+  * spark.sql.extensions even for user queries over ragged or
+  * null-bearing arrays. Injected by [[graft.GraftExtensions]] via
+  * injectOptimizerRule.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 

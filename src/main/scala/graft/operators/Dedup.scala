@@ -64,11 +64,18 @@ object Dedup {
     * ratio — the threshold check `den*inter ≥ num*union` stays in exact
     * integer arithmetic, so Spark and the oracle agree bit-for-bit).
     *
-    * @param maxDocFreq shingles occurring in more docs are dropped from
-    *   the inverted index (both sides of every surviving pair keep them
-    *   in their arrays, so |union| stays exact; only candidate
-    *   *generation* ignores them — a pair sharing ONLY ultra-common
-    *   shingles is not considered a near-dup candidate).
+    * @param maxDocFreq the df-cap (stopword-shingle skew guard): when
+    *   set, shingles occurring in more than `cap` docs are dropped from
+    *   the inverted index, so candidate generation costs
+    *   Σ_{df(s)≤cap} df(s)² ≤ cap · |index| — LINEAR in corpus size —
+    *   instead of Σ df(s)² which is quadratic in the document frequency
+    *   of boilerplate shingles. Surviving candidates are then verified
+    *   with the exact intersection over the FULL shingle arrays, so a
+    *   reported pair's (inter, union_sz) are the true values; the only
+    *   semantic difference from the uncapped path is that a pair
+    *   sharing ONLY ultra-common shingles is never considered a
+    *   candidate (for 5-word shingles at 0.7 Jaccard such pairs share
+    *   many doc-specific shingles, so the cap loses nothing real).
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -77,23 +84,40 @@ object Dedup {
     // persisted: both sides of the pair self-join and the two size
     // lookups read it — without this the whole shingle pipeline runs 4×.
     val sh = shingleDocs(docs, idCol, textCol, n).persist()
-    val inv0 = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val inv = maxDocFreq.fold(inv0) { cap =>
-      val rare = inv0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cap).select(col("s"))
-      inv0.join(rare, Seq("s"))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    maxDocFreq match {
+      case None =>
+        // exact path: co-occurrence counts from the full index ARE |A∩B|
+        val pairs = inv.as("a")
+          .join(inv.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sh.select(col("doc_id").as("ida"), size(col("shingles")).as("na")), "ida")
+          .join(sh.select(col("doc_id").as("idb"), size(col("shingles")).as("nb")), "idb")
+          .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+          .filter(col("inter") * den >= col("union_sz") * num)
+          .select(col("ida"), col("idb"), col("inter"), col("union_sz"))
+      case Some(cap) =>
+        // df-capped path: candidates from the rare-shingle index only,
+        // then exact verification against the full arrays
+        val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select(col("s"))
+        val invf = inv.join(rare, Seq("s"))
+        val cand = invf.as("a")
+          .join(invf.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          .distinct()
+        cand
+          .join(sh.select(col("doc_id").as("ida"), col("shingles").as("sha")), "ida")
+          .join(sh.select(col("doc_id").as("idb"), col("shingles").as("shb")), "idb")
+          .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+          .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("inter"))
+          .filter(col("inter") * den >= col("union_sz") * num)
+          .select(col("ida"), col("idb"), col("inter"), col("union_sz"))
     }
-    val pairs = inv.as("a")
-      .join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sh.select(col("doc_id").as("ida"), size(col("shingles")).as("na")), "ida")
-      .join(sh.select(col("doc_id").as("idb"), size(col("shingles")).as("nb")), "idb")
-      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
-      .filter(col("inter") * den >= col("union_sz") * num)
-      .select(col("ida"), col("idb"), col("inter"), col("union_sz"))
   }
 
   /** MinHash signatures: (doc_id, shingles, sig[k]). The md5 shingle

@@ -67,31 +67,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** IVF-flat ANN: partition the corpus into `nLists` Voronoi cells
-    * around deterministic centroids (evenly id-spaced corpus vectors —
-    * reproducible without RNG; a k-means refinement would slot in
-    * here), then answer queries by probing the `nProbe` nearest cells
-    * and exact-ranking only their members.
+  /** Deterministic hash-stride centroids: the corpus vectors whose
+    * md5-derived 32-bit id-hash ≡ 0 (mod `cellMod`). Expected
+    * n/cellMod centroids, so the cell count GROWS with the corpus
+    * (re-tune cellMod toward √n at a given scale) — and the pick is a
+    * pure narrow filter: no `count()` action, no global window, nothing
+    * driver-side, and exactly reproducible in oracle SQL. The cell id
+    * is the centroid's own vector id. */
+  private[graft] def hashStrideCentroids(c: DataFrame, idName: String,
+      vec: String, cellMod: Int): DataFrame =
+    c.filter(graft.functions.TextFns.hash32(col(idName).cast("string"))
+        % cellMod === 0)
+      .select(col(idName).as("list_id"), col(vec).as("centroid"),
+        col(s"${vec}_n").as("centroid_n"))
+
+  /** IVF-flat ANN: partition the corpus into Voronoi cells around
+    * deterministic hash-stride centroids (~n/cellMod of them; a k-means
+    * refinement would slot in here), then answer queries by probing the
+    * `nProbe` nearest cells and exact-ranking only their members.
     *
     * Scale shape: centroids are tiny and broadcast twice (assignment +
     * probe); the corpus shuffles ONCE on list_id and can be written
     * bucketed-by-list for reuse across query batches; per-query work is
-    * |corpus| * nProbe / nLists. Recall/latency trade via nProbe.
+    * ~|corpus| * nProbe * cellMod / n. Recall/latency trade via nProbe.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nLists: Int = 8, nProbe: Int = 3): DataFrame = {
+      cellMod: Int = 64, nProbe: Int = 3): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
       .repartition(par(corpus), col("neighbor_id"))
-    // deterministic centroids: every (n/nLists)-th vector by id rank
-    val n = c.count()
-    val step = math.max(1L, n / nLists)
-    val rw = Window.orderBy(col("neighbor_id"))
-    val centroids = c.withColumn("_rn", row_number().over(rw) - 1)
-      .filter(col("_rn") % step === 0 && col("_rn") < step * nLists)
-      .select((col("_rn") / step).cast("int").as("list_id"),
-        col("cv").as("centroid"), col("cv_n").as("centroid_n"))
+    val centroids = hashStrideCentroids(c, "neighbor_id", "cv", cellMod)
     // cell assignment: argmax cosine to centroid (one broadcast join)
     val byVec = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("c_cos").desc, col("list_id"))
@@ -125,11 +131,49 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Bucketed embedding near-dup: candidate pairs share one of their
+    * `assignProbe` nearest IVF cells (multi-assignment — the
+    * SemDeDup-style trick that keeps boundary-straddling near-dups in a
+    * common cell), then EXACT cosine verification inside candidates
+    * only. With hash-stride centroids every cell holds ~assignProbe ×
+    * cellMod vectors regardless of corpus size, so candidate count
+    * grows LINEARLY in n (≈ n · assignProbe² · cellMod / 2) versus the
+    * brute-force n²/2 — and nothing broadcasts the corpus; the only
+    * broadcast is the tiny centroid set. `embeddingNearDupPairs`
+    * (Dedup) remains the exact baseline that specs measure recall
+    * against. */
+  def ivfNearDupPairs(
+      embs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, cellMod: Int = 64, assignProbe: Int = 3): DataFrame = {
+    val v = withNorm(embs, idCol, vecCol, "vec_id", "v")
+      .repartition(par(embs), col("vec_id"))
+    val centroids = hashStrideCentroids(v, "vec_id", "v", cellMod)
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val assigned = v.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("v_n"), col("list_id"),
+        (dot(col("v"), col("centroid")) / (col("v_n") * col("centroid_n")))
+          .as("c_cos"))
+      .withColumn("_r", row_number().over(byVec))
+      .filter(col("_r") <= assignProbe)
+      .select(col("list_id"), col("vec_id"), col("v"), col("v_n"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.list_id") === col("b.list_id")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        col("a.v").as("va"), col("a.v_n").as("na"),
+        col("b.v").as("vb"), col("b.v_n").as("nb"))
+      .dropDuplicates("ida", "idb")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) > threshold)
+      .select(col("ida"), col("idb"))
+  }
+
   /** Deterministic pseudo-random unit-free hyperplanes: `planes(p)(i)` is
     * ±1 — sign sketches only need the component signs, so ±1 components
     * (a.k.a. sign-random-projection with Rademacher vectors) preserve the
     * cosine-LSH collision property. */
-  private[operators] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     var state = 0x9E3779B97F4A7C15L
     def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
     Seq.fill(nPlanes)(Seq.fill(dim)(if ((next() >>> 40) % 2 == 0) 1.0 else -1.0))

@@ -18,16 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Extended {
 
-  /** J5/J6: equi + array-membership theta join — the reference joins
-    * columns to constraints on (schema, table) AND attnum = any(conkey)
-    * (sql/V000009…sql:130). Catalyst plans the array_contains as a
-    * residual on a broadcast/hash join rather than a cartesian blowup. */
+  /** J5/J6: array-membership join — the reference joins columns to
+    * constraints on (schema, table) AND attnum = any(conkey)
+    * (sql/V000009…sql:130). An `array_contains` join condition alone
+    * has no equi key and would plan as BroadcastNestedLoopJoin
+    * (|orders| × |suppliers| comparisons); exploding the packed array
+    * back to rows turns membership into an EQUI key, so Catalyst plans
+    * a broadcast *hash* join — same result, |memberships| probes.
+    * (When an equi key exists alongside the membership test, keep the
+    * array packed and let it ride as a residual — SmoBuilder does
+    * that; explode is the right shape only when membership IS the
+    * join key.) */
   private def q5(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.df(spark, dir, "lineitem")
     val sup = Tables.df(spark, dir, "supplier")
     val ordSupp = li.groupBy(col("l_orderkey"))
       .agg(collect_set(col("l_suppkey")).as("supps"))
-    ordSupp.join(broadcast(sup), array_contains(col("supps"), col("s_suppkey")))
+    ordSupp
+      .select(col("l_orderkey"), explode(col("supps")).as("s_suppkey"))
+      .join(broadcast(sup), Seq("s_suppkey"))
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("s_suppkey"))

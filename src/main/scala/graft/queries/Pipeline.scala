@@ -52,6 +52,36 @@ object Pipeline {
   private val LshBands = 8
   private val NearDupCos = 0.45
   private val TopK = 5
+  // df-cap for the clustered-dedup pipelines: shingles in more docs than
+  // this never generate candidates (Σdf² stays linear in corpus size)
+  private val JaccardMaxDf = 20
+  // IVF: expected cell count = n / IvfCellMod; vectors multi-assign to
+  // their IvfProbe nearest cells
+  private val IvfCellMod = 64
+  private val IvfProbe = 3
+
+  /** Shared CTE block `sh → … → pairs` mirroring
+    * Dedup.ngramJaccardPairs(maxDocFreq = Some(cap)): candidates from
+    * the df-capped inverted index, exact intersection verify over the
+    * full shingle arrays. `rel` must expose (doc_id, text). */
+  private def cappedPairsCtes(rel: String, cap: Int): String = {
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""sh AS (SELECT doc_id, $sh AS shingles FROM $rel),
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $cap),
+       |exf AS (SELECT e.doc_id, e.s FROM ex e JOIN rare USING (s)),
+       |cnd AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT c.ida, c.idb
+       |  FROM cnd c
+       |  JOIN sh sa ON sa.doc_id = c.ida
+       |  JOIN sh sb ON sb.doc_id = c.idb
+       |  WHERE len(list_intersect(sa.shingles, sb.shingles)) * $JaccardDen >=
+       |    (len(sa.shingles) + len(sb.shingles)
+       |      - len(list_intersect(sa.shingles, sb.shingles))) * $JaccardNum)""".stripMargin
+  }
 
   // ---- dedup --------------------------------------------------------------
 
@@ -146,42 +176,54 @@ object Pipeline {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
   }
 
+  /** Embedding near-dup, bucketed: IVF-cell multi-assignment candidate
+    * generation + exact cosine verify inside candidates only — linear
+    * candidate growth, no corpus broadcast. The brute-force all-pairs
+    * variant (Dedup.embeddingNearDupPairs) stays as the spec-side
+    * recall baseline. */
   private def p05(spark: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupPairs(Tables.df(spark, dir, "embeddings"),
-      "vec_id", "embedding", NearDupCos)
+    Similarity.ivfNearDupPairs(Tables.df(spark, dir, "embeddings"),
+      "vec_id", "embedding", NearDupCos, IvfCellMod, IvfProbe)
 
   private val p05Sql =
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings)
-       |SELECT a.vec_id AS ida, b.vec_id AS idb
-       |FROM v a JOIN v b ON a.vec_id < b.vec_id
-       |WHERE ${cosSql("a.embedding", "b.embedding")} > $NearDupCos""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM v
+       |  WHERE ${hash32Sql("CAST(vec_id AS VARCHAR)")} % $IvfCellMod = 0),
+       |assigned AS (
+       |  SELECT list_id, vec_id, embedding FROM (
+       |    SELECT c.list_id, v.vec_id, v.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.embedding", "c.centroid")} DESC, c.list_id) AS r
+       |    FROM v, cent c)
+       |  WHERE r <= $IvfProbe),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+       |  FROM assigned a JOIN assigned b
+       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id)
+       |SELECT c.ida, c.idb
+       |FROM cand c
+       |JOIN v va ON va.vec_id = c.ida
+       |JOIN v vb ON vb.vec_id = c.idb
+       |WHERE ${cosSql("va.embedding", "vb.embedding")} > $NearDupCos""".stripMargin
 
-  /** Near-dup clusters: connected components over the exact-Jaccard pair
-    * edges (one keeper = min doc_id per component). The oracle replays
-    * the pair query and closes it transitively with a recursive CTE —
-    * feasible for the oracle's scale, while the Spark side runs the
-    * large-star/small-star iteration that holds at 10^9 edges. */
+  /** Near-dup clusters: connected components over df-capped
+    * exact-verified Jaccard pair edges (one keeper = min doc_id per
+    * component). The df cap keeps candidate generation linear in corpus
+    * size; the oracle replays the capped pair query and closes it
+    * transitively with a recursive CTE — feasible at oracle scale,
+    * while the Spark side runs checkpointed min-label propagation with
+    * pointer doubling (Clusters.connectedComponents) that holds at 10^9
+    * edges. */
   private def p13(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Clusters.connectedComponents(
       Dedup.ngramJaccardPairs(Tables.df(spark, dir, "documents"),
-        "doc_id", "text", ShingleN, JaccardNum, JaccardDen))
+        "doc_id", "text", ShingleN, JaccardNum, JaccardDen,
+        maxDocFreq = Some(JaccardMaxDf)))
 
-  private val p13Sql = {
-    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+  private val p13Sql =
     s"""WITH RECURSIVE
-       |sh AS (SELECT doc_id, $sh AS shingles FROM documents),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |pr AS (
-       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT p.ida, p.idb
-       |  FROM pr p
-       |  JOIN sh sa ON sa.doc_id = p.ida
-       |  JOIN sh sb ON sb.doc_id = p.idb
-       |  WHERE p.inter * $JaccardDen >=
-       |    (len(sa.shingles) + len(sb.shingles) - p.inter) * $JaccardNum),
+       |${cappedPairsCtes("documents", JaccardMaxDf)},
        |und AS (SELECT ida AS u, idb AS v FROM pairs
        |        UNION SELECT idb, ida FROM pairs),
        |reach AS (
@@ -193,7 +235,6 @@ object Pipeline {
        |FROM (SELECT DISTINCT u FROM und) n
        |JOIN reach r ON r.u = n.u
        |GROUP BY n.u""".stripMargin
-  }
 
   // ---- similarity search --------------------------------------------------
 
@@ -218,9 +259,12 @@ object Pipeline {
        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
        |FROM r WHERE rnk <= $TopK""".stripMargin
 
-  /** LSH ANN — hyperplane sketches are not portable SQL, so no oracle;
-    * the driver records rows>0 and SimilaritySpec pins recall ≥ 0.6 vs
-    * the exact top-k. */
+  /** LSH ANN, oracle-gated: the ±1 hyperplanes are deterministic Scala
+    * literals (Similarity.hyperplanes), so the oracle embeds them as
+    * DuckDB list literals exactly as p03Sql embeds the minhash params —
+    * sketch bits, band keys, candidate join, and exact re-rank all
+    * mirror bit-for-bit (sequential double folds both sides).
+    * PipelineSpec additionally pins recall ≥ 0.6 vs the exact top-k. */
   private def p07(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.df(spark, dir, "embeddings")
     Similarity.lshTopK(v.filter(col("vec_id") % 50 === 0), v,
@@ -228,28 +272,61 @@ object Pipeline {
       .withColumnRenamed("rank", "rnk")
   }
 
-  /** IVF ANN, oracle-gated: centroid seeding, cell assignment, probe
-    * selection, and re-rank are all deterministic (id-spaced centroids,
-    * bit-exact cosines, id tie-breaks), so even the approximate result
-    * is exactly reproducible in SQL. */
+  private val p07Sql = {
+    val bands = 16; val bitsPerBand = 4; val dim = 64
+    val planes = Similarity.hyperplanes(bands * bitsPerBand, dim)
+    def planeLit(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("([", ",", "])")
+    def keyExpr(vec: String, b: Int): String =
+      (0 until bitsPerBand).map { i =>
+        val d = dotSql(vec, planeLit(planes(b * bitsPerBand + i)))
+        s"(CASE WHEN $d >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    def keyed(idAs: String, where: String): String =
+      (0 until bands).map { b =>
+        s"  SELECT vec_id AS $idAs, $b AS band, ${keyExpr("embedding", b)} AS key FROM v$where"
+      }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |qk AS (
+       |${keyed("query_id", " WHERE vec_id % 50 = 0")}),
+       |ck AS (
+       |${keyed("neighbor_id", "")}),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.neighbor_id
+       |  FROM qk q JOIN ck c ON q.band = c.band AND q.key = c.key
+       |  WHERE q.query_id != c.neighbor_id),
+       |sc AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    ${cosSql("vq.embedding", "vc.embedding")} AS cos
+       |  FROM cand cd
+       |  JOIN v vq ON vq.vec_id = cd.query_id
+       |  JOIN v vc ON vc.vec_id = cd.neighbor_id),
+       |res AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+       |FROM res WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** IVF ANN, oracle-gated: centroid seeding (hash-stride — a pure
+    * filter, no count() action and no global window anywhere in the
+    * plan), cell assignment, probe selection, and re-rank are all
+    * deterministic (bit-exact cosines, id tie-breaks), so even the
+    * approximate result is exactly reproducible in SQL. */
   private def p14(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.df(spark, dir, "embeddings")
     Similarity.ivfTopK(v.filter(col("vec_id") % 50 === 0), v,
-        "vec_id", "embedding", TopK, nLists = 8, nProbe = 3)
+        "vec_id", "embedding", TopK, cellMod = IvfCellMod, nProbe = IvfProbe)
       .withColumnRenamed("rank", "rnk")
   }
 
   private val p14Sql =
     s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
-       |n AS (SELECT count(*) AS cnt FROM v),
-       |ranked AS (
-       |  SELECT vec_id, embedding,
-       |    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
-       |  FROM v),
        |cent AS (
-       |  SELECT CAST(rn // s.step AS INT) AS list_id, embedding AS centroid
-       |  FROM ranked, (SELECT greatest(1, cnt // 8) AS step FROM n) s
-       |  WHERE rn % s.step = 0 AND rn < s.step * 8),
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM v
+       |  WHERE ${hash32Sql("CAST(vec_id AS VARCHAR)")} % $IvfCellMod = 0),
        |assigned AS (
        |  SELECT list_id, vec_id, embedding FROM (
        |    SELECT c.list_id, v.vec_id, v.embedding,
@@ -263,7 +340,7 @@ object Pipeline {
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC, c.list_id) AS r
        |    FROM v q, cent c WHERE q.vec_id % 50 = 0)
-       |  WHERE r <= 3),
+       |  WHERE r <= $IvfProbe),
        |res AS (
        |  SELECT query_id, neighbor_id,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -410,7 +487,7 @@ object Pipeline {
     val good = scored.filter(col("quality") >= 0.2).persist()
     val pairs = Dedup.ngramJaccardPairs(
       good.select(col("doc_id"), col("text")), "doc_id", "text",
-      ShingleN, JaccardNum, JaccardDen)
+      ShingleN, JaccardNum, JaccardDen, maxDocFreq = Some(JaccardMaxDf))
     val clusters = graft.operators.Clusters.connectedComponents(pairs)
     good.join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
@@ -422,7 +499,6 @@ object Pipeline {
   private val p15Sql = {
     val toksS = toksSql(normSql("text"))
     val en = TextFns.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
-    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
     s"""WITH RECURSIVE
        |scored AS (
        |  SELECT doc_id, source, text,
@@ -434,18 +510,7 @@ object Pipeline {
        |        / length(text)) AS quality
        |  FROM documents),
        |good AS (SELECT * FROM scored WHERE quality >= 0.2),
-       |gsh AS (SELECT doc_id, $sh AS shingles FROM good),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM gsh),
-       |pr AS (
-       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
-       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
-       |pairs AS (
-       |  SELECT p.ida, p.idb FROM pr p
-       |  JOIN gsh sa ON sa.doc_id = p.ida
-       |  JOIN gsh sb ON sb.doc_id = p.idb
-       |  WHERE p.inter * $JaccardDen >=
-       |    (len(sa.shingles) + len(sb.shingles) - p.inter) * $JaccardNum),
+       |${cappedPairsCtes("good", JaccardMaxDf)},
        |und AS (SELECT ida AS u, idb AS v FROM pairs
        |        UNION SELECT idb, ida FROM pairs),
        |reach AS (
@@ -592,14 +657,18 @@ object Pipeline {
   private def p12(spark: SparkSession, dir: String): DataFrame =
     Multimodal.featureSummary(spark, Tables.df(spark, dir, "documents"))
 
+  /** Byte-based like the Spark side (StubCodec sums UTF-8 payload
+    * bytes and uses the byte length): octet_length(encode(text)) and a
+    * hex-pair walk over the encoded blob — identical to Spark for
+    * non-ASCII text too, making the cross-engine contract explicit. */
   private val p12Sql =
     """WITH feat AS (
       |  SELECT doc_id AS media_id,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-      |    CAST(length(text) AS INT) AS n_bytes,
-      |    list_sum(list_transform(generate_series(1, length(text)),
-      |      i -> ascii(text[i:i])))::BIGINT AS checksum
+      |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |    list_sum(list_transform(generate_series(1, octet_length(encode(text))),
+      |      i -> ('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT))::BIGINT AS checksum
       |  FROM documents)
       |SELECT kind, COUNT(*) AS n_items,
       |  SUM(n_bytes)::BIGINT AS total_bytes,
@@ -616,7 +685,7 @@ object Pipeline {
     QueryDef("p05_embed_neardup", p05, Some(p05Sql)),
     QueryDef("p13_dedup_clusters", p13, Some(p13Sql)),
     QueryDef("p06_cosine_topk", p06, Some(p06Sql)),
-    QueryDef("p07_lsh_ann", p07, None),
+    QueryDef("p07_lsh_ann", p07, Some(p07Sql)),
     QueryDef("p14_ivf_ann", p14, Some(p14Sql)),
     QueryDef("p08_langid", p08, Some(p08Sql)),
     QueryDef("p09_quality", p09, Some(p09Sql)),

@@ -48,17 +48,30 @@ final class FragmentRegistry(spark: SparkSession) {
     * preserving the declared signature. Mirrors the reference's guards:
     * unknown name, volatile target, and (our analog of "same returns")
     * an output schema mismatch all throw. Parsing goes through Spark's
-    * own parser; side-effecting statements fail the parsePlan-is-a-query
-    * check. */
+    * own parser; any side-effecting statement — Command subclasses AND
+    * the DML nodes that are NOT Commands (InsertIntoStatement, UPDATE /
+    * DELETE / MERGE) — is rejected BEFORE anything executes, and the
+    * schema check analyzes the parsed plan directly (executePlan(...)
+    * .analyzed) rather than constructing a Dataset, which for command
+    * plans would eagerly execute the mutation during validation. */
   def update(name: String, newSql: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val d = synchronized { defs.getOrElse(name,
       throw new IllegalArgumentException(s"unknown fragment: $name")) }
     if (d.volatility == Volatility.Volatile)
       throw new IllegalStateException(s"fragment $name is volatile. update not allowed.")
     val plan = spark.sessionState.sqlParser.parsePlan(newSql)
-    if (plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
+    val sideEffecting = plan.exists {
+      case _: Command => true
+      case _: InsertIntoStatement => true
+      case _: UpdateTable => true
+      case _: DeleteFromTable => true
+      case _: MergeIntoTable => true
+      case _ => false
+    }
+    if (sideEffecting)
       throw new IllegalArgumentException(s"fragment $name must be a query, not a command")
-    val actual = spark.sql(newSql).schema
+    val actual = spark.sessionState.executePlan(plan).analyzed.schema
     val want = d.declaredSchema
     require(actual.fields.map(f => (f.name, f.dataType)).sameElements(
       want.fields.map(f => (f.name, f.dataType))),
