@@ -67,37 +67,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Deterministic hash-stride centroids: the corpus vectors whose
-    * md5-derived 32-bit id-hash ≡ 0 (mod `cellMod`). Expected
-    * n/cellMod centroids, so the cell count GROWS with the corpus
-    * (re-tune cellMod toward √n at a given scale) — and the pick is a
-    * pure narrow filter: no `count()` action, no global window, nothing
-    * driver-side, and exactly reproducible in oracle SQL. The cell id
-    * is the centroid's own vector id. */
-  private[graft] def hashStrideCentroids(c: DataFrame, idName: String,
-      vec: String, cellMod: Int): DataFrame =
-    c.filter(graft.functions.TextFns.hash32(col(idName).cast("string"))
-        % cellMod === 0)
-      .select(col(idName).as("list_id"), col(vec).as("centroid"),
-        col(s"${vec}_n").as("centroid_n"))
+  /** Deterministic fixed-K centroids: the `nCells` corpus vectors with
+    * the smallest (md5-derived 32-bit id-hash, id) — a corpus-size-
+    * INDEPENDENT sample, so the broadcast stays O(K) and cell
+    * assignment stays O(n·K) no matter how large the corpus grows
+    * (the r2 hash-stride scheme produced n/cellMod centroids: an
+    * ever-growing broadcast and an O(n²) assignment). Physically a
+    * TakeOrderedAndProject — each partition keeps its local top-K,
+    * the driver merges K·partitions rows; no full sort, no count()
+    * action. Always yields min(K, n) ≥ 1 centroids on a non-empty
+    * corpus (the stride filter could select zero). At 100 TB the
+    * caller tunes `nCells` toward √n once per corpus from table
+    * stats; the plan shape is unchanged. The cell id is the
+    * centroid's own vector id; exactly reproducible in oracle SQL as
+    * ORDER BY hash, id LIMIT K. */
+  private[graft] def topKByHashCentroids(c: DataFrame, idName: String,
+      vec: String, nCells: Int): DataFrame =
+    c.select(col(idName).as("list_id"), col(vec).as("centroid"),
+        col(s"${vec}_n").as("centroid_n"),
+        graft.functions.TextFns.hash32(col(idName).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("list_id"))
+      .limit(nCells)
+      .drop("_h")
 
   /** IVF-flat ANN: partition the corpus into Voronoi cells around
-    * deterministic hash-stride centroids (~n/cellMod of them; a k-means
+    * `nCells` deterministic top-K-by-hash centroids (a k-means
     * refinement would slot in here), then answer queries by probing the
     * `nProbe` nearest cells and exact-ranking only their members.
     *
-    * Scale shape: centroids are tiny and broadcast twice (assignment +
-    * probe); the corpus shuffles ONCE on list_id and can be written
-    * bucketed-by-list for reuse across query batches; per-query work is
-    * ~|corpus| * nProbe * cellMod / n. Recall/latency trade via nProbe.
+    * Scale shape: the centroid set is O(nCells) — constant in corpus
+    * size — and broadcasts twice (assignment + probe); the corpus
+    * shuffles ONCE on list_id and can be written bucketed-by-list for
+    * reuse across query batches; per-query work is ~|corpus| * nProbe
+    * / nCells. Recall/latency trade via nProbe; nCells ~ √n at scale.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      cellMod: Int = 64, nProbe: Int = 3): DataFrame = {
+      nCells: Int = 64, nProbe: Int = 3): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
       .repartition(par(corpus), col("neighbor_id"))
-    val centroids = hashStrideCentroids(c, "neighbor_id", "cv", cellMod)
+    val centroids = topKByHashCentroids(c, "neighbor_id", "cv", nCells)
     // cell assignment: argmax cosine to centroid (one broadcast join)
     val byVec = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("c_cos").desc, col("list_id"))
@@ -133,21 +143,22 @@ object Similarity {
 
   /** Bucketed embedding near-dup: candidate pairs share one of their
     * `assignProbe` nearest IVF cells (multi-assignment — the
-    * SemDeDup-style trick that keeps boundary-straddling near-dups in a
-    * common cell), then EXACT cosine verification inside candidates
-    * only. With hash-stride centroids every cell holds ~assignProbe ×
-    * cellMod vectors regardless of corpus size, so candidate count
-    * grows LINEARLY in n (≈ n · assignProbe² · cellMod / 2) versus the
-    * brute-force n²/2 — and nothing broadcasts the corpus; the only
-    * broadcast is the tiny centroid set. `embeddingNearDupPairs`
-    * (Dedup) remains the exact baseline that specs measure recall
-    * against. */
+    * SemDeDup-style trick that keeps boundary-straddling near-dups in
+    * a common cell), then EXACT cosine verification inside candidates
+    * only. With `nCells` fixed centroids every cell holds ~assignProbe
+    * × n / nCells vectors, so candidate count is ≈ assignProbe² · n² /
+    * (2·nCells) versus the brute-force n²/2 — and the caller sets
+    * nCells ~ √n once per corpus (from table stats), giving O(n^1.5)
+    * total pair work, an O(√n)-size broadcast, and O(n·√n)
+    * assignment. Nothing broadcasts the corpus; the only broadcast is
+    * the centroid set. `embeddingNearDupPairs` (Dedup) remains the
+    * exact baseline that specs measure recall against. */
   def ivfNearDupPairs(
       embs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, cellMod: Int = 64, assignProbe: Int = 3): DataFrame = {
+      threshold: Double, nCells: Int = 64, assignProbe: Int = 3): DataFrame = {
     val v = withNorm(embs, idCol, vecCol, "vec_id", "v")
       .repartition(par(embs), col("vec_id"))
-    val centroids = hashStrideCentroids(v, "vec_id", "v", cellMod)
+    val centroids = topKByHashCentroids(v, "vec_id", "v", nCells)
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("list_id"))
     val assigned = v.join(broadcast(centroids))

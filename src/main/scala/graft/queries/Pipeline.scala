@@ -55,9 +55,10 @@ object Pipeline {
   // df-cap for the clustered-dedup pipelines: shingles in more docs than
   // this never generate candidates (Σdf² stays linear in corpus size)
   private val JaccardMaxDf = 20
-  // IVF: expected cell count = n / IvfCellMod; vectors multi-assign to
-  // their IvfProbe nearest cells
-  private val IvfCellMod = 64
+  // IVF: fixed centroid count (corpus-size-independent — broadcast and
+  // assignment cost are O(K) and O(nK) at any scale; tune toward √n per
+  // corpus); vectors multi-assign to their IvfProbe nearest cells
+  private val IvfCells = 64
   private val IvfProbe = 3
 
   /** Shared CTE block `sh → … → pairs` mirroring
@@ -183,13 +184,14 @@ object Pipeline {
     * recall baseline. */
   private def p05(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfNearDupPairs(Tables.df(spark, dir, "embeddings"),
-      "vec_id", "embedding", NearDupCos, IvfCellMod, IvfProbe)
+      "vec_id", "embedding", NearDupCos, IvfCells, IvfProbe)
 
   private val p05Sql =
     s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (
        |  SELECT vec_id AS list_id, embedding AS centroid FROM v
-       |  WHERE ${hash32Sql("CAST(vec_id AS VARCHAR)")} % $IvfCellMod = 0),
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
        |assigned AS (
        |  SELECT list_id, vec_id, embedding FROM (
        |    SELECT c.list_id, v.vec_id, v.embedding,
@@ -310,15 +312,15 @@ object Pipeline {
        |FROM res WHERE rnk <= $TopK""".stripMargin
   }
 
-  /** IVF ANN, oracle-gated: centroid seeding (hash-stride — a pure
-    * filter, no count() action and no global window anywhere in the
-    * plan), cell assignment, probe selection, and re-rank are all
-    * deterministic (bit-exact cosines, id tie-breaks), so even the
-    * approximate result is exactly reproducible in SQL. */
+  /** IVF ANN, oracle-gated: centroid seeding (fixed-K top-K-by-hash —
+    * a TakeOrderedAndProject, no count() action and no global window
+    * anywhere in the plan), cell assignment, probe selection, and
+    * re-rank are all deterministic (bit-exact cosines, id tie-breaks),
+    * so even the approximate result is exactly reproducible in SQL. */
   private def p14(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.df(spark, dir, "embeddings")
     Similarity.ivfTopK(v.filter(col("vec_id") % 50 === 0), v,
-        "vec_id", "embedding", TopK, cellMod = IvfCellMod, nProbe = IvfProbe)
+        "vec_id", "embedding", TopK, nCells = IvfCells, nProbe = IvfProbe)
       .withColumnRenamed("rank", "rnk")
   }
 
@@ -326,7 +328,8 @@ object Pipeline {
     s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (
        |  SELECT vec_id AS list_id, embedding AS centroid FROM v
-       |  WHERE ${hash32Sql("CAST(vec_id AS VARCHAR)")} % $IvfCellMod = 0),
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
        |assigned AS (
        |  SELECT list_id, vec_id, embedding FROM (
        |    SELECT c.list_id, v.vec_id, v.embedding,
