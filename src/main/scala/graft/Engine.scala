@@ -122,17 +122,50 @@ final class Engine(
     * return a new Engine view of the hypothetical catalog — the purely
     * functional analog of the reference's transactional what-if test
     * (core_test.clj:209-254). Cascade semantics: the table's rows vanish
-    * from every dataset, and FK constraints on OTHER tables that
-    * reference the dropped table are dropped too. */
+    * from every dataset; FK constraints on OTHER tables that reference
+    * the dropped table are dropped; and views depending on any dropped
+    * relation (snapshot.dependencies, the pg_depend analog) are dropped
+    * transitively — that is what shrinks the abbreviation-view schemas
+    * in the reference's what-if golden (production 208→195 AND pr
+    * 188→175, core_test.clj:236-248).
+    *
+    * The dependency closure is computed driver-side: edges are
+    * catalog-scale (one per view×base-relation, ≤10^5 for thousand-table
+    * databases), not data-scale, so a collect here is the same class of
+    * operation as the reference walking pg_depend inside Postgres. */
   def whatIfDropTable(schemaName: String, tableName: String): Engine = {
+    import scala.jdk.CollectionConverters._
+    val edges = snapshot.dependencies
+      .select(col("dependent_schema"), col("dependent_table"),
+        col("referenced_schema"), col("referenced_table"))
+      .collect()
+      .map(r => ((r.getString(2), r.getString(3)), (r.getString(0), r.getString(1))))
+    val byRef = edges.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    val dropped = scala.collection.mutable.Set((schemaName, tableName))
+    val frontier = scala.collection.mutable.Queue((schemaName, tableName))
+    while (frontier.nonEmpty) {
+      val t = frontier.dequeue()
+      byRef.getOrElse(t, Array.empty[(String, String)]).foreach { dep =>
+        if (dropped.add(dep)) frontier.enqueue(dep)
+      }
+    }
+    val droppedDf = spark.createDataFrame(
+      dropped.toSeq.map { case (s, t) => org.apache.spark.sql.Row(s, t) }.asJava,
+      StructType(Seq(StructField("schema_name", StringType, nullable = false),
+        StructField("table_name", StringType, nullable = false))))
     def not(df: DataFrame) =
-      df.filter(!(col("schema_name") === schemaName && col("table_name") === tableName))
+      df.join(broadcast(droppedDf), Seq("schema_name", "table_name"), "left_anti")
     val prunedConstraints = not(snapshot.constraints)
       .filter(!(coalesce(col("references_schema"), lit("")) === schemaName
         && coalesce(col("references_table"), lit("")) === tableName))
+    val prunedDeps = snapshot.dependencies
+      .join(broadcast(droppedDf),
+        col("dependent_schema") === col("schema_name")
+          && col("dependent_table") === col("table_name"), "left_anti")
     val sim = CatalogSnapshot(
       not(snapshot.relations), not(snapshot.attributes),
-      prunedConstraints, not(snapshot.indexes), snapshot.schemaPrivs)
+      prunedConstraints, not(snapshot.indexes), snapshot.schemaPrivs,
+      prunedDeps)
     val e = new Engine(spark, sim, indexedSpaceQuirk)
     e.conceptsReg = this.conceptsReg
     e

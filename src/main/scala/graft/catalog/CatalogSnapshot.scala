@@ -22,7 +22,8 @@ final case class CatalogSnapshot(
     attributes: DataFrame,
     constraints: DataFrame,
     indexes: DataFrame,
-    schemaPrivs: DataFrame)
+    schemaPrivs: DataFrame,
+    dependencies: DataFrame)
 
 object CatalogSnapshot {
 
@@ -82,19 +83,40 @@ object CatalogSnapshot {
     StructField("schema_name", StringType, nullable = false),
     StructField("has_usage", BooleanType, nullable = false)))
 
-  private val files = Seq("relations", "attributes", "constraints",
-    "indexes", "schema_privs")
+  /** View→relation dependency edges — the pg_depend/pg_rewrite analog.
+    * The reference never queries these directly: Postgres applies them
+    * implicitly when core_test.clj:236-248 runs `drop table … cascade`.
+    * Re-expressing what-if as a snapshot transformation (Engine
+    * .whatIfDropTable) needs them explicit: a dropped relation takes its
+    * dependent views down transitively, which is what shrinks the
+    * abbreviation-view schemas in the reference's what-if golden. */
+  val dependenciesSchema: StructType = StructType(Seq(
+    StructField("dependent_schema", StringType, nullable = false),
+    StructField("dependent_table", StringType, nullable = false),
+    StructField("referenced_schema", StringType, nullable = false),
+    StructField("referenced_table", StringType, nullable = false)))
 
-  /** Load a snapshot persisted as one parquet per dataset under `dir`. */
+  private val files = Seq("relations", "attributes", "constraints",
+    "indexes", "schema_privs", "dependencies")
+
+  /** Load a snapshot persisted as one parquet per dataset under `dir`.
+    * Snapshots written before the dependencies dataset existed load with
+    * an empty one (what-if then prunes no views, as before). */
   def fromDir(spark: SparkSession, dir: String): CatalogSnapshot = {
-    val Seq(r, a, c, i, p) = files.map(f => spark.read.parquet(s"$dir/$f.parquet"))
-    CatalogSnapshot(r, a, c, i, p)
+    val Seq(r, a, c, i, p) =
+      files.take(5).map(f => spark.read.parquet(s"$dir/$f.parquet"))
+    val d =
+      if (new java.io.File(s"$dir/dependencies.parquet").exists())
+        spark.read.parquet(s"$dir/dependencies.parquet")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], dependenciesSchema)
+    CatalogSnapshot(r, a, c, i, p, d)
   }
 
   /** Persist, one parquet per dataset (the refresh()-materialized form). */
   def write(snap: CatalogSnapshot, dir: String): Unit =
     files.zip(Seq(snap.relations, snap.attributes, snap.constraints,
-      snap.indexes, snap.schemaPrivs)).foreach { case (f, df) =>
+      snap.indexes, snap.schemaPrivs, snap.dependencies)).foreach { case (f, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$f.parquet")
     }
 
@@ -105,7 +127,8 @@ object CatalogSnapshot {
       attributes: Seq[Row],
       constraints: Seq[Row],
       indexes: Seq[Row] = Seq.empty,
-      schemaPrivs: Seq[Row] = Seq.empty): CatalogSnapshot = {
+      schemaPrivs: Seq[Row] = Seq.empty,
+      dependencies: Seq[Row] = Seq.empty): CatalogSnapshot = {
     def mk(rows: Seq[Row], schema: StructType) =
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, rows.size min 4)), schema)
@@ -114,6 +137,7 @@ object CatalogSnapshot {
       mk(attributes, attributesSchema),
       mk(constraints, constraintsSchema),
       mk(indexes, indexesSchema),
-      mk(schemaPrivs, schemaPrivsSchema))
+      mk(schemaPrivs, schemaPrivsSchema),
+      mk(dependencies, dependenciesSchema))
   }
 }

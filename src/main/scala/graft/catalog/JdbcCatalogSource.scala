@@ -99,12 +99,34 @@ object JdbcCatalogSource {
       |       has_schema_privilege(nspname, 'usage') as has_usage
       |from pg_catalog.pg_namespace""".stripMargin
 
+  /** View→relation edges via pg_rewrite/pg_depend — what `drop table …
+    * cascade` consults implicitly in the reference's what-if test
+    * (core_test.clj:236-248). A view's rewrite rule depends on every
+    * relation it selects from; resolving rule → view (ev_class) and
+    * dependency target (refobjid) yields the edge list. */
+  val dependenciesQuery: String =
+    """select distinct
+      |       vn.nspname as dependent_schema,
+      |       v.relname  as dependent_table,
+      |       tn.nspname as referenced_schema,
+      |       t.relname  as referenced_table
+      |from pg_catalog.pg_rewrite r
+      |join pg_catalog.pg_depend d
+      |  on d.objid = r.oid and d.classid = 'pg_rewrite'::regclass
+      | and d.refclassid = 'pg_class'::regclass and d.deptype = 'n'
+      |join pg_catalog.pg_class v on v.oid = r.ev_class
+      |join pg_catalog.pg_namespace vn on vn.oid = v.relnamespace
+      |join pg_catalog.pg_class t on t.oid = d.refobjid
+      |join pg_catalog.pg_namespace tn on tn.oid = t.relnamespace
+      |where v.oid <> d.refobjid""".stripMargin
+
   val allQueries: Map[String, String] = Map(
     "relations" -> relationsQuery,
     "attributes" -> attributesQuery,
     "constraints" -> constraintsQuery,
     "indexes" -> indexesQuery,
-    "schema_privs" -> schemaPrivsQuery)
+    "schema_privs" -> schemaPrivsQuery,
+    "dependencies" -> dependenciesQuery)
 
   private def read(spark: SparkSession, url: String,
       props: Map[String, String], query: String): DataFrame =
@@ -121,5 +143,6 @@ object JdbcCatalogSource {
       read(spark, url, props, attributesQuery),
       read(spark, url, props, constraintsQuery),
       read(spark, url, props, indexesQuery),
-      read(spark, url, props, schemaPrivsQuery))
+      read(spark, url, props, schemaPrivsQuery),
+      read(spark, url, props, dependenciesQuery))
 }

@@ -67,6 +67,9 @@ object SparkCatalogSource {
       mk(att.result(), CatalogSnapshot.attributesSchema),
       mk(Seq.empty, CatalogSnapshot.constraintsSchema),
       mk(Seq.empty, CatalogSnapshot.indexesSchema),
-      mk(dbs.map(Row(_, true)), CatalogSnapshot.schemaPrivsSchema))
+      mk(dbs.map(Row(_, true)), CatalogSnapshot.schemaPrivsSchema),
+      // Spark's catalog exposes no view→table dependency edges cheaply;
+      // what-if over a Spark-introspected snapshot prunes no views.
+      mk(Seq.empty, CatalogSnapshot.dependenciesSchema))
   }
 }
