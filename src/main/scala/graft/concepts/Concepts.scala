@@ -3,7 +3,7 @@ package graft.concepts
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import scala.collection.immutable.SortedMap
+import scala.collection.immutable.VectorMap
 
 /** A named boolean predicate over an SMO row — the reference's dynamic
   * "concept" system (/root/reference/sql/V000010__schema_concepts.sql:36-49).
@@ -13,14 +13,19 @@ import scala.collection.immutable.SortedMap
 final case class ConceptDef(name: String, predicate: Column)
 
 /** Registry of concepts. Applying it widens the SMO DataFrame with one
-  * `is_<name>` column per concept, alphabetically — exactly how the
-  * reference regenerates its `columns` view
-  * (sql/V000012__more_concepts.sql:1-31). Redefinition replaces (the
-  * reference's `create or replace function`), and is idempotent
+  * `is_<name>` column per concept. Predicates are EVALUATED in definition
+  * order — a later concept may reference an earlier one's `is_<name>`
+  * column, mirroring how the reference's concept functions call
+  * previously-created concept functions (core_test.clj:166:
+  * hasura_enum_table calls schemamap.is_natural_key(smo)) — but the view
+  * PROJECTS the is_* columns alphabetically, exactly how the reference
+  * regenerates its `columns` view sorted by concept name
+  * (sql/V000012__more_concepts.sql:1-31). Redefinition replaces in place
+  * (the reference's `create or replace function`), and is idempotent
   * (core_test.clj:163-171).
   */
 final class ConceptRegistry private (
-    private val defs: SortedMap[String, Column],
+    private val defs: VectorMap[String, Column],
     /** SQL text of SQL-defined concepts — the persistable subset. */
     val sqlDefs: Map[String, String]) {
 
@@ -35,24 +40,27 @@ final class ConceptRegistry private (
     new ConceptRegistry(defs.updated(name, expr(boolSql)),
       sqlDefs.updated(name, boolSql))
 
-  def names: Seq[String] = defs.keys.toSeq // already sorted
+  def names: Seq[String] = defs.keys.toSeq.sorted
 
   def predicate(name: String): Column = defs(name)
 
   def contains(name: String): Boolean = defs.contains(name)
 
   /** Fold `is_<concept>` columns onto the SMO (redefine_smo_view_with_
-    * concepts). Concept predicates may reference other concepts' columns
-    * only through ConceptRegistry composition at definition time, like the
-    * reference's is_surrogate_key calling is_primary_key. */
-  def applyAll(smo: DataFrame): DataFrame =
-    defs.foldLeft(smo) { case (df, (name, pred)) =>
+    * concepts): evaluate in definition order so a predicate can reference
+    * any earlier concept's is_* column, then project the is_* columns
+    * sorted by name for view-shape parity with the reference. */
+  def applyAll(smo: DataFrame): DataFrame = {
+    val folded = defs.foldLeft(smo) { case (df, (name, pred)) =>
       df.withColumn(s"is_$name", pred)
     }
+    folded.select((smo.columns.map(col) ++
+      defs.keys.toSeq.sorted.map(n => col(s"is_$n"))): _*)
+  }
 }
 
 object ConceptRegistry {
-  def empty: ConceptRegistry = new ConceptRegistry(SortedMap.empty, Map.empty)
+  def empty: ConceptRegistry = new ConceptRegistry(VectorMap.empty, Map.empty)
 
   /** PG semantics: jsonb_array_elements(NULL) yields no rows, so EXISTS
     * over a NULL packed array is FALSE — Spark's exists() returns NULL

@@ -117,7 +117,7 @@ class DevtoolsSpec extends AnyFunSuite {
   test("catalog pushdown queries cover every snapshot dataset and only use snapshot-time PG functions") {
     val qs = graft.catalog.JdbcCatalogSource.allQueries
     assert(qs.keySet == Set("relations", "attributes", "constraints",
-      "indexes", "schema_privs"))
+      "indexes", "schema_privs", "dependencies"))
     // the PG-only formatting functions stay server-side (SURVEY.md §2.6)
     assert(qs("attributes").contains("format_type"))
     assert(qs("attributes").contains("pg_get_expr"))
@@ -130,6 +130,8 @@ class DevtoolsSpec extends AnyFunSuite {
       assert(qs("relations").contains(f), s"relations query missing $f"))
     graft.catalog.CatalogSnapshot.attributesSchema.fieldNames.foreach(f =>
       assert(qs("attributes").contains(f), s"attributes query missing $f"))
+    graft.catalog.CatalogSnapshot.dependenciesSchema.fieldNames.foreach(f =>
+      assert(qs("dependencies").contains(f), s"dependencies query missing $f"))
   }
 
   // ---- CLI ----------------------------------------------------------------
