@@ -162,10 +162,16 @@ final class Engine(
       .join(broadcast(droppedDf),
         col("dependent_schema") === col("schema_name")
           && col("dependent_table") === col("table_name"), "left_anti")
+    // DROP ... CASCADE also revokes grants on the dropped relations
+    val prunedGrants = snapshot.grants
+      .join(broadcast(droppedDf),
+        snapshot.grants("table_schema") === droppedDf("schema_name")
+          && snapshot.grants("table_name") === droppedDf("table_name"),
+        "left_anti")
     val sim = CatalogSnapshot(
       not(snapshot.relations), not(snapshot.attributes),
       prunedConstraints, not(snapshot.indexes), snapshot.schemaPrivs,
-      prunedDeps)
+      prunedDeps, snapshot.roles, snapshot.roleMembers, prunedGrants)
     val e = new Engine(spark, sim, indexedSpaceQuirk)
     e.conceptsReg = this.conceptsReg
     e

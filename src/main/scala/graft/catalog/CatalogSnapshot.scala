@@ -23,7 +23,10 @@ final case class CatalogSnapshot(
     constraints: DataFrame,
     indexes: DataFrame,
     schemaPrivs: DataFrame,
-    dependencies: DataFrame)
+    dependencies: DataFrame,
+    roles: DataFrame,
+    roleMembers: DataFrame,
+    grants: DataFrame)
 
 object CatalogSnapshot {
 
@@ -96,27 +99,56 @@ object CatalogSnapshot {
     StructField("referenced_schema", StringType, nullable = false),
     StructField("referenced_table", StringType, nullable = false)))
 
+  /** Role catalog — pg_roles (doctor's role-hierarchy walk,
+    * rust/src/doctor.rs:59-83). */
+  val rolesSchema: StructType = StructType(Seq(
+    StructField("role_name", StringType, nullable = false)))
+
+  /** Direct role memberships — pg_auth_members resolved to names:
+    * `member` IS a member of `role` (inherits its grants). */
+  val roleMembersSchema: StructType = StructType(Seq(
+    StructField("role", StringType, nullable = false),
+    StructField("member", StringType, nullable = false)))
+
+  /** Table grants — information_schema.role_table_grants projection
+    * consumed by the doctor's privilege rollup (doctor.rs:84-126). */
+  val grantsSchema: StructType = StructType(Seq(
+    StructField("grantee", StringType, nullable = false),
+    StructField("table_schema", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("privilege_type", StringType, nullable = false)))
+
   private val files = Seq("relations", "attributes", "constraints",
-    "indexes", "schema_privs", "dependencies")
+    "indexes", "schema_privs", "dependencies", "roles", "role_members",
+    "grants")
+  private val optionalFiles: Map[String, StructType] = Map(
+    "dependencies" -> dependenciesSchema, "roles" -> rolesSchema,
+    "role_members" -> roleMembersSchema, "grants" -> grantsSchema)
+
+  def emptyDf(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 
   /** Load a snapshot persisted as one parquet per dataset under `dir`.
-    * Snapshots written before the dependencies dataset existed load with
-    * an empty one (what-if then prunes no views, as before). */
+    * Snapshots written before the newer datasets existed (dependencies,
+    * roles, role_members, grants) load them empty — what-if then prunes
+    * no views and doctor reports no roles, as before. */
   def fromDir(spark: SparkSession, dir: String): CatalogSnapshot = {
-    val Seq(r, a, c, i, p) =
-      files.take(5).map(f => spark.read.parquet(s"$dir/$f.parquet"))
-    val d =
-      if (new java.io.File(s"$dir/dependencies.parquet").exists())
-        spark.read.parquet(s"$dir/dependencies.parquet")
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], dependenciesSchema)
-    CatalogSnapshot(r, a, c, i, p, d)
+    val dfs = files.map { f =>
+      optionalFiles.get(f) match {
+        case Some(schema) if !new java.io.File(s"$dir/$f.parquet").exists() =>
+          emptyDf(spark, schema)
+        case _ => spark.read.parquet(s"$dir/$f.parquet")
+      }
+    }
+    val Seq(r, a, c, i, p, d, ro, rm, g) = dfs
+    CatalogSnapshot(r, a, c, i, p, d, ro, rm, g)
   }
 
   /** Persist, one parquet per dataset (the refresh()-materialized form). */
   def write(snap: CatalogSnapshot, dir: String): Unit =
     files.zip(Seq(snap.relations, snap.attributes, snap.constraints,
-      snap.indexes, snap.schemaPrivs, snap.dependencies)).foreach { case (f, df) =>
+      snap.indexes, snap.schemaPrivs, snap.dependencies, snap.roles,
+      snap.roleMembers, snap.grants)).foreach { case (f, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$f.parquet")
     }
 
@@ -128,7 +160,10 @@ object CatalogSnapshot {
       constraints: Seq[Row],
       indexes: Seq[Row] = Seq.empty,
       schemaPrivs: Seq[Row] = Seq.empty,
-      dependencies: Seq[Row] = Seq.empty): CatalogSnapshot = {
+      dependencies: Seq[Row] = Seq.empty,
+      roles: Seq[Row] = Seq.empty,
+      roleMembers: Seq[Row] = Seq.empty,
+      grants: Seq[Row] = Seq.empty): CatalogSnapshot = {
     def mk(rows: Seq[Row], schema: StructType) =
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, rows.size min 4)), schema)
@@ -138,6 +173,9 @@ object CatalogSnapshot {
       mk(constraints, constraintsSchema),
       mk(indexes, indexesSchema),
       mk(schemaPrivs, schemaPrivsSchema),
-      mk(dependencies, dependenciesSchema))
+      mk(dependencies, dependenciesSchema),
+      mk(roles, rolesSchema),
+      mk(roleMembers, roleMembersSchema),
+      mk(grants, grantsSchema))
   }
 }

@@ -120,13 +120,34 @@ object JdbcCatalogSource {
       |join pg_catalog.pg_namespace tn on tn.oid = t.relnamespace
       |where v.oid <> d.refobjid""".stripMargin
 
+  /** Role catalog for the doctor walk (rust/src/doctor.rs:59-83). */
+  val rolesQuery: String =
+    """select r.rolname as role_name
+      |from pg_catalog.pg_roles r""".stripMargin
+
+  /** pg_auth_members resolved to names: member → role it belongs to. */
+  val roleMembersQuery: String =
+    """select r2.rolname as role, r.rolname as member
+      |from pg_catalog.pg_auth_members m
+      |join pg_catalog.pg_roles r on r.oid = m.member
+      |join pg_catalog.pg_roles r2 on r2.oid = m.roleid""".stripMargin
+
+  /** Table-grant projection the doctor's privilege rollup consumes
+    * (rust/src/doctor.rs:91-99). */
+  val grantsQuery: String =
+    """select grantee, table_schema, table_name, privilege_type
+      |from information_schema.role_table_grants""".stripMargin
+
   val allQueries: Map[String, String] = Map(
     "relations" -> relationsQuery,
     "attributes" -> attributesQuery,
     "constraints" -> constraintsQuery,
     "indexes" -> indexesQuery,
     "schema_privs" -> schemaPrivsQuery,
-    "dependencies" -> dependenciesQuery)
+    "dependencies" -> dependenciesQuery,
+    "roles" -> rolesQuery,
+    "role_members" -> roleMembersQuery,
+    "grants" -> grantsQuery)
 
   private def read(spark: SparkSession, url: String,
       props: Map[String, String], query: String): DataFrame =
@@ -144,5 +165,8 @@ object JdbcCatalogSource {
       read(spark, url, props, constraintsQuery),
       read(spark, url, props, indexesQuery),
       read(spark, url, props, schemaPrivsQuery),
-      read(spark, url, props, dependenciesQuery))
+      read(spark, url, props, dependenciesQuery),
+      read(spark, url, props, rolesQuery),
+      read(spark, url, props, roleMembersQuery),
+      read(spark, url, props, grantsQuery))
 }

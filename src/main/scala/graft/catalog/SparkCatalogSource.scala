@@ -70,6 +70,10 @@ object SparkCatalogSource {
       mk(dbs.map(Row(_, true)), CatalogSnapshot.schemaPrivsSchema),
       // Spark's catalog exposes no view→table dependency edges cheaply;
       // what-if over a Spark-introspected snapshot prunes no views.
-      mk(Seq.empty, CatalogSnapshot.dependenciesSchema))
+      mk(Seq.empty, CatalogSnapshot.dependenciesSchema),
+      // nor roles/grants — doctor over a Spark snapshot reports none
+      mk(Seq.empty, CatalogSnapshot.rolesSchema),
+      mk(Seq.empty, CatalogSnapshot.roleMembersSchema),
+      mk(Seq.empty, CatalogSnapshot.grantsSchema))
   }
 }

@@ -151,6 +151,21 @@ object Main {
           val e = engine(spark, dir)
           val n = e.smo.count()
           checks += (("smo_builds", n >= 0, s"$n columns"))
+          // role ladder + effective privileges (doctor.rs:57-160) — only
+          // meaningful when the snapshot carries role datasets
+          val snap = e.currentSnapshot
+          if (!snap.roles.isEmpty) {
+            val missing = graft.devtools.Doctor.missingRoles(snap)
+            checks += (("schemamap_roles", missing.isEmpty,
+              if (missing.isEmpty) "all present" else s"missing: ${missing.mkString(", ")}"))
+            val privs = graft.devtools.Doctor.rolePrivileges(snap)
+              .select(org.apache.spark.sql.functions.to_json(
+                org.apache.spark.sql.functions.struct(
+                  org.apache.spark.sql.functions.col("role_name"),
+                  org.apache.spark.sql.functions.col("privileges"))))
+              .collect().map(_.getString(0)).mkString("; ")
+            checks += (("role_privileges", true, privs))
+          }
           true
         } catch { case ex: Exception =>
           checks += (("smo_builds", false, ex.getMessage)); false

@@ -112,12 +112,64 @@ class DevtoolsSpec extends AnyFunSuite {
     assert(pretty.linesIterator.size > 5)
   }
 
+  // ---- Doctor role walk (rust/src/doctor.rs:57-160) -----------------------
+
+  test("doctor: multi-hop role hierarchy closure and nested privilege rollup") {
+    import org.apache.spark.sql.Row
+    val spark = Sessions.local(4)
+    // chain: schemamap_readonly ∈ intermediate_grp ∈ reporting — grants
+    // attached to `reporting` must surface on schemamap_readonly (the
+    // reference's single-hop CTE quirk would miss them; scaladoc cites it)
+    val snap = graft.catalog.CatalogSnapshot.fromRows(spark,
+      relations = Seq.empty, attributes = Seq.empty, constraints = Seq.empty,
+      roles = Seq("schemamap", "schemamap_readwrite", "schemamap_readonly",
+        "schemamap_schema_read", "intermediate_grp", "reporting", "app_user")
+        .map(Row(_)),
+      roleMembers = Seq(
+        Row("intermediate_grp", "schemamap_readonly"),
+        Row("reporting", "intermediate_grp"),
+        Row("reporting", "app_user")),
+      grants = Seq(
+        Row("reporting", "public", "t1", "SELECT"),
+        Row("reporting", "public", "t2", "SELECT"),
+        Row("schemamap_readwrite", "app", "orders", "SELECT"),
+        Row("schemamap_readwrite", "app", "orders", "INSERT"),
+        // engine-namespace grants are excluded from the rollup
+        Row("schemamap", "schemamap", "table_metadata", "SELECT")))
+
+    val h = graft.devtools.Doctor.roleHierarchy(snap).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(h(("schemamap_readonly", "schemamap_readonly"))) // CTE base case
+    assert(h(("schemamap_readonly", "intermediate_grp")))   // 1 hop
+    assert(h(("schemamap_readonly", "reporting")))          // 2 hops
+    assert(!h.exists(_._1 == "app_user")) // only schemamap% roles walk
+
+    val privs = graft.devtools.Doctor.rolePrivileges(snap).collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, Map[String, Long]](1)).map(_.toMap))).toMap
+    assert(privs("schemamap_readonly").get ==
+      Map("public" -> Map("SELECT" -> 2L)))
+    assert(privs("schemamap_readwrite").get ==
+      Map("app" -> Map("SELECT" -> 1L, "INSERT" -> 1L)))
+    // schemamap's only grant is in the excluded engine namespace → NULL
+    assert(privs("schemamap").isEmpty)
+    assert(privs("schemamap_schema_read").isEmpty)
+    assert(graft.devtools.Doctor.missingRoles(snap).isEmpty)
+
+    val partial = graft.catalog.CatalogSnapshot.fromRows(spark,
+      Seq.empty, Seq.empty, Seq.empty,
+      roles = Seq(Row("schemamap"), Row("schemamap_readonly")))
+    assert(graft.devtools.Doctor.missingRoles(partial) ==
+      Seq("schemamap_schema_read", "schemamap_readwrite"))
+  }
+
   // ---- JdbcCatalogSource query surface ------------------------------------
 
   test("catalog pushdown queries cover every snapshot dataset and only use snapshot-time PG functions") {
     val qs = graft.catalog.JdbcCatalogSource.allQueries
     assert(qs.keySet == Set("relations", "attributes", "constraints",
-      "indexes", "schema_privs", "dependencies"))
+      "indexes", "schema_privs", "dependencies", "roles", "role_members",
+      "grants"))
     // the PG-only formatting functions stay server-side (SURVEY.md §2.6)
     assert(qs("attributes").contains("format_type"))
     assert(qs("attributes").contains("pg_get_expr"))
