@@ -116,6 +116,10 @@ final class Engine(
   def i18n: String = i18nValue
   def updateI18n(json: String): Unit = i18nValue = json
 
+  /** Locale-keyed lookup over the stored document (the host-app
+    * convention exercised by fixtures/adventureworks_i18n.json). */
+  def i18nView: graft.registry.I18n = new graft.registry.I18n(i18nValue)
+
   // ---- what-if -------------------------------------------------------------
 
   /** Simulate `DROP TABLE schema.table CASCADE` against the snapshot and

@@ -6,10 +6,11 @@ import scala.util.Try
 
 /** JDBC connection config + the inference chain of the reference CLI
   * (/root/reference/rust/src/parsers/mod.rs:13-67): explicit args
-  * override, then DATABASE_URL / PG* env, then docker-compose and
-  * supabase files (stubbed here, like the reference stubs pgsync/hasura
-  * — rust/src/parsers/pgsync.rs:1-3, hasura.rs:1-3), then ~/.pgpass,
-  * then libpq-style defaults (rust/src/parsers/default.rs:5-39).
+  * override, then DATABASE_URL / PG* env, then docker-compose files,
+  * then supabase/config.toml (pgsync/hasura are stubs IN THE REFERENCE
+  * — rust/src/parsers/pgsync.rs:1-3, hasura.rs:1-3 — so they have no
+  * semantics to re-express), then ~/.pgpass, then libpq-style defaults
+  * (rust/src/parsers/default.rs:5-39).
   */
 final case class ConnConfig(
     host: String = "localhost",
@@ -81,11 +82,145 @@ object ConnConfig {
       }
   }
 
-  /** Stub parsers, mirroring the reference's own stubs: a full
-    * implementation reads docker-compose.yml / supabase config.toml for
-    * a local dev database; absent files resolve to None. */
-  def fromDockerCompose(dir: Path): Option[ConnConfig] = None
-  def fromSupabase(dir: Path): Option[ConnConfig] = None
+  private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
+
+  private def unquote(v: String): String = {
+    val t = v.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+        (t.head == '\'' && t.last == '\''))) t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** A scalar value with trailing comment stripped (outside quotes). */
+  private def scalar(v: String): String = {
+    val t = v.trim
+    if (t.startsWith("\"")) {
+      val end = t.indexOf('"', 1)
+      if (end > 0) t.substring(1, end) else unquote(t)
+    } else unquote(t.takeWhile(_ != '#'))
+  }
+
+  /** Published host port of a compose `ports` block
+    * (rust/src/parsers/docker_compose.rs:16-51): short form "h:c" →
+    * first, "ip:h:c" → middle, container-only → none; long form → first
+    * `published:`; else the service's PGPORT env entry; else 5432. */
+  private def parsePorts(items: Seq[String], env: Map[String, String]): Int = {
+    val short = items.collectFirst(Function.unlift { it =>
+      val v = scalar(it.stripPrefix("-").trim)
+      v.split(":", 3).toSeq match {
+        case Seq(h, _) => Try(h.toInt).toOption
+        case Seq(_, h, _) => Try(h.toInt).toOption
+        case _ => None
+      }
+    })
+    val long = items.collectFirst(Function.unlift { it =>
+      val l = it.stripPrefix("-").trim
+      if (l.startsWith("published:")) Try(scalar(l.drop(10)).toInt).toOption
+      else None
+    })
+    short.orElse(long)
+      .orElse(env.get("PGPORT").flatMap(p => Try(p.toInt).toOption))
+      .getOrElse(5432)
+  }
+
+  /** docker-compose Postgres-service inference
+    * (rust/src/parsers/docker_compose.rs:54-182): first of compose.yaml,
+    * compose.yml, docker-compose.yml, docker-compose.yaml (the Compose
+    * spec's own preference order) containing a service whose image
+    * mentions "postgres"; host/user/password/db from POSTGRES_* entries
+    * of its environment (list `- K=V` or map `K: V` form, like the
+    * reference's Environment::List/KvPair), port from the first
+    * published mapping. Parses only the YAML subset the reference
+    * consumes (services → image/environment/ports); any unreadable file
+    * resolves None and the chain continues, like the reference's
+    * warn-and-continue. */
+  def fromDockerCompose(dir: Path): Option[ConnConfig] = {
+    val names = Seq("compose.yaml", "compose.yml", "docker-compose.yml",
+      "docker-compose.yaml")
+    names.iterator.map(dir.resolve).filter(Files.exists(_)).flatMap { p =>
+      Try(parseCompose(Files.readAllLines(p).asScala.toSeq)).toOption.flatten
+    }.nextOption()
+  }
+
+  private def parseCompose(lines0: Seq[String]): Option[ConnConfig] = {
+    val lines = lines0.filterNot(l => l.trim.isEmpty || l.trim.startsWith("#"))
+    val svcStart = lines.indexWhere(_.matches("""services:\s*"""))
+    if (svcStart < 0) return None
+    val body = lines.drop(svcStart + 1).takeWhile(indentOf(_) > 0)
+    if (body.isEmpty) return None
+    val svcIndent = indentOf(body.head)
+    // split into one group of lines per service
+    val services = body.foldLeft(Vector.empty[Vector[String]]) { (acc, l) =>
+      if (indentOf(l) == svcIndent) acc :+ Vector(l)
+      else if (acc.nonEmpty) acc.init :+ (acc.last :+ l)
+      else acc
+    }
+    services.iterator.flatMap(parseService).nextOption()
+  }
+
+  private def parseService(ls: Seq[String]): Option[ConnConfig] = {
+    val inner = ls.drop(1)
+    if (inner.isEmpty) return None
+    val keyIndent = indentOf(inner.head)
+    // split the service body into key blocks at keyIndent
+    val blocks = inner.foldLeft(Vector.empty[Vector[String]]) { (acc, l) =>
+      if (indentOf(l) == keyIndent) acc :+ Vector(l)
+      else if (acc.nonEmpty) acc.init :+ (acc.last :+ l)
+      else acc
+    }
+    def block(key: String): Option[Seq[String]] =
+      blocks.find(_.head.trim.matches(s"$key:.*")).map(_.toSeq)
+    val image = block("image").map(b => scalar(b.head.trim.drop(6)))
+    if (!image.exists(_.contains("postgres"))) return None
+    val env: Map[String, String] =
+      block("environment").map(_.drop(1).flatMap { l =>
+        val t = l.trim
+        if (t.startsWith("-")) { // list form K=V
+          scalar(t.drop(1)).split("=", 2) match {
+            case Array(k, v) => Some(k.trim -> v.trim)
+            case _ => None
+          }
+        } else t.split(":", 2) match { // map form K: V
+          case Array(k, v) => Some(k.trim -> scalar(v))
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+    val ports = block("ports").map(_.drop(1).map(_.trim)).getOrElse(Seq.empty)
+    Some(ConnConfig(
+      env.getOrElse("POSTGRES_HOST", "localhost"),
+      parsePorts(ports, env),
+      env.getOrElse("POSTGRES_DB", "postgres"),
+      env.getOrElse("POSTGRES_USER", "postgres"),
+      Some(env.getOrElse("POSTGRES_PASSWORD", "postgres"))))
+  }
+
+  /** supabase/config.toml `[db]` section
+    * (rust/src/parsers/supabase.rs:23-49). The reference deserializes
+    * user/password/host/port/dbname as REQUIRED fields — a stock
+    * Supabase config (which omits most of them) fails the parse and the
+    * chain continues; we mirror that by requiring all five keys. */
+  def fromSupabase(dir: Path): Option[ConnConfig] = {
+    val p = dir.resolve("supabase").resolve("config.toml")
+    if (!Files.exists(p)) return None
+    Try {
+      var inDb = false
+      val kv = scala.collection.mutable.Map[String, String]()
+      Files.readAllLines(p).asScala.foreach { raw =>
+        val l = raw.trim
+        if (l.startsWith("[")) inDb = l == "[db]"
+        else if (inDb && l.contains("=")) {
+          val Array(k, v) = l.split("=", 2)
+          kv(k.trim) = scalar(v)
+        }
+      }
+      for {
+        host <- kv.get("host"); port <- kv.get("port")
+        user <- kv.get("user"); pw <- kv.get("password")
+        db <- kv.get("dbname")
+        portN <- Try(port.toInt).toOption
+      } yield ConnConfig(host, portN, db, user, Some(pw))
+    }.toOption.flatten
+  }
 
   /** The full chain with explicit-override (rust/src/parsers/mod.rs:35-43). */
   def resolve(

@@ -39,6 +39,26 @@ class AwGoldenSpec extends AnyFunSuite {
     assert(engine.i18n == """{"test": 42}""")
   }
 
+  test("i18n locale lookups over the adventureworks fixture (core.clj:18-33)") {
+    val fixture = java.nio.file.Path.of(
+      "/root/reference/fixtures/adventureworks_i18n.json")
+    assume(java.nio.file.Files.exists(fixture), "reference fixture not present")
+    engine.updateI18n(java.nio.file.Files.readString(fixture))
+    val v = engine.i18nView
+    assert(v.locales.toSet == Set("en", "de"))
+    assert(v.model("de", "product").contains("Produkt"))
+    assert(v.model("en", "product").contains("Product"))
+    assert(v.attribute("de", "product", "productnumber").contains("Produkt Nummer"))
+    assert(v.attribute("en", "product", "reorderpoint").contains("Reorder Point"))
+    // enum-valued attribute: stored code → localized label
+    assert(v.enumLabels("de", "product", "productline") ==
+      Map("S" -> "Standard", "T" -> "Tour", "M" -> "Berg", "R" -> "Straße"))
+    assert(v.enumLabels("en", "product", "productline")("R") == "Road")
+    assert(v.attribute("de", "product", "productline").isEmpty) // enum ≠ plain
+    assert(v.models("de") == Seq("product"))
+    engine.updateI18n("{}") // restore the default store for other tests
+  }
+
   test("redefined list_tenants returns the app's tenant row (core_test.clj:55-72)") {
     val t = engine.listTenants.collect()
     assert(t.length == 1)

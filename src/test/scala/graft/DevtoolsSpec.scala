@@ -112,6 +112,124 @@ class DevtoolsSpec extends AnyFunSuite {
     assert(pretty.linesIterator.size > 5)
   }
 
+  // ---- docker-compose / supabase parsers (S12) ----------------------------
+
+  private def write(dir: Path, name: String, text: String): Path = {
+    val p = dir.resolve(name)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, text)
+    p
+  }
+
+  test("docker-compose: map-form environment, short ports, non-postgres services skipped") {
+    val dir = Files.createTempDirectory("compose")
+    write(dir, "docker-compose.yml",
+      """version: "3"
+        |services:
+        |  web:
+        |    image: nginx:latest
+        |    ports:
+        |      - "80:80"
+        |  db:
+        |    image: postgres:16
+        |    environment:
+        |      POSTGRES_USER: app
+        |      POSTGRES_PASSWORD: s3cret
+        |      POSTGRES_DB: appdb
+        |    ports:
+        |      - "8432:5432"
+        |""".stripMargin)
+    assert(ConnConfig.fromDockerCompose(dir) ==
+      Some(ConnConfig("localhost", 8432, "appdb", "app", Some("s3cret"))))
+  }
+
+  test("docker-compose: list-form environment, ip:host:container ports, long form, defaults") {
+    val dir = Files.createTempDirectory("compose")
+    write(dir, "compose.yaml",
+      """services:
+        |  pg:
+        |    image: postgres
+        |    environment:
+        |      - POSTGRES_PASSWORD=pw
+        |      - PGPORT=7777
+        |    ports:
+        |      - "127.0.0.1:9432:5432"
+        |""".stripMargin)
+    assert(ConnConfig.fromDockerCompose(dir) ==
+      Some(ConnConfig("localhost", 9432, "postgres", "postgres", Some("pw"))))
+
+    val dir2 = Files.createTempDirectory("compose")
+    write(dir2, "compose.yaml",
+      """services:
+        |  pg:
+        |    image: postgres:15-alpine
+        |    environment:
+        |      - POSTGRES_PASSWORD=pw
+        |    ports:
+        |      - target: 5432
+        |        published: 6543
+        |""".stripMargin)
+    assert(ConnConfig.fromDockerCompose(dir2).map(_.port) == Some(6543))
+
+    // container-only port → PGPORT env entry → libpq default
+    val dir3 = Files.createTempDirectory("compose")
+    write(dir3, "compose.yaml",
+      """services:
+        |  pg:
+        |    image: postgres
+        |    environment:
+        |      - PGPORT=7777
+        |    ports:
+        |      - "5432"
+        |""".stripMargin)
+    assert(ConnConfig.fromDockerCompose(dir3).map(_.port) == Some(7777))
+  }
+
+  test("docker-compose: compose.yaml preferred over docker-compose.yml (spec order)") {
+    val dir = Files.createTempDirectory("compose")
+    write(dir, "docker-compose.yml",
+      "services:\n  db:\n    image: postgres\n    environment:\n      POSTGRES_DB: fromdc\n")
+    write(dir, "compose.yaml",
+      "services:\n  db:\n    image: postgres\n    environment:\n      POSTGRES_DB: fromcompose\n")
+    assert(ConnConfig.fromDockerCompose(dir).map(_.database) == Some("fromcompose"))
+  }
+
+  test("supabase: full [db] section parses; stock partial config rejected like the reference") {
+    val dir = Files.createTempDirectory("supa")
+    write(dir, "supabase/config.toml",
+      """project_id = "demo"
+        |[db]
+        |host = "127.0.0.1"
+        |port = 54322 # local stack port
+        |user = "postgres"
+        |password = "postgres"
+        |dbname = "postgres"
+        |[db.pooler]
+        |port = 54329
+        |""".stripMargin)
+    assert(ConnConfig.fromSupabase(dir) ==
+      Some(ConnConfig("127.0.0.1", 54322, "postgres", "postgres", Some("postgres"))))
+
+    // a stock supabase config omits db credentials → required-field parse
+    // failure in the reference → chain continues (None here)
+    val dir2 = Files.createTempDirectory("supa")
+    write(dir2, "supabase/config.toml", "[db]\nport = 54322\n")
+    assert(ConnConfig.fromSupabase(dir2).isEmpty)
+  }
+
+  test("resolve: env beats docker-compose beats supabase (reference chain order)") {
+    val dir = Files.createTempDirectory("chain")
+    write(dir, "compose.yaml",
+      "services:\n  db:\n    image: postgres\n    environment:\n      POSTGRES_DB: dcdb\n")
+    write(dir, "supabase/config.toml",
+      "[db]\nhost = \"h\"\nport = 1\nuser = \"u\"\npassword = \"p\"\ndbname = \"supadb\"\n")
+    assert(ConnConfig.resolve(env = Map("PGDATABASE" -> "envdb"), cwd = dir)
+      .database == "envdb")
+    assert(ConnConfig.resolve(env = Map.empty, cwd = dir).database == "dcdb")
+    Files.delete(dir.resolve("compose.yaml"))
+    assert(ConnConfig.resolve(env = Map.empty, cwd = dir).database == "supadb")
+  }
+
   // ---- Doctor role walk (rust/src/doctor.rs:57-160) -----------------------
 
   test("doctor: multi-hop role hierarchy closure and nested privilege rollup") {
