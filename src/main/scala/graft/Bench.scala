@@ -17,24 +17,27 @@ object Bench {
           System.err.println(s"warmup failed for $name: $e")
       } finally spark.catalog.clearCache() // operators persist intermediates
     }
-    // A failed query is a FAILURE, not a slow query: record it as such,
-    // report every failure on stderr, and exit nonzero.
+    // A failed query is a FAILURE, not a slow query: it records a -1
+    // sentinel (never its time-to-crash), is excluded from the total,
+    // lands in the failed list, and forces a nonzero exit.
     val failed = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"BENCH FAILURE in $name:")
-          e.printStackTrace()
-      }
+      val ok =
+        try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"BENCH FAILURE in $name:")
+            e.printStackTrace()
+            false
+        }
       val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // isolate queries: no cross-query caches
-      name -> t
+      name -> (if (ok) t else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

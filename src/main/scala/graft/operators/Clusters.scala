@@ -62,23 +62,24 @@ object Clusters {
       val nbrMin = adj
         .join(labels.select(col("n").as("x"), col("label").as("xlabel")), "x")
         .groupBy(col("n")).agg(min(col("xlabel")).as("nbr_min"))
-      // materialized: feeds both sides of the pointer-doubling self-join
+      // materialized: feeds both sides of the pointer-doubling self-join.
+      // `old` rides along so convergence detection below is a plain scan
+      // of the checkpointed frame, not an extra join job per round.
       val propagated = labels.join(nbrMin, Seq("n"), "left")
-        .select(col("n"),
+        .select(col("n"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
         .localCheckpoint()
       // (2) pointer doubling: label <- label(label). Every label is a
       // node id of the same component, so the lookup always hits.
-      val next = propagated.as("p")
-        .join(propagated.select(col("n").as("label"),
-          col("label").as("ll")).as("l"), Seq("label"), "left")
-        .select(col("n"), least(col("label"), coalesce(col("ll"), col("label")))
-          .as("label"))
+      val doubled = least(col("label"), coalesce(col("ll"), col("label")))
+      val next = propagated
+        .join(propagated.select(col("n").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("n"), doubled.as("label"), (doubled =!= col("old")).as("chg"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "n")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("chg")).limit(1).count()
+      labels = next.select(col("n"), col("label"))
       converged = changed == 0
       iter += 1
     }

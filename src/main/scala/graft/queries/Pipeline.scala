@@ -115,6 +115,34 @@ object Pipeline {
        |  (len(sa.shingles) + len(sb.shingles) - p.inter) * $JaccardNum""".stripMargin
   }
 
+  /** The 100 TB n-gram path: p02 above is the EXACTNESS BASELINE (full
+    * inverted index, Σdf² candidate cost — fine at validation scale,
+    * quadratic in boilerplate-shingle df at corpus scale); this variant
+    * gates the df-capped index + exact-verify path that the clustered
+    * pipelines (p13/p15) already compose. Reported (inter, union_sz)
+    * are still the true full-array values. */
+  private def p02b(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.df(spark, dir, "documents"),
+      "doc_id", "text", ShingleN, JaccardNum, JaccardDen,
+      maxDocFreq = Some(JaccardMaxDf))
+      .select(col("ida"), col("idb"), col("inter").cast("long").as("inter"),
+        col("union_sz").cast("long").as("union_sz"))
+
+  private val p02bSql = {
+    val inter = "len(list_intersect(sa.shingles, sb.shingles))"
+    // cappedPairsCtes' final `pairs` CTE goes unused here (it carries no
+    // inter/union columns); DuckDB is fine with an unreferenced CTE
+    s"""WITH ${cappedPairsCtes("documents", JaccardMaxDf)}
+       |SELECT c.ida, c.idb,
+       |  $inter::BIGINT AS inter,
+       |  (len(sa.shingles) + len(sb.shingles) - $inter)::BIGINT AS union_sz
+       |FROM cnd c
+       |JOIN sh sa ON sa.doc_id = c.ida
+       |JOIN sh sb ON sb.doc_id = c.idb
+       |WHERE $inter * $JaccardDen >=
+       |  (len(sa.shingles) + len(sb.shingles) - $inter) * $JaccardNum""".stripMargin
+  }
+
   private def p03(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(Tables.df(spark, dir, "documents"),
       "doc_id", "text", ShingleN, MinhashK, LshBands, JaccardNum, JaccardDen)
@@ -683,6 +711,7 @@ object Pipeline {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
+    QueryDef("p02b_ngram_jaccard_capped", p02b, Some(p02bSql)),
     QueryDef("p03_minhash_lsh", p03, Some(p03Sql)),
     QueryDef("p04_simhash", p04, Some(p04Sql)),
     QueryDef("p05_embed_neardup", p05, Some(p05Sql)),

@@ -32,6 +32,20 @@ class ClustersSpec extends AnyFunSuite {
     assert(m(60L) == 60L && m(61L) == 60L)
   }
 
+  test("200-node path converges within the pointer-doubling bound") {
+    // worst case for min-label propagation: a single path of diameter
+    // 199. Plain propagation needs ~200 rounds; with pointer doubling
+    // label distance to the minimum roughly squares per round, so ~12
+    // rounds must suffice — maxIter = 12 both pins convergence SPEED
+    // (a regression in the doubling step throws here) and correctness.
+    import spark.implicits._
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val m = Clusters.connectedComponents(edges, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 200)
+    assert(m.values.forall(_ == 1L))
+  }
+
   test("dedup plan marks exactly one keeper per cluster") {
     import spark.implicits._
     val plan = Clusters.dedupPlan(
