@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data hygiene step that flags
+  * corpus documents overlapping an evaluation suite, so eval questions
+  * don't leak into training. The standard formulation (the n-gram
+  * membership test of the GPT-3 and PaLM data cards) is: a document is
+  * contaminated when at least `minHits` of its word n-grams also occur
+  * anywhere in the eval suite.
+  *
+  * Scale shape: the EVAL side is small (benchmark suites are thousands
+  * of documents) and the CORPUS side is the 100 TB one, so the eval
+  * n-gram set — deduplicated, one short string per row — is broadcast
+  * and the corpus streams through a map-side semi-join + partial
+  * aggregate; the corpus is never shuffled by gram. The per-doc
+  * distinct-gram count shuffles only (doc_id, gram-hit) pairs, bounded
+  * by hits, not corpus size.
+  */
+object Decontaminate {
+
+  /** Per-document eval-overlap counts.
+    *
+    * @param corpus (idCol, textCol, …) — the training-candidate side
+    * @param eval   (textCol, …) — the benchmark suite
+    * @param n      n-gram width (word shingles; 8 is the GPT-3 choice,
+    *               smaller for short synthetic fixtures)
+    * @param minHits flag threshold: contaminated ⇔ hits ≥ minHits
+    * @return (idCol, eval_gram_hits, contaminated) — docs with zero
+    *         overlap keep eval_gram_hits = 0, so the output is a total
+    *         verdict per corpus doc, joinable back to the keep/drop plan
+    */
+  def ngramOverlap(
+      corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minHits: Int = 1): DataFrame = {
+    val evalGrams = Dedup.shingleDocs(
+        eval.select(lit(0L).as("doc_id"), col(textCol)), "doc_id", textCol, n)
+      .select(explode(col("shingles")).as("s"))
+      .distinct()
+    val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val hits = corpusGrams
+      .join(broadcast(evalGrams), Seq("s")) // map-side semi vs tiny set
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("s")).as("eval_gram_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("eval_gram_hits"), lit(0L)).as("eval_gram_hits"))
+      .withColumn("contaminated", col("eval_gram_hits") >= minHits)
+  }
+}

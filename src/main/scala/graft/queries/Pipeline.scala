@@ -708,6 +708,34 @@ object Pipeline {
       |  SUM(checksum)::BIGINT AS checksum_sum
       |FROM feat GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Benchmark decontamination over the documents table: docs whose id
+    * is ≡0 mod 97 stand in for the eval suite; every other doc is
+    * scored by distinct eval-n-gram overlap and flagged at ≥3 hits.
+    * The eval-gram set broadcasts; the corpus is never shuffled by
+    * gram (operators/Decontaminate scaladoc). */
+  private def p19(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    graft.operators.Decontaminate.ngramOverlap(
+      docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 97 === 0).select(col("text")),
+      "doc_id", "text", n = ShingleN, minHits = 3)
+  }
+
+  private val p19Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       |ev AS (SELECT DISTINCT unnest($sh) AS s
+       |       FROM documents WHERE doc_id % 97 = 0),
+       |cg AS (SELECT doc_id, unnest($sh) AS s FROM corpus),
+       |hits AS (
+       |  SELECT cg.doc_id, COUNT(DISTINCT cg.s) AS h
+       |  FROM cg JOIN ev USING (s) GROUP BY 1)
+       |SELECT c.doc_id,
+       |  COALESCE(h.h, 0)::BIGINT AS eval_gram_hits,
+       |  COALESCE(h.h, 0) >= 3 AS contaminated
+       |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -727,5 +755,6 @@ object Pipeline {
     QueryDef("p15_curation", p15, Some(p15Sql)),
     QueryDef("p16_gopher_rules", p16, Some(p16Sql)),
     QueryDef("p17_repetition", p17, Some(p17Sql)),
-    QueryDef("p18_stratified_sample", p18, Some(p18Sql)))
+    QueryDef("p18_stratified_sample", p18, Some(p18Sql)),
+    QueryDef("p19_decontaminate", p19, Some(p19Sql)))
 }

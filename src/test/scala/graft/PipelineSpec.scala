@@ -17,6 +17,30 @@ class PipelineSpec extends AnyFunSuite {
   private def docs = Tables.df(spark, sf, "documents")
   private def embs = Tables.df(spark, sf, "embeddings")
 
+  test("decontamination: verbatim eval copy fully flagged, disjoint doc clean, eval set broadcast") {
+    import spark.implicits._
+    val eval = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim leak
+      (2L, "prefix words alpha beta gamma delta epsilon tail end"), // partial
+      (3L, "completely different words with no overlap at all here")) // clean
+      .toDF("doc_id", "text")
+    val out = graft.operators.Decontaminate
+      .ngramOverlap(corpus, eval, "doc_id", "text", n = 5, minHits = 2)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // 8 tokens, 5-gram → 4 shingles; the verbatim doc shares all 4
+    assert(rows(1L) == ((4L, true)))
+    // doc 2 contains "alpha beta gamma delta epsilon" → exactly 1 shared
+    assert(rows(2L) == ((1L, false)))
+    assert(rows(3L) == ((0L, false)))
+    // every corpus doc gets a verdict row
+    assert(rows.size == 3)
+    // the plan broadcasts the eval-gram set, never shuffles corpus by gram
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
   test("exact dedup: keepers unique, copy counts sum to row count") {
     val d = Dedup.exact(docs, "doc_id", "text").collect()
     assert(d.map(_.getAs[Long]("keep_id")).distinct.length == d.length)
