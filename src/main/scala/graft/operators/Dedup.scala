@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *      the LSH variant is the scale path).
   *   3. MinHash + LSH — signature → band buckets → candidates → exact
   *      verify. Cost ∝ candidates, not pairs; the 100 TB path.
-  *   4. SimHash      — one 32/64-bit fingerprint per doc; near-dups =
+  *   4. SimHash      — one 60-bit fingerprint per doc; near-dups =
   *      same-bucket fingerprints at small Hamming distance.
   *
   * All hashing is md5-derived (TextFns) so results are deterministic and
@@ -168,30 +168,34 @@ object Dedup {
       .select(col("ida"), col("idb"), col("inter"), col("union_sz"))
   }
 
-  /** SimHash fingerprints: (doc_id, simhash). Staged like shingleDocs:
-    * repartition for parallelism, tokens then token-hashes as their own
-    * projections (the 32 bit-probes reference the hash array 64×). */
+  /** SimHash fingerprints: (doc_id, simhash), 60-bit. Staged like
+    * shingleDocs: repartition for parallelism, tokens then token-hashes
+    * as their own projections (the 60 bit-probes reference the hash
+    * array 120×). */
   def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
         tokens(normText(col(textCol))).as("toks"))
-      .select(col("doc_id"), transform(col("toks"), t => hash32(t)).as("th"))
-      .select(col("doc_id"), simhash32(col("th")).as("simhash"))
+      .select(col("doc_id"), transform(col("toks"), t => hash60(t)).as("th"))
+      .select(col("doc_id"), simhash60(col("th")).as("simhash"))
 
-  /** SimHash near-dup pairs: block on identical fingerprint bytes (any of
-    * the 4 bytes equal → candidate, the standard Hamming-block trick:
-    * distance ≤ 3 ⇒ at least one of 4 bytes identical), then verify
-    * Hamming ≤ maxDist. */
+  /** SimHash near-dup pairs: block on identical 15-bit fingerprint
+    * blocks (any of the 4 blocks equal → candidate, the standard
+    * Hamming-block trick: distance ≤ 3 ⇒ at least one of 4 blocks
+    * identical), then verify Hamming ≤ maxDist. 15-bit keys over the
+    * 60-bit fingerprint keep block buckets ~128× smaller than the old
+    * 8-bit/32-bit scheme — the candidate count that matters at corpus
+    * scale. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     val fp = simhashDocs(docs, idCol, textCol)
     // persisted: both sides of the block self-join
     val blocks = fp.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { byte =>
-          struct(lit(byte).as("blk"),
-            shiftright(col("simhash"), byte * 8).bitwiseAND(255).as("key"))
+        explode(array((0 until 4).map { blk =>
+          struct(lit(blk).as("blk"),
+            shiftright(col("simhash"), blk * 15).bitwiseAND(32767).as("key"))
         }: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.blk").as("blk"), col("bk.key").as("key"))

@@ -60,6 +60,9 @@ object Pipeline {
   // corpus); vectors multi-assign to their IvfProbe nearest cells
   private val IvfCells = 64
   private val IvfProbe = 3
+  // TF-IDF terms reported per doc; sequence-packing context window
+  private val TfidfTopK = 3
+  private val PackBudget = 256
 
   /** Shared CTE block `sh → … → pairs` mirroring
     * Dedup.ngramJaccardPairs(maxDocFreq = Some(cap)): candidates from
@@ -183,24 +186,25 @@ object Pipeline {
 
   private val p04Sql = {
     val toks = toksSql(normSql("text"))
+    val hash60 = "('0x' || substr(md5(tk), 1, 15))::BIGINT"
     s"""WITH h AS (
        |  SELECT doc_id,
-       |    list_transform($toks, tk -> ${hash32Sql("tk")}) AS th
+       |    list_transform($toks, tk -> $hash60) AS th
        |  FROM documents),
        |f AS (
        |  SELECT doc_id,
-       |    list_sum(list_transform(generate_series(0, 31), b ->
+       |    list_sum(list_transform(generate_series(0, 59), b ->
        |      CASE WHEN 2 * len(list_filter(th, x -> ((x >> b) & 1) = 1)) >= len(th)
        |           THEN (1::BIGINT << b) ELSE 0::BIGINT END))::BIGINT AS simhash
        |  FROM h),
        |blk AS (
-       |  SELECT doc_id, simhash, g.byte, ((simhash >> (g.byte*8)) & 255) AS key
-       |  FROM f, generate_series(0, 3) g(byte)),
+       |  SELECT doc_id, simhash, g.blk, ((simhash >> (g.blk*15)) & 32767) AS key
+       |  FROM f, generate_series(0, 3) g(blk)),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
        |    a.simhash AS sa, b.simhash AS sb
        |  FROM blk a JOIN blk b
-       |    ON a.byte = b.byte AND a.key = b.key AND a.doc_id < b.doc_id)
+       |    ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id)
        |SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INT) AS dist
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3""".stripMargin
   }
@@ -736,6 +740,83 @@ object Pipeline {
        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
   }
 
+  // ---- corpus statistics --------------------------------------------------
+
+  /** TF-IDF top terms per doc — rational idf (tf·N/df in one double
+    * division), so the approximate-free score is bit-reproducible; no
+    * driver action for N (1-row aggregate broadcast). */
+  private def p20(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.tfidfTopTerms(
+      Tables.df(spark, dir, "documents"), "doc_id", "text", TfidfTopK)
+
+  private val p20Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |n AS (SELECT COUNT(*) AS n_docs FROM t),
+       |ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+       |s AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+       |    CAST(tf.tf * n.n_docs AS DOUBLE) / df.doc_freq AS score
+       |  FROM tf JOIN df USING (term), n),
+       |r AS (
+       |  SELECT doc_id, term, tf, doc_freq, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term) AS rnk
+       |  FROM s)
+       |SELECT doc_id, term, tf, doc_freq, score, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= $TfidfTopK""".stripMargin
+  }
+
+  /** Domain-mixture reweighting: per-source token mass + the uniform-
+    * target sampling weight (exact rational arithmetic, one division). */
+  private def p21(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.domainMixWeights(
+      Tables.df(spark, dir, "documents"), "source", "text")
+
+  private val p21Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH per AS (
+       |  SELECT source AS domain, COUNT(*) AS n_docs,
+       |    SUM(len($toks))::BIGINT AS domain_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT SUM(domain_tokens)::BIGINT AS total_tokens,
+       |               COUNT(*) AS n_domains FROM per)
+       |SELECT p.domain, p.n_docs, p.domain_tokens,
+       |  CAST(p.domain_tokens AS DOUBLE) / t.total_tokens AS token_share,
+       |  CAST(t.total_tokens AS DOUBLE)
+       |    / (t.n_domains * p.domain_tokens) AS mix_weight
+       |FROM per p, tot t""".stripMargin
+  }
+
+  /** Sequence packing: concat-and-chunk per source into $PackBudget-token
+    * context windows (partitioned running sum — no global sort). */
+  private def p22(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.packSequences(
+      Tables.df(spark, dir, "documents"), "source", "doc_id", "text",
+      PackBudget)
+      .withColumnRenamed("grp", "domain")
+
+  private val p22Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH t AS (
+       |  SELECT source AS domain, doc_id,
+       |    CAST(len($toks) AS INT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT domain, doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY domain ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tokens_before
+       |  FROM t)
+       |SELECT domain,
+       |  CAST(FLOOR(CAST(tokens_before AS DOUBLE) / $PackBudget) AS BIGINT)
+       |    AS bin_id,
+       |  COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS bin_tokens
+       |FROM c GROUP BY 1, 2""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -756,5 +837,8 @@ object Pipeline {
     QueryDef("p16_gopher_rules", p16, Some(p16Sql)),
     QueryDef("p17_repetition", p17, Some(p17Sql)),
     QueryDef("p18_stratified_sample", p18, Some(p18Sql)),
-    QueryDef("p19_decontaminate", p19, Some(p19Sql)))
+    QueryDef("p19_decontaminate", p19, Some(p19Sql)),
+    QueryDef("p20_tfidf", p20, Some(p20Sql)),
+    QueryDef("p21_domain_mix", p21, Some(p21Sql)),
+    QueryDef("p22_seq_pack", p22, Some(p22Sql)))
 }
