@@ -97,6 +97,9 @@ object ConnConfig {
     if (t.startsWith("\"")) {
       val end = t.indexOf('"', 1)
       if (end > 0) t.substring(1, end) else unquote(t)
+    } else if (t.startsWith("'")) {
+      val end = t.indexOf('\'', 1)
+      if (end > 0) t.substring(1, end) else unquote(t)
     } else unquote(t.takeWhile(_ != '#'))
   }
 

@@ -62,7 +62,7 @@ object Doctor {
       n = closure.count()
       iter += 1
     }
-    if (iter == 64)
+    if (n != prev)
       throw new IllegalStateException(
         "role hierarchy did not converge in 64 rounds")
     closure

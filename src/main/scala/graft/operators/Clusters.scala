@@ -62,14 +62,16 @@ object Clusters {
       val nbrMin = adj
         .join(labels.select(col("n").as("x"), col("label").as("xlabel")), "x")
         .groupBy(col("n")).agg(min(col("xlabel")).as("nbr_min"))
-      // materialized: feeds both sides of the pointer-doubling self-join.
+      // persisted (not checkpointed): both sides of the pointer-doubling
+      // self-join read it, and the cache fills inside `next`'s single
+      // checkpoint job — one materialization job per round, not two.
       // `old` rides along so convergence detection below is a plain scan
       // of the checkpointed frame, not an extra join job per round.
       val propagated = labels.join(nbrMin, Seq("n"), "left")
         .select(col("n"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-        .localCheckpoint()
+        .persist()
       // (2) pointer doubling: label <- label(label). Every label is a
       // node id of the same component, so the lookup always hits.
       val doubled = least(col("label"), coalesce(col("ll"), col("label")))
@@ -78,6 +80,7 @@ object Clusters {
           Seq("label"), "left")
         .select(col("n"), doubled.as("label"), (doubled =!= col("old")).as("chg"))
         .localCheckpoint()
+      propagated.unpersist(blocking = false)
       val changed = next.filter(col("chg")).limit(1).count()
       labels = next.select(col("n"), col("label"))
       converged = changed == 0

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,6 +84,57 @@ object Corpus {
           .as("token_share"),
         (col("total_tokens").cast("double")
           / (col("n_domains") * col("domain_tokens"))).as("mix_weight"))
+  }
+
+  /** Per-group EXACT interpolated quantiles of token counts (the
+    * length-distribution audit every curation run starts from), computed
+    * from a value histogram rather than a per-group sort: state is
+    * bounded by DISTINCT lengths (a few thousand), not rows, so the same
+    * plan holds at 100 TB where collect-and-sort or a full-sort
+    * percentile would not. Quantile q(p) uses the standard linear
+    * interpolation on rank p·(n−1) (quantile_cont / numpy semantics):
+    * integer histogram ranks until the single final lerp, so results
+    * are bit-reproducible across engines.
+    *
+    * @return (grp, n_docs, min_tokens, max_tokens, mean_tokens,
+    *         q_<label> per requested prob)
+    */
+  def tokenQuantiles(docs: DataFrame, groupCol: String, textCol: String,
+      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
+        "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+    val n = docs.select(col(groupCol).as("grp"),
+      size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n"))
+    val hist = n.groupBy(col("grp"), col("n")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("total"), min(col("n")).as("min_tokens"),
+        max(col("n")).as("max_tokens"),
+        sum(col("n") * col("cnt")).as("sum_tokens"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(tot, "grp")
+    // per prob: the histogram values at 0-based ranks floor/ceil(p·(n−1))
+    // — min(n) over rows whose cumulative count covers the rank
+    val aggs: Seq[Column] = Seq(
+      first(col("total")).as("total"),
+      first(col("min_tokens")).as("min_tokens"),
+      first(col("max_tokens")).as("max_tokens"),
+      first(col("sum_tokens")).as("sum_tokens")) ++
+      probs.flatMap { case (label, p) =>
+        val idx = lit(p) * (col("total") - 1)
+        Seq(min(when(col("cum") >= floor(idx) + 1, col("n"))).as(s"_lo_$label"),
+          min(when(col("cum") >= ceil(idx) + 1, col("n"))).as(s"_hi_$label"))
+      }
+    val ranked = cum.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    ranked.select(
+      Seq(col("grp"), col("total").as("n_docs"), col("min_tokens"),
+        col("max_tokens"),
+        (col("sum_tokens").cast("double") / col("total")).as("mean_tokens")) ++
+      probs.map { case (label, p) =>
+        val idx = lit(p) * (col("total") - 1)
+        (col(s"_lo_$label").cast("double") + (idx - floor(idx)) *
+          (col(s"_hi_$label") - col(s"_lo_$label")).cast("double")).as(label)
+      }: _*)
   }
 
   /** Sequence packing (concat-and-chunk): within each group, documents

@@ -27,15 +27,21 @@ object Decontaminate {
     * @param n      n-gram width (word shingles; 8 is the GPT-3 choice,
     *               smaller for short synthetic fixtures)
     * @param minHits flag threshold: contaminated ⇔ hits ≥ minHits
-    * @return (idCol, eval_gram_hits, contaminated) — docs with zero
-    *         overlap keep eval_gram_hits = 0, so the output is a total
-    *         verdict per corpus doc, joinable back to the keep/drop plan
+    * @return (doc_id, eval_gram_hits, contaminated) — `doc_id` carries
+    *         the corpus `idCol` values; docs with zero overlap keep
+    *         eval_gram_hits = 0, so the output is a total verdict per
+    *         corpus doc, joinable back to the keep/drop plan
     */
   def ngramOverlap(
       corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minHits: Int = 1): DataFrame = {
+    // distinct per-row ids so shingleDocs' keyed repartition spreads the
+    // eval suite across cores instead of collapsing it onto one
+    // partition; the ids are discarded right after shingling, so their
+    // nondeterminism never reaches the result (grams are id-free)
     val evalGrams = Dedup.shingleDocs(
-        eval.select(lit(0L).as("doc_id"), col(textCol)), "doc_id", textCol, n)
+        eval.select(monotonically_increasing_id().as("doc_id"), col(textCol)),
+        "doc_id", textCol, n)
       .select(explode(col("shingles")).as("s"))
       .distinct()
     val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)

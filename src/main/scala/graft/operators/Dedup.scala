@@ -120,6 +120,59 @@ object Dedup {
     }
   }
 
+  /** Chunk-level boilerplate removal (the line/paragraph dedup of
+    * RefinedWeb-style pipelines, on token windows since the corpus
+    * format has no line structure): cut each doc's normalized tokens
+    * into consecutive `w`-token chunks, count each distinct chunk's
+    * document frequency across the corpus, drop chunks appearing in
+    * more than `maxDf` docs, and reassemble the survivors in original
+    * order.
+    *
+    * Plan shape: one explode + one groupBy(chunk) for the df count
+    * (shuffle on uniform text keys), a broadcast-ready boilerplate set
+    * (only chunks OVER the cap — tiny by construction), and a
+    * groupBy(doc) reassembly. Nothing is quadratic: cost is
+    * O(total_chunks) end to end at any corpus size.
+    *
+    * @return (doc_id, n_chunks, n_removed, tokens_kept,
+    *   kept_text_hash) — kept_text_hash is md5 of the space-joined
+    *   surviving chunks, so a doc with nothing removed hashes to
+    *   md5(normText(text)): reassembly is verifiable, not just counted.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 5, maxDf: Int = 3): DataFrame = {
+    val t = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        tokens(normText(col(textCol))).as("toks"))
+    val chunks = t
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0),
+            greatest(ceil(size(col("toks")).cast("double") / w).cast("int")
+              - 1, lit(0))),
+          i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
+      .toDF("doc_id", "pos", "chunk")
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(count_distinct(col("doc_id")).as("chunk_df"))
+      .filter(col("chunk_df") > maxDf)
+      .select(col("chunk"), lit(true).as("boiler"))
+    chunks.join(broadcast(boiler), Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("boiler"), 1)).as("n_removed"),
+        coalesce(sum(when(col("boiler").isNull,
+            when(length(col("chunk")) === 0, 0)
+              .otherwise(size(split(col("chunk"), " "))))), lit(0))
+          .cast("long").as("tokens_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("boiler").isNull, struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ")).as("kept_text_hash"))
+  }
+
   /** MinHash signatures: (doc_id, shingles, sig[k]). The md5 shingle
     * hashes materialize once in their own projection; the k permutations
     * are long arithmetic over that array. */

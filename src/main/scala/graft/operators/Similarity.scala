@@ -168,16 +168,63 @@ object Similarity {
       .withColumn("_r", row_number().over(byVec))
       .filter(col("_r") <= assignProbe)
       .select(col("list_id"), col("vec_id"), col("v"), col("v_n"))
-    assigned.as("a")
-      .join(assigned.as("b"),
+    // candidate generation over bare ids: the bucket self-join and the
+    // distinct shuffle move 16-byte pairs, not 0.5 KB vector payloads
+    // (multi-assignment means ~assignProbe² duplicates of every pair —
+    // dedup BEFORE attaching vectors or the verify shuffle is ~30×
+    // heavier than it needs to be).
+    val slim = assigned.select(col("list_id"), col("vec_id")).persist()
+    val cand = slim.as("a")
+      .join(slim.as("b"),
         col("a.list_id") === col("b.list_id")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        col("a.v").as("va"), col("a.v_n").as("na"),
-        col("b.v").as("vb"), col("b.v_n").as("nb"))
-      .dropDuplicates("ida", "idb")
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"))
+      .distinct()
+    // exact verification: vectors re-attach via two id-keyed joins (one
+    // row per vector; shuffle-on-id at scale, AQE-broadcast when small)
+    val vecs = v.select(col("vec_id"), col("v"), col("v_n"))
+    cand
+      .join(vecs.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("v_n").as("na")), "ida")
+      .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("v_n").as("nb")), "idb")
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) > threshold)
       .select(col("ida"), col("idb"))
+  }
+
+  /** k-NN label prediction + per-label accuracy: predict each query
+    * vector's label by majority vote among its `k` nearest corpus
+    * vectors (cosine), ties broken toward the smaller label; report
+    * (label, n_queries, n_correct, accuracy) per true label — the
+    * embedding-quality eval harness of a training-data pipeline
+    * (fastText-style label probing over the embedding column).
+    *
+    * Built on `bruteForceTopK` (exact, deterministic); at corpus scale
+    * swap in `lshTopK`/`ivfTopK` for the neighbor stage — the vote and
+    * rollup stages are shape-identical. Voting shuffles only (query,
+    * label) pairs: bounded by |Q|·k, never corpus-sized.
+    */
+  def knnClassify(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val nn = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+    val nbrLabels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("nbr_label"))
+    val byVotes = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nbr_label"))
+    val pred = nn.join(nbrLabels, "neighbor_id")
+      .groupBy(col("query_id"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("_r", row_number().over(byVotes))
+      .filter(col("_r") === 1)
+      .select(col("query_id"), col("nbr_label").as("pred_label"))
+    queries.select(col(idCol).as("query_id"), col(labelCol).as("label"))
+      .join(pred, "query_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        count(when(col("pred_label") === col("label"), 1)).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_queries"))
   }
 
   /** Deterministic pseudo-random unit-free hyperplanes: `planes(p)(i)` is
@@ -213,23 +260,30 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       bands: Int = 16, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, dim)
-    def keyed(df: DataFrame, id: String, vec: String) =
-      withNorm(df, idCol, vecCol, id, vec)
-        .repartition(par(df), col(id))
-        .select(col(id), col(vec), col(s"${vec}_n"),
-          explode(sketchBands(col(vec), planes, bitsPerBand)).as("bk"))
-        .select(col(id), col(vec), col(s"${vec}_n"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-    val qk = keyed(queries, "query_id", "qv")
-    val ck = keyed(corpus, "neighbor_id", "cv")
-    val cand = qk.join(ck, Seq("band", "key"))
+    // persisted: each side feeds its sketch AND the re-rank vector
+    // lookup; 1 row per vector, so the cache is corpus-sized, not
+    // candidate-sized.
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv").persist()
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .repartition(par(corpus), col("neighbor_id")).persist()
+    // candidate generation over bare ids: the band join and the distinct
+    // shuffle move (band, key, id) rows — a band collides ~|bucket|
+    // times per query, so carrying the two 64-dim vectors through the
+    // join + dropDuplicates (the old shape) multiplied the shuffle
+    // payload by ~60×. Vectors re-attach per UNIQUE candidate below.
+    def keyed(df: DataFrame, id: String, vec: String) = df
+      .select(col(id), explode(sketchBands(col(vec), planes, bitsPerBand)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = keyed(q, "query_id", "qv")
+      .join(keyed(c, "neighbor_id", "cv"), Seq("band", "key"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("qv"), col("qv_n"),
-        col("neighbor_id"), col("cv"), col("cv_n"))
-      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand
+      .join(broadcast(q), "query_id")
+      .join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n"))).as("cos"))
       .withColumn("rank", row_number().over(w))

@@ -63,6 +63,11 @@ object Pipeline {
   // TF-IDF terms reported per doc; sequence-packing context window
   private val TfidfTopK = 3
   private val PackBudget = 256
+  // chunk-level boilerplate removal: token window + doc-frequency cap
+  private val ChunkW = 5
+  private val ChunkMaxDf = 3
+  // kNN label probe: every KnnHoldMod-th vector is held out as a query
+  private val KnnHoldMod = 20
 
   /** Shared CTE block `sh → … → pairs` mirroring
     * Dedup.ngramJaccardPairs(maxDocFreq = Some(cap)): candidates from
@@ -687,6 +692,126 @@ object Pipeline {
        |    ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100 < 20) AS n_sampled
        |FROM documents GROUP BY source""".stripMargin
 
+  /** Chunk-level boilerplate removal (operators/Dedup.chunkDedup): drop
+    * 5-token chunks occurring in more than ChunkMaxDf docs, reassemble,
+    * and hash the surviving text so reassembly order is verified. */
+  private def p23(spark: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(Tables.df(spark, dir, "documents"), "doc_id", "text",
+      ChunkW, ChunkMaxDf)
+
+  private val p23Sql = {
+    val toks = toksSql(normSql("text"))
+    val w = ChunkW
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |px AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0,
+       |      greatest(CAST(ceil(len(toks) / $w.0) AS INT) - 1, 0))) AS pos
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(toks[pos*$w+1 : pos*$w+$w], ' ') AS chunk
+       |  FROM px),
+       |b AS (SELECT chunk FROM ch GROUP BY chunk
+       |      HAVING COUNT(DISTINCT doc_id) > $ChunkMaxDf),
+       |f AS (SELECT ch.doc_id, ch.pos, ch.chunk, (b.chunk IS NOT NULL) AS boiler
+       |      FROM ch LEFT JOIN b ON ch.chunk = b.chunk)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  COUNT(*) FILTER (WHERE boiler) AS n_removed,
+       |  CAST(COALESCE(SUM(CASE WHEN length(chunk) = 0 THEN 0
+       |    ELSE len(string_split(chunk, ' ')) END) FILTER (WHERE NOT boiler),
+       |    0) AS BIGINT) AS tokens_kept,
+       |  md5(COALESCE(string_agg(chunk, ' ' ORDER BY pos)
+       |    FILTER (WHERE NOT boiler), '')) AS kept_text_hash
+       |FROM f GROUP BY doc_id""".stripMargin
+  }
+
+  /** Per-source token-length distribution audit: exact interpolated
+    * quantiles from a value histogram (operators/Corpus.tokenQuantiles —
+    * state bounded by distinct lengths, not rows). */
+  private def p24(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.tokenQuantiles(
+      Tables.df(spark, dir, "documents"), "source", "text")
+      .withColumnRenamed("grp", "source")
+
+  private val p24Sql = {
+    val toks = toksSql(normSql("text"))
+    val probs = Seq("p25" -> "0.25", "p50" -> "0.5", "p90" -> "0.9",
+      "p99" -> "0.99")
+    // CAST the prob literal to DOUBLE: DuckDB parses 0.9 as exact
+    // DECIMAL and would interpolate in decimal arithmetic, diverging
+    // from Spark's IEEE754 doubles at the last ulp. Cast first so both
+    // engines run the identical double expression bit-for-bit.
+    def idx(p: String, total: String) = s"CAST($p AS DOUBLE)*($total-1)"
+    val los = probs.map { case (l, p) =>
+      s"""    MIN(CASE WHEN cum >= floor(${idx(p, "total")})+1 THEN n END) AS lo_$l,
+         |    MIN(CASE WHEN cum >= ceil(${idx(p, "total")})+1 THEN n END) AS hi_$l"""
+        .stripMargin
+    }.mkString(",\n")
+    val qs = probs.map { case (l, p) =>
+      s"""  CAST(lo_$l AS DOUBLE) + (${idx(p, "tt.total")} - floor(${idx(p, "tt.total")}))
+         |    * CAST(hi_$l - lo_$l AS DOUBLE) AS $l""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT source AS grp, CAST(len($toks) AS INT) AS n FROM documents),
+       |h AS (SELECT grp, n, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+       |tt AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS total,
+       |         MIN(n) AS min_tokens, MAX(n) AS max_tokens,
+       |         CAST(SUM(n*cnt) AS BIGINT) AS sum_tokens
+       |       FROM h GROUP BY 1),
+       |c AS (SELECT h.grp, h.n, h.cnt, tt.total,
+       |        SUM(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.n
+       |          ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM h JOIN tt USING (grp)),
+       |a AS (SELECT grp,
+       |$los
+       |  FROM c GROUP BY grp)
+       |SELECT a.grp AS source, tt.total AS n_docs, tt.min_tokens,
+       |  tt.max_tokens,
+       |  CAST(tt.sum_tokens AS DOUBLE) / tt.total AS mean_tokens,
+       |$qs
+       |FROM a JOIN tt USING (grp)""".stripMargin
+  }
+
+  /** kNN label probe over the embedding column
+    * (operators/Similarity.knnClassify): every 20th vector held out,
+    * label predicted by 5-NN cosine majority vote, per-label accuracy. */
+  private def p25(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.df(spark, dir, "embeddings")
+    Similarity.knnClassify(
+      embs.filter(col("vec_id") % KnnHoldMod === 0),
+      embs.filter(col("vec_id") % KnnHoldMod =!= 0),
+      "vec_id", "embedding", "label", TopK)
+  }
+
+  private val p25Sql =
+    s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+       |           WHERE vec_id % $KnnHoldMod = 0),
+       |c AS (SELECT vec_id, embedding, label FROM embeddings
+       |      WHERE vec_id % $KnnHoldMod <> 0),
+       |p AS (
+       |  SELECT q.vec_id AS query_id, q.label AS qlabel,
+       |    c.vec_id AS neighbor_id, c.label AS nbr_label,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM q, c),
+       |r AS (
+       |  SELECT query_id, qlabel, nbr_label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM p),
+       |v AS (SELECT query_id, qlabel, nbr_label, COUNT(*) AS votes
+       |      FROM r WHERE rnk <= $TopK GROUP BY 1, 2, 3),
+       |pr AS (
+       |  SELECT query_id, qlabel, nbr_label AS pred_label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, nbr_label) AS vr
+       |  FROM v)
+       |SELECT qlabel AS label, COUNT(*) AS n_queries,
+       |  COUNT(*) FILTER (WHERE pred_label = qlabel) AS n_correct,
+       |  CAST(COUNT(*) FILTER (WHERE pred_label = qlabel) AS DOUBLE)
+       |    / COUNT(*) AS accuracy
+       |FROM pr WHERE vr = 1 GROUP BY qlabel""".stripMargin
+
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
@@ -840,5 +965,8 @@ object Pipeline {
     QueryDef("p19_decontaminate", p19, Some(p19Sql)),
     QueryDef("p20_tfidf", p20, Some(p20Sql)),
     QueryDef("p21_domain_mix", p21, Some(p21Sql)),
-    QueryDef("p22_seq_pack", p22, Some(p22Sql)))
+    QueryDef("p22_seq_pack", p22, Some(p22Sql)),
+    QueryDef("p23_chunk_dedup", p23, Some(p23Sql)),
+    QueryDef("p24_token_quantiles", p24, Some(p24Sql)),
+    QueryDef("p25_knn_label", p25, Some(p25Sql)))
 }

@@ -11,11 +11,15 @@ object Profile {
     val names = args.filterNot(_.startsWith("-"))
     val spark = Sessions.local(32)
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
-      if (explain) df.explain("formatted")
+      // time construction + execution: iterative operators (CC loops)
+      // run eagerly while the DataFrame is being BUILT, so timing only
+      // count() would miss them (Bench times both; match it).
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(n)(spark, sfDir)
       val cnt = df.count()
       println(f"PROFILE $n rows=$cnt t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      if (explain) df.explain("formatted")
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -62,16 +62,90 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
-  test("simhash: near-dup pairs have closer fingerprints than random pairs") {
+  test("simhash: block trick is exact for Hamming<=3; near-dups far closer than random") {
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val fps = Dedup.simhashDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = fps.keys.toSeq.sorted
+    // operator invariant: the 4x15-bit block join finds EXACTLY the
+    // pairs at Hamming distance <= 3 — complete (any dist<=3 pair has an
+    // identical block by pigeonhole) and sound (post-filter on dist).
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+      if dist(fps(ids(i)), fps(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"),
+        r.getAs[Int]("dist")))
+    assert(pairs.map(p => (p._1, p._2)).toSet == truth)
+    assert(pairs.forall(p => p._3 == dist(fps(p._1), fps(p._2))))
+    // metric property (the reason simhash works as a near-dup sketch):
+    // textual near-dups sit FAR closer in Hamming space than random
+    // pairs. At 60 bits a J>=0.7 pair lands around distance 3-6 while
+    // random pairs center on 30, so mean separation is wide; a fixed
+    // <=3 cutoff is deliberately the high-precision end (Manku et al.
+    // use k=3 on 64 bits for near-verbatim web pages).
     val nearDup = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
       .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val found = pairs.select("ida", "idb").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // every textual near-dup should be simhash-close
-    assert(nearDup.nonEmpty && (nearDup -- found).size <= nearDup.size / 5,
-      s"simhash missed ${(nearDup -- found).size} of ${nearDup.size} near-dups")
-    assert(pairs.collect().forall(_.getAs[Int]("dist") <= 3))
+    assert(nearDup.nonEmpty, "fixture should contain planted near-dups")
+    val ndMean = nearDup.toSeq.map { case (a, b) => dist(fps(a), fps(b)) }
+      .sum.toDouble / nearDup.size
+    val allMean = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.size
+    } yield dist(fps(ids(i)), fps(ids(j)))).sum.toDouble /
+      (ids.size.toLong * (ids.size - 1) / 2)
+    assert(ndMean < allMean / 3,
+      s"simhash separation too weak: near-dup mean $ndMean vs all-pair mean $allMean")
+  }
+
+  test("chunk dedup: untouched docs reassemble to md5(normText); counts consistent") {
+    import graft.functions.TextFns
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", w = 5, maxDf = 3)
+    val joined = out.join(
+      docs.select(col("doc_id"), md5(TextFns.normText(col("text"))).as("h")),
+      "doc_id").collect()
+    assert(joined.length == docs.count())
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_removed") <= r.getAs[Long]("n_chunks"))
+      // reassembly check: chunks partition the token stream, so a doc
+      // with nothing removed joins back to exactly the normalized text
+      if (r.getAs[Long]("n_removed") == 0L)
+        assert(r.getAs[String]("kept_text_hash") == r.getAs[String]("h"))
+    }
+    assert(joined.exists(_.getAs[Long]("n_removed") > 0),
+      "fixture should contain boilerplate chunks at maxDf=3")
+  }
+
+  test("token quantiles: exact interpolation on a known distribution") {
+    import spark.implicits._
+    val d = Seq((1L, "g", "a"), (2L, "g", "a a"), (3L, "g", "a a a"),
+      (4L, "g", "a a a a"), (5L, "g", "a a a a a")).toDF("id", "src", "text")
+    val q = Corpus.tokenQuantiles(d, "src", "text").collect().head
+    // n=5 values 1..5: rank(p)=p*4 → p25@1→2, p50@2→3, p90@3.6→4.6,
+    // p99@3.96→4.96 (quantile_cont linear interpolation)
+    assert(q.getAs[Long]("n_docs") == 5L)
+    assert(q.getAs[Int]("min_tokens") == 1 && q.getAs[Int]("max_tokens") == 5)
+    assert(q.getAs[Double]("mean_tokens") == 3.0)
+    assert(q.getAs[Double]("p25") == 2.0)
+    assert(q.getAs[Double]("p50") == 3.0)
+    assert(math.abs(q.getAs[Double]("p90") - 4.6) < 1e-12)
+    assert(math.abs(q.getAs[Double]("p99") - 4.96) < 1e-12)
+  }
+
+  test("knn classify: separable clusters classify perfectly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(10f, 0f, 0f, 1f), 0), (2L, Seq(10f, 0f, 1f, 0f), 0),
+      (3L, Seq(9f, 0f, 0f, 0f), 0),
+      (11L, Seq(0f, 10f, 0f, 1f), 1), (12L, Seq(0f, 10f, 1f, 0f), 1),
+      (13L, Seq(0f, 9f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val queries = Seq((100L, Seq(8f, 1f, 0f, 0f), 0),
+      (101L, Seq(1f, 8f, 0f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(
+      queries, corpus, "vec_id", "embedding", "label", 3).collect()
+    assert(out.map(_.getAs[Int]("label")).toSet == Set(0, 1))
+    assert(out.forall(_.getAs[Double]("accuracy") == 1.0))
+    assert(out.forall(r => r.getAs[Long]("n_queries") == 1L))
   }
 
   test("LSH ANN: recall >= 0.6 of exact top-5, exact re-rank order correct") {
