@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / range join operators Spark lacks natively, built as
+  * linear-cost compositions of the operators it has.
+  *
+  * - [[asofJoin]]: "most recent right row at-or-before each left row"
+  *   (the time-series enrichment join). NOT implemented as a
+  *   point-in-interval join — that explodes candidates quadratically on
+  *   hot keys. Instead both sides are unioned and a single running
+  *   window per key carries the latest right-hand payload forward: one
+  *   shuffle on the key, one sort, zero candidate blowup. The same plan
+  *   holds at 100 TB because cost is O(|L|+|R|) rows shuffled once.
+  *
+  * - [[bandPairs]]: all ordered pairs whose numeric values differ by at
+  *   most `eps`, with NO equi key. The classic scale trap is the
+  *   theta-join |a.v − b.v| ≤ eps, which Spark can only plan as a
+  *   broadcast-nested-loop. Bucketing by `floor(v/eps)` turns it into an
+  *   equi join: a pair within `eps` differs by at most one bucket
+  *   (|a−b| ≤ eps ⇒ |⌊a/eps⌋−⌊b/eps⌋| ≤ 1), so probing the build side
+  *   exploded to its three neighboring buckets finds every qualifying
+  *   pair exactly once. Cost is the true candidate count (pairs within
+  *   ~3·eps), not |L|·|R|; value-skew concentrates buckets, which AQE
+  *   skew-join splitting absorbs.
+  */
+object Ranges {
+
+  /** As-of join: for each `left` row, attach the `right` row with the
+    * greatest `tsCol` ≤ the left row's `tsCol` within the same `keyCol`
+    * group (at-or-before semantics — a right row at the exact same
+    * instant matches). Left rows with no prior right row keep NULLs.
+    *
+    * `right` must expose `keyCol`, `tsCol`, and `valCols`; its payload
+    * is attached as `<prefix><tsCol>` and `<prefix><valCol>` columns.
+    * Precondition: `right` is unique per (key, ts) — with duplicates the
+    * surviving payload among same-instant rows is unspecified (matching
+    * DuckDB ASOF, which is similarly tie-arbitrary).
+    *
+    * Plan: union-tag both sides (right `_side=0` sorts before left
+    * `_side=1` at equal ts), one window per key ordered by (ts, side)
+    * with a running `last(payload, ignoreNulls)` — a single hash
+    * exchange on `keyCol` and a per-partition sort; no join node at all.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, valCols: Seq[String],
+      prefix: String = "asof_"): DataFrame = {
+    val payload = struct(col(tsCol).as("_ts") +: valCols.map(col): _*)
+    val r = right.select(col(keyCol), col(tsCol),
+      payload.as("_rv"), lit(0).as("_side"))
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_rv", lit(null).cast(r.schema("_rv").dataType))
+      .withColumn("_side", lit(1))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        (col("_m._ts").as(s"$prefix$tsCol") +:
+          valCols.map(v => col(s"_m.$v").as(s"$prefix$v"))): _*)
+  }
+
+  /** Band self-join: every DIRECTED pair (a, b), a ≠ b, with
+    * |a.valCol − b.valCol| ≤ eps. Emitted directed so per-row partner
+    * aggregates need no mirroring; halve downstream with ida < idb for
+    * unordered pairs.
+    *
+    * Exactness note: the bucket assignment `floor(v/eps)` is only
+    * candidate generation — membership is decided by the exact
+    * `abs(a−b) ≤ eps` filter, so callers wanting bit-reproducible
+    * results across engines should pass integer-valued columns (e.g.
+    * cents) where the comparison is exact.
+    *
+    * @return (ida, va, idb, vb) — `va`/`vb` carry valCol for the two
+    *         sides so callers can aggregate without re-joining.
+    */
+  def bandPairs(df: DataFrame, idCol: String, valCol: String,
+      eps: Double): DataFrame = {
+    val probe = df.select(col(idCol).as("ida"), col(valCol).as("va"),
+      floor(col(valCol) / eps).as("_bk"))
+    val build = df.select(col(idCol).as("idb"), col(valCol).as("vb"),
+      explode(array(
+        floor(col(valCol) / eps) - 1,
+        floor(col(valCol) / eps),
+        floor(col(valCol) / eps) + 1)).as("_bk"))
+    probe.join(build, "_bk")
+      .filter(col("ida") =!= col("idb")
+        && abs(col("va") - col("vb")) <= eps)
+      .select(col("ida"), col("va"), col("idb"), col("vb"))
+  }
+}

@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   */
 object Extended {
 
+  // band join half-width for q23, in exact integer cents
+  private val BandCents = 5.0
+
   /** J5/J6: array-membership join — the reference joins columns to
     * constraints on (schema, table) AND attnum = any(conkey)
     * (sql/V000009…sql:130). An `array_contains` join condition alone
@@ -452,6 +455,57 @@ object Extended {
       |  COUNT(*) AS n_users
       |FROM steps""".stripMargin
 
+  /** As-of join (operators/Ranges.asofJoin): each event enriched with
+    * the same user's most recent purchase at-or-before it — one shuffle
+    * on user_id, no candidate explosion. Oracle is DuckDB's native
+    * ASOF LEFT JOIN, an independent implementation of the semantics. */
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+    graft.operators.Ranges.asofJoin(
+      ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", Seq("value"), "last_purchase_")
+      .withColumnRenamed("last_purchase_ts", "last_purchase_at")
+  }
+
+  private val q22Sql =
+    """SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      |  p.ts AS last_purchase_at, p.value AS last_purchase_value
+      |FROM events e ASOF LEFT JOIN (
+      |  SELECT user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase') p
+      |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+
+  /** Band self-join with no equi key (operators/Ranges.bandPairs):
+    * partners within 5 cents of each event's value, bucketed
+    * floor(v/eps) so the theta join becomes an equi join; values go
+    * through exact integer cents so the band predicate is
+    * bit-reproducible across engines. Oracle is DuckDB's inequality
+    * join (IEJoin) — feasible there at oracle SF, quadratic at scale,
+    * which is exactly why the Spark side buckets. */
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+    graft.operators.Ranges.bandPairs(ev, "event_id", "cents", BandCents)
+      .groupBy(col("ida").as("event_id"))
+      .agg(count(lit(1)).as("n_close"),
+        sum(col("vb")).as("sum_partner_cents"),
+        min(col("idb")).as("min_partner_id"))
+  }
+
+  private val q23Sql =
+    s"""WITH e AS (SELECT event_id, CAST(round(value*100) AS BIGINT) AS cents
+       |           FROM events)
+       |SELECT a.event_id, COUNT(*) AS n_close,
+       |  CAST(SUM(b.cents) AS BIGINT) AS sum_partner_cents,
+       |  MIN(b.event_id) AS min_partner_id
+       |FROM e a JOIN e b
+       |  ON b.event_id <> a.event_id
+       |  AND abs(a.cents - b.cents) <= ${BandCents.toInt}
+       |GROUP BY a.event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
     QueryDef("q6_minmax_score", q6, Some(q6Sql)),
@@ -469,5 +523,7 @@ object Extended {
     QueryDef("q18_json_extract", q18, Some(q18Sql)),
     QueryDef("q19_sessionize", q19, Some(q19Sql)),
     QueryDef("q20_rollup", q20, Some(q20Sql)),
-    QueryDef("q21_funnel", q21, Some(q21Sql)))
+    QueryDef("q21_funnel", q21, Some(q21Sql)),
+    QueryDef("q22_asof_join", q22, Some(q22Sql)),
+    QueryDef("q23_band_join", q23, Some(q23Sql)))
 }

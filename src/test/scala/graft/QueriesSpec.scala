@@ -107,4 +107,45 @@ class QueriesSpec extends AnyFunSuite {
     assert(total == Tables.df(spark, sf, "events").count())
     assert(rows.forall(_.getAs[Long]("sum_k") > 0))
   }
+
+  test("asof join: at-or-before semantics, same-instant match, leading nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val left = Seq((1L, "u", 5L), (2L, "u", 10L), (3L, "u", 20L),
+      (4L, "v", 7L), (5L, "w", 9L))
+      .toDF("id", "k", "ts")
+    val right = Seq(("u", 10L, "a"), ("u", 15L, "b"), ("v", 1L, "c"))
+      .toDF("k", "ts", "pay")
+    val out = graft.operators.Ranges
+      .asofJoin(left, right, "k", "ts", Seq("pay"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (Option(r.getAs[java.lang.Long]("asof_ts")).map(_.toLong),
+          Option(r.getAs[String]("asof_pay")))).toMap
+    assert(out(1L) == (None, None))              // before any right row
+    assert(out(2L) == (Some(10L), Some("a")))    // same-instant matches
+    assert(out(3L) == (Some(15L), Some("b")))    // most recent, not first
+    assert(out(4L) == (Some(1L), Some("c")))     // per-key isolation
+    assert(out(5L) == (None, None))              // key with no right rows
+    // the plan must contain no join node — the whole point of the shape
+    val plan = graft.operators.Ranges
+      .asofJoin(left, right, "k", "ts", Seq("pay"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"asofJoin planned a join:\n$plan")
+  }
+
+  test("band pairs: complete + sound vs brute force, incl. bucket boundaries") {
+    import spark.implicits._
+    // values straddle bucket edges: 10/5=2.0 exactly, 14&15 adjacent
+    // buckets within eps, 4&10 diff 6 > eps rejected
+    val d = Seq((1L, 4L), (2L, 10L), (3L, 14L), (4L, 15L), (5L, 100L))
+      .toDF("id", "v")
+    val got = graft.operators.Ranges.bandPairs(d, "id", "v", 5.0)
+      .collect().map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"))).toSet
+    val vals = Map(1L -> 4L, 2L -> 10L, 3L -> 14L, 4L -> 15L, 5L -> 100L)
+    val truth = (for {
+      a <- vals.keys; b <- vals.keys
+      if a != b && math.abs(vals(a) - vals(b)) <= 5
+    } yield (a, b)).toSet
+    assert(got == truth)
+  }
 }
