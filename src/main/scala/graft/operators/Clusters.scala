@@ -7,8 +7,14 @@ import org.apache.spark.sql.functions._
   * turns `Dedup.*Pairs` output into keep/drop decisions (one keeper per
   * duplicate cluster).
   *
-  * Algorithm: distributed min-label propagation with pointer-doubling
-  * compression. Every node starts labeled min(self, neighbors); each
+  * Scale-adaptive: edge lists small enough for one task's memory run
+  * path-compressed union-find in a single executor task (one job);
+  * larger graphs run the distributed loop below. Both label every node
+  * with its component minimum, so the paths are interchangeable
+  * (ClustersSpec pins equality).
+  *
+  * Algorithm (large path): distributed min-label propagation with
+  * pointer-doubling compression. Every node starts labeled min(self, neighbors); each
   * round every node (1) takes the minimum label among itself and its
   * neighbors, then (2) jumps to its label's label (path compression —
   * the classic pointer-doubling trick). Step 1 alone needs O(diameter)
@@ -37,11 +43,15 @@ import org.apache.spark.sql.functions._
 object Clusters {
 
   /** @param pairs edges (ida, idb) — the output shape of Dedup.*Pairs.
+    * @param smallGraphEdges edge-count threshold below which the
+    *   single-task union-find path runs instead of the distributed
+    *   loop (see below); 0 forces the loop.
     * @return (doc_id, cluster_id) for every node appearing in an edge;
     *   cluster_id is the minimum doc_id of the component (so the
     *   cluster_id row itself is the natural keeper).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
+      smallGraphEdges: Long = 4000000L): DataFrame = {
     // adjacency in both directions, deduplicated, materialized ONCE —
     // truncates the upstream pair-generation lineage
     val adj = pairs.select(col("ida").as("n"), col("idb").as("x"))
@@ -49,6 +59,27 @@ object Clusters {
       .filter(col("n") =!= col("x"))
       .distinct()
       .localCheckpoint()
+
+    // Scale-adaptive dispatch. A df-capped dedup edge list is SMALL
+    // relative to its corpus (near-dup pairs, not documents) — often a
+    // few thousand edges even when the corpus is millions of docs. For
+    // those graphs the distributed loop is pure overhead: ~6 shuffle
+    // stages per round against hundreds of rows. Below the threshold
+    // (64 MB of (long,long) edges — comfortably one task's memory) run
+    // path-compressed union-find in a SINGLE EXECUTOR TASK — one job,
+    // O(E·α) — and re-shard the labels for downstream parallelism. The
+    // count is a cheap scan of the already-checkpointed adjacency.
+    // Above it, the O(log d)-round pointer-doubling loop below is the
+    // only shape that survives 100 TB. Integral id types only — other
+    // key types take the loop path.
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq(adj.schema("n").dataType, adj.schema("x").dataType)
+        .forall(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType))
+    }
+    if (integralIds && adj.count() <= smallGraphEdges)
+      return singleTaskCC(adj)
 
     // seed labels with min(self, direct neighbors) — one propagation
     // round folded into initialization for free
@@ -91,6 +122,43 @@ object Clusters {
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds 2^maxIter) — raise maxIter")
     labels.select(col("n").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Union-find with path compression + union-by-min on one executor
+    * task. Semantics identical to the loop: every node labeled with its
+    * component's minimum id. Output re-sharded by doc_id so downstream
+    * joins parallelize. */
+  private def singleTaskCC(adj: DataFrame): DataFrame = {
+    val sess = adj.sparkSession
+    import sess.implicits._
+    adj.select(col("n").cast("long"), col("x").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(a: Long): Long = {
+          var r = a
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = a
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keys.toArray.iterator.map(k => (k, find(k)))
+      }
+      .toDF("doc_id", "cluster_id")
+      // both paths present the same schema: labels go back to the
+      // caller's id type (union-find ran in widened longs)
+      .select(col("doc_id").cast(adj.schema("n").dataType),
+        col("cluster_id").cast(adj.schema("n").dataType))
+      .repartition(sess.sparkContext.defaultParallelism, col("doc_id"))
   }
 
   /** keep/drop plan: one row per clustered doc with its keeper; docs in

@@ -40,10 +40,28 @@ class ClustersSpec extends AnyFunSuite {
     // (a regression in the doubling step throws here) and correctness.
     import spark.implicits._
     val edges = (1L until 200L).map(i => (i, i + 1)).toDF("ida", "idb")
-    val m = Clusters.connectedComponents(edges, maxIter = 12)
+    // smallGraphEdges = 0 forces the distributed loop — the default
+    // would route this graph to the single-task union-find path
+    val m = Clusters.connectedComponents(edges, maxIter = 12,
+        smallGraphEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m.size == 200)
     assert(m.values.forall(_ == 1L))
+  }
+
+  test("single-task and distributed paths agree on a random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: mixed chains, stars, cliques,
+    // isolated pairs — ids scattered so component minima are nontrivial
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.tabulate(400) { _ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong)
+    }.filter(e => e._1 != e._2).toDF("ida", "idb")
+    val small = Clusters.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Clusters.connectedComponents(edges, smallGraphEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(small == dist)
   }
 
   test("dedup plan marks exactly one keeper per cluster") {
