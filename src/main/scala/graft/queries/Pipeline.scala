@@ -75,8 +75,15 @@ object Pipeline {
     * full shingle arrays. `rel` must expose (doc_id, text). */
   private def cappedPairsCtes(rel: String, cap: Int): String = {
     val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    // the inverted index carries hash60(shingle), not the shingle
+    // string, mirroring the Spark side: 8-byte join/shuffle keys
+    // instead of ~40-byte 5-gram strings. Verification below still
+    // intersects the full STRING arrays, so a (1-in-2^60) hash
+    // collision can only add a candidate, never a wrong pair.
     s"""sh AS (SELECT doc_id, $sh AS shingles FROM $rel),
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |ex AS (SELECT doc_id,
+       |       ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+       |       FROM sh),
        |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $cap),
        |exf AS (SELECT e.doc_id, e.s FROM ex e JOIN rare USING (s)),
        |cnd AS (

@@ -1,22 +1,51 @@
 package graft.tools
 import graft.Sessions
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+/** Scratch profiling main for the dedup pipelines (not driver-gated). */
 object CCProbe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(32)
     val dir = "/root/testdata/sf0.1"
-    val t0 = System.nanoTime()
     val docs = graft.Tables.df(spark, dir, "documents")
-    val pairs = graft.operators.Dedup.ngramJaccardPairs(
-      docs, "doc_id", "text", maxDocFreq = Some(20))
-    val n = pairs.count()
-    val t1 = System.nanoTime()
-    println(f"PAIRS n=$n t=${(t1-t0)/1e9}%.2fs")
-    val cc = graft.operators.Clusters.connectedComponents(pairs)
-    val m = cc.count()
-    val t2 = System.nanoTime()
-    println(f"CC n=$m t=${(t2-t1)/1e9}%.2fs")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $name n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      spark.catalog.clearCache()
+    }
+    // warmup
+    time("warmup") { docs.count() }
+    time("pairs_string") {
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        maxDocFreq = Some(20)).count()
+    }
+    time("pairs_hashed") {
+      val sh = graft.operators.Dedup.shingleDocs(docs, "doc_id", "text", 5).persist()
+      val inv = sh.select(col("doc_id"),
+        explode(transform(col("shingles"), s => TextFns.hash60(s))).as("s"))
+      val rare = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20).select(col("s"))
+      val invf = inv.join(rare, Seq("s"))
+      val cand = invf.as("a")
+        .join(invf.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .distinct()
+      val out = cand
+        .join(sh.select(col("doc_id").as("ida"), col("shingles").as("sha")), "ida")
+        .join(sh.select(col("doc_id").as("idb"), col("shingles").as("shb")), "idb")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("inter"))
+        .filter(col("inter") * 10 >= col("union_sz") * 7)
+      out.count()
+    }
+    time("shingle_only") {
+      graft.operators.Dedup.shingleDocs(docs, "doc_id", "text", 5)
+        .select(explode(col("shingles"))).count()
+    }
     spark.stop()
   }
 }
