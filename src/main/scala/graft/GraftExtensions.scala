@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite}
+import graft.expressions.{DotProduct, DotProductRewrite, KmvSketch}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_kmv takes (hash_col, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv k must be an integer literal, got $other")
+        }
+        KmvSketch(children.head, k)
       }))
   }
 }

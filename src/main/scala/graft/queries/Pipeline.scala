@@ -68,6 +68,8 @@ object Pipeline {
   private val ChunkMaxDf = 3
   // kNN label probe: every KnnHoldMod-th vector is held out as a query
   private val KnnHoldMod = 20
+  // KMV distinct sketch size (relative error ~ 1/sqrt(k-2) ~ 13%)
+  private val KmvK = 64
 
   /** Shared CTE block `sh → … → pairs` mirroring
     * Dedup.ngramJaccardPairs(maxDocFreq = Some(cap)): candidates from
@@ -819,6 +821,43 @@ object Pipeline {
        |    / COUNT(*) AS accuracy
        |FROM pr WHERE vr = 1 GROUP BY qlabel""".stripMargin
 
+  /** Distinct-token cardinality per source via the native KMV sketch
+    * aggregate (expressions/KmvSketch — O(k) state, mergeable, exact
+    * below k), with the true distinct count alongside so the estimate
+    * quality is visible. The oracle replays the sketch definition
+    * exactly: k smallest distinct hashes via ROW_NUMBER ≤ k. */
+  private def p26(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    docs.select(col("source"),
+        explode(TextFns.tokens(TextFns.normText(col("text")))).as("tok"))
+      .select(col("source"), TextFns.hash60(col("tok")).as("h"))
+      .groupBy(col("source"))
+      .agg(call_function("graft_kmv", col("h"), lit(KmvK)).as("est_distinct"),
+        count_distinct(col("h")).as("n_distinct_hash"))
+  }
+
+  private val p26Sql = {
+    val toks = toksSql(normSql("text"))
+    val hashSpace = s"${1L << 60}.0"
+    s"""WITH tk AS (
+       |  SELECT source,
+       |    ('0x' || substr(md5(unnest($toks)), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |d AS (SELECT DISTINCT source, h FROM tk),
+       |r AS (SELECT source, h,
+       |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |      FROM d),
+       |a AS (SELECT source, COUNT(*) AS nd,
+       |        MAX(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |      FROM r GROUP BY source)
+       |SELECT source,
+       |  CASE WHEN nd < $KmvK THEN CAST(nd AS DOUBLE)
+       |       ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |         / (CAST(hk AS DOUBLE) / $hashSpace) END AS est_distinct,
+       |  nd AS n_distinct_hash
+       |FROM a""".stripMargin
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
@@ -975,5 +1014,6 @@ object Pipeline {
     QueryDef("p22_seq_pack", p22, Some(p22Sql)),
     QueryDef("p23_chunk_dedup", p23, Some(p23Sql)),
     QueryDef("p24_token_quantiles", p24, Some(p24Sql)),
-    QueryDef("p25_knn_label", p25, Some(p25Sql)))
+    QueryDef("p25_knn_label", p25, Some(p25Sql)),
+    QueryDef("p26_kmv_distinct", p26, Some(p26Sql)))
 }
