@@ -111,9 +111,16 @@ object Dedup {
         // verification then scores on its true shingles.
         val hinv = sh.select(col("doc_id"),
           explode(transform(col("shingles"), s => hash60(s))).as("s"))
-        val rare = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select(col("s"))
-        val invf = hinv.join(rare, Seq("s"))
+        // df-cap as an ANTI join against the OVER-cap set: the common
+        // set is small by construction (only boilerplate shingles
+        // exceed the cap), so AQE broadcasts it and the full index is
+        // shuffled once (for the self-join), not twice. The groupBy
+        // keeps map-side partial counts, which a window-based df would
+        // lose (WindowExec buffers whole partitions — skew-unsafe on
+        // mega-hot shingles).
+        val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("s"))
+        val invf = hinv.join(common, Seq("s"), "left_anti")
         val cand = invf.as("a")
           .join(invf.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -51,6 +51,29 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Windowed distinct-user cardinality via the native KMV sketch
+    * aggregate — the streaming shape exact distinct counting CANNOT
+    * take: Structured Streaming rejects count_distinct outright
+    * (per-window distinct sets are unbounded state). The sketch's
+    * O(k) mergeable buffer is exactly what the state store wants: each
+    * window's state is ≤ k longs forever, partial aggregation works,
+    * and the estimate is the same deterministic (k−1)/r_k as batch
+    * `p26_kmv_distinct` — exact below k distinct users. */
+  def windowedDistinctUsers(
+      events: DataFrame,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours",
+      k: Int = 64): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        graft.functions.TextFns.hash60(col("user_id").cast("string")).as("h"))
+      .groupBy(window(col("ts"), window_).as("win"), col("event_type"))
+      .agg(call_function("graft_kmv", col("h"), lit(k))
+        .as("est_distinct_users"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("est_distinct_users"))
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

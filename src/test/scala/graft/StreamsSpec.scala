@@ -32,6 +32,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows == Set(("click", 2L, 3.0), ("view", 1L, 4.0), ("view", 1L, 5.0)))
   }
 
+  test("windowed distinct users: KMV sketch aggregates in streaming state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    // window 1 (min 0-9): users 1,2,1 -> 2 distinct; window 2
+    // (min 10-19): users 3,4,5 -> 3 distinct. Below k, so estimates
+    // are EXACT distinct counts even incrementally across batches.
+    val q = Streams.windowedDistinctUsers(in.toDF(), "10 minutes",
+        "30 minutes", k = 64)
+      .writeStream.format("memory").queryName("kmv_users")
+      .outputMode("complete").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(5), 2, "click", 2.0))
+    q.processAllAvailable()
+    in.addData(
+      Event(3, ts(7), 1, "click", 1.0), Event(4, ts(12), 3, "click", 1.0),
+      Event(5, ts(15), 4, "click", 1.0), Event(6, ts(16), 5, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("kmv_users").collect()
+      .map(r => r.getAs[Timestamp]("window_start").getTime ->
+        r.getAs[Double]("est_distinct_users")).toMap
+    assert(rows.values.toSeq.sorted == Seq(2.0, 3.0))
+  }
+
   test("streaming dedup drops same-id events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
