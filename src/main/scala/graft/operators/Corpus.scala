@@ -102,6 +102,8 @@ object Corpus {
   def tokenQuantiles(docs: DataFrame, groupCol: String, textCol: String,
       probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
         "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p._2 >= 0 && p._2 <= 1),
+      s"tokenQuantiles probs must lie in [0, 1], got $probs")
     val n = docs.select(col(groupCol).as("grp"),
       size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n"))
     val hist = n.groupBy(col("grp"), col("n")).agg(count(lit(1)).as("cnt"))

@@ -157,6 +157,8 @@ object Dedup {
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 5, maxDf: Int = 3): DataFrame = {
+    require(w > 0, s"chunkDedup chunk width must be positive, got $w")
+    require(maxDf >= 1, s"chunkDedup maxDf must be >= 1, got $maxDf")
     val t = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),

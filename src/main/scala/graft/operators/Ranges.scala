@@ -81,6 +81,7 @@ object Ranges {
     */
   def bandPairs(df: DataFrame, idCol: String, valCol: String,
       eps: Double): DataFrame = {
+    require(eps > 0, s"bandPairs eps must be positive, got $eps")
     val probe = df.select(col(idCol).as("ida"), col(valCol).as("va"),
       floor(col(valCol) / eps).as("_bk"))
     val build = df.select(col(idCol).as("idb"), col(valCol).as("vb"),

@@ -74,6 +74,36 @@ object Streams {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("est_distinct_users"))
 
+  /** Stream–stream interval join (purchase attribution): every purchase
+    * matched to the same user's clicks in the preceding `horizon` — the
+    * fourth canonical streaming shape. Both sides carry watermarks and
+    * the join condition bounds purchase_ts − click_ts to
+    * [0, horizon], so Spark can expire click state once the purchase
+    * watermark passes click_ts + horizon and purchase state
+    * symmetrically: state is bounded by (horizon + watermark) of
+    * traffic per user shard at ANY scale, never the full history.
+    * Inner join: unattributed purchases drop (left-outer emits them
+    * with nulls at watermark expiry if required). */
+  def attributedPurchases(
+      clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(c,
+        col("user_id") === col("click_user")
+          && col("click_ts") <= col("purchase_ts")
+          && col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("value"), col("click_id"), col("click_ts"))
+  }
+
   final case class Event(
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

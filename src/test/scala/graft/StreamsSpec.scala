@@ -56,6 +56,29 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.values.toSeq.sorted == Seq(2.0, 3.0))
   }
 
+  test("stream-stream interval join attributes purchases to prior clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.attributedPurchases(
+        clicks.toDF(), purchases.toDF(), horizon = "10 minutes",
+        watermark = "5 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    clicks.addData(
+      Event(1, ts(0), 1, "click", 0.0),   // within 10 min of purchase 100
+      Event(2, ts(30), 1, "click", 0.0),  // 25 min later: outside horizon
+      Event(3, ts(1), 2, "click", 0.0))   // other user
+    purchases.addData(
+      Event(100, ts(8), 1, "purchase", 42.0),
+      Event(101, ts(9), 3, "purchase", 7.0)) // user 3 never clicked
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id")))
+    assert(rows.toSet == Set((100L, 1L)))
+  }
+
   test("streaming dedup drops same-id events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
