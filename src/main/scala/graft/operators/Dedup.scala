@@ -171,11 +171,15 @@ object Dedup {
               - 1, lit(0))),
           i => array_join(slice(col("toks"), i * w + 1, lit(w)), " "))))
       .toDF("doc_id", "pos", "chunk")
+    // no broadcast hint: the over-cap set is usually tiny (AQE picks
+    // broadcast at runtime), but its true size scales with corpus
+    // boilerplate diversity — a forced broadcast would be a 100 TB
+    // failure mode where graceful SMJ degradation is available.
     val boiler = chunks.groupBy(col("chunk"))
       .agg(count_distinct(col("doc_id")).as("chunk_df"))
       .filter(col("chunk_df") > maxDf)
       .select(col("chunk"), lit(true).as("boiler"))
-    chunks.join(broadcast(boiler), Seq("chunk"), "left")
+    chunks.join(boiler, Seq("chunk"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("boiler"), 1)).as("n_removed"),
