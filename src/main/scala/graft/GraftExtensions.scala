@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite, KmvSketch}
+import graft.expressions.{DotProduct, DotProductRewrite, KMin, KmvSketch}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,6 +35,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_kmv k must be an integer literal, got $other")
         }
         KmvSketch(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kmin"),
+      new ExpressionInfo(classOf[KMin].getName, "graft_kmin"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_kmin takes (col, k)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmin k must be an integer literal, got $other")
+        }
+        KMin(children.head, k)
       }))
   }
 }

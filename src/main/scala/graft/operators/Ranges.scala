@@ -79,6 +79,86 @@ object Ranges {
     * @return (ida, va, idb, vb) — `va`/`vb` carry valCol for the two
     *         sides so callers can aggregate without re-joining.
     */
+  /** Per-row band-partner statistics — the aggregate consumers usually
+    * want from [[bandPairs]], computed WITHOUT materializing the pairs:
+    * rows collapse to a value histogram first, the band join runs over
+    * DISTINCT values (cost O(V·band-width) for V distinct values, not
+    * O(candidate pairs)), and per-row stats come from one final join of
+    * the input against the per-value rollup. For integer-valued columns
+    * (cents, token counts) V is bounded by the value domain, so the
+    * expensive step is histogram-sized at ANY corpus size — this is the
+    * 100 TB shape; [[bandPairs]] stays for consumers that need the
+    * actual pair list.
+    *
+    * Partner = any OTHER row within eps. Exactness: same integer-safe
+    * guidance as [[bandPairs]].
+    *
+    * @return (idCol, valCol, n_close, sum_partner_vals,
+    *         min_partner_id) for rows with ≥ 1 partner — the same
+    *         frame `bandPairs(...).groupBy(ida)` would aggregate to.
+    */
+  /** Per-row band-partner statistics — the aggregate consumers usually
+    * want from [[bandPairs]], computed WITHOUT materializing the pairs:
+    * rows collapse to a value histogram, the band join runs over
+    * DISTINCT values (cost O(V·band-width) for V distinct values, not
+    * O(candidate pairs)), and per-row stats come from one final
+    * histogram lookup join. For integer-valued columns (cents, token
+    * counts) V is bounded by the value domain, so the expensive step is
+    * histogram-sized at ANY corpus size — this is the 100 TB shape;
+    * [[bandPairs]] stays for consumers that need the pair list itself.
+    *
+    * The min-partner column needs the band's two smallest ids (the
+    * second covers rows that ARE the band minimum); both come from the
+    * bounded native `graft_kmin` aggregate, never a collected id set.
+    *
+    * Exactness: same integer-value guidance as [[bandPairs]]; the
+    * partner-value sum is value·count per histogram cell, so it is
+    * exact for integral columns at any size.
+    *
+    * @return (ida, n_close, sum_partner_vals, min_partner_id) for rows
+    *         with ≥ 1 partner — exactly what
+    *         `bandPairs(...).groupBy("ida")` would aggregate to.
+    */
+  def bandStats(df: DataFrame, idCol: String, valCol: String,
+      eps: Double): DataFrame = {
+    require(eps > 0, s"bandStats eps must be positive, got $eps")
+    val rows = df.select(col(idCol).as("_id"), col(valCol).as("_v"))
+    // value histogram: count, value·count, the cell's two smallest ids
+    // (bounded graft_kmin state — never a collected id set)
+    val hist = rows.groupBy(col("_v"))
+      .agg(count(lit(1)).as("_cnt"),
+        (col("_v") * count(lit(1))).as("_vsum"),
+        call_function("graft_kmin", col("_id"), lit(2)).as("_mins"))
+      .persist()
+    // band join over distinct values only (directed, INCLUDING v'==v —
+    // same-value rows are partners; self is excluded arithmetically in
+    // the final projection)
+    val joined = hist.select(col("_v").as("va"),
+        floor(col("_v") / eps).as("_bk"))
+      .join(hist.select(col("_v").as("vb"), col("_cnt"), col("_vsum"),
+        col("_mins"), explode(array(
+          floor(col("_v") / eps) - 1,
+          floor(col("_v") / eps),
+          floor(col("_v") / eps) + 1)).as("_bk")), "_bk")
+      .filter(abs(col("va") - col("vb")) <= eps)
+    // two histogram-sized rollups (numeric + band two-smallest-ids —
+    // any band id smaller than the band's 2nd smallest is some cell's
+    // 1st or 2nd, so k-min over the exploded cell mins is exact)
+    val numeric = joined.groupBy(col("va"))
+      .agg(sum(col("_cnt")).as("_bandN"), sum(col("_vsum")).as("_bandSum"))
+    val mins = joined.select(col("va"), explode(col("_mins")).as("_cand"))
+      .groupBy(col("va"))
+      .agg(call_function("graft_kmin", col("_cand"), lit(2)).as("_bmins"))
+    rows.join(numeric.join(mins, "va"), col("_v") === col("va"))
+      .filter(col("_bandN") > 1)
+      .select(col("_id").as("ida"),
+        (col("_bandN") - 1).as("n_close"),
+        (col("_bandSum") - col("_v")).as("sum_partner_vals"),
+        when(element_at(col("_bmins"), 1) =!= col("_id"),
+            element_at(col("_bmins"), 1))
+          .otherwise(element_at(col("_bmins"), 2)).as("min_partner_id"))
+  }
+
   def bandPairs(df: DataFrame, idCol: String, valCol: String,
       eps: Double): DataFrame = {
     require(eps > 0, s"bandPairs eps must be positive, got $eps")

@@ -477,22 +477,25 @@ object Extended {
       |  WHERE event_type = 'purchase') p
       |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
 
-  /** Band self-join with no equi key (operators/Ranges.bandPairs):
-    * partners within 5 cents of each event's value, bucketed
-    * floor(v/eps) so the theta join becomes an equi join; values go
-    * through exact integer cents so the band predicate is
-    * bit-reproducible across engines. Oracle is DuckDB's inequality
-    * join (IEJoin) — feasible there at oracle SF, quadratic at scale,
-    * which is exactly why the Spark side buckets. */
+  /** Band self-join with no equi key (operators/Ranges.bandStats):
+    * partner count/sum/min-id within 5 cents of each event's value,
+    * computed from the value HISTOGRAM — the band join runs over
+    * distinct cents values (domain-bounded), per-row stats come from
+    * one lookup join, and the band's two smallest ids ride the bounded
+    * native graft_kmin aggregate. Values go through exact integer
+    * cents so the band predicate is bit-reproducible across engines.
+    * Oracle is DuckDB's inequality join (IEJoin) — feasible there at
+    * oracle SF, quadratic at scale, which is exactly why the Spark
+    * side buckets and collapses to the histogram. QueriesSpec pins
+    * bandStats ≡ aggregated bandPairs. */
   private def q23(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.df(spark, dir, "events")
       .select(col("event_id"),
         round(col("value") * 100).cast("long").as("cents"))
-    graft.operators.Ranges.bandPairs(ev, "event_id", "cents", BandCents)
-      .groupBy(col("ida").as("event_id"))
-      .agg(count(lit(1)).as("n_close"),
-        sum(col("vb")).as("sum_partner_cents"),
-        min(col("idb")).as("min_partner_id"))
+    graft.operators.Ranges.bandStats(ev, "event_id", "cents", BandCents)
+      .select(col("ida").as("event_id"), col("n_close"),
+        col("sum_partner_vals").as("sum_partner_cents"),
+        col("min_partner_id"))
   }
 
   private val q23Sql =

@@ -133,6 +133,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"asofJoin planned a join:\n$plan")
   }
 
+  test("band stats ≡ aggregated band pairs on scattered values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, min, sum}
+    // duplicate values, band minima with/without same-value runner-ups,
+    // isolated rows — every branch of the min-partner selection
+    val d = Seq((1L, 4L), (2L, 4L), (3L, 7L), (4L, 15L), (5L, 16L),
+      (6L, 16L), (7L, 100L), (8L, 103L), (9L, 200L))
+      .toDF("id", "v")
+    val viaPairs = graft.operators.Ranges.bandPairs(d, "id", "v", 5.0)
+      .groupBy(col("ida"))
+      .agg(count(lit(1)).as("n_close"), sum(col("vb")).as("sum_partner_vals"),
+        min(col("idb")).as("min_partner_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val viaStats = graft.operators.Ranges.bandStats(d, "id", "v", 5.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(viaStats == viaPairs)
+  }
+
   test("band pairs: complete + sound vs brute force, incl. bucket boundaries") {
     import spark.implicits._
     // values straddle bucket edges: 10/5=2.0 exactly, 14&15 adjacent
