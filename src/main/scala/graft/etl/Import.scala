@@ -28,6 +28,25 @@ object Import {
     schemaDdl.fold(r.option("inferSchema", "true"))(d => r.schema(d)).csv(path)
   }
 
+  /** Load newline-delimited JSON (the interchange staple of LLM data
+    * pipelines) into a staging DataFrame. Schema-on-read is the scale
+    * trap here: inference scans the whole input once before the real
+    * read, so pass the DDL whenever the shape is known. JSONL splits by
+    * line, so a single huge file still fans out across tasks (unlike
+    * multiline JSON). Corrupt lines land in `_corrupt_record` (Spark's
+    * PERMISSIVE default) instead of failing the 100 TB job. */
+  def stageJsonl(spark: SparkSession, path: String,
+      schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read
+    schemaDdl.fold(r)(d => r.schema(d)).json(path)
+  }
+
+  /** Write a DataFrame as newline-delimited JSON — the export face of
+    * [[stageJsonl]]; one file per partition, so upstream partitioning
+    * controls output sharding. */
+  def sinkJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
   /** Postgres→staging load over Spark JDBC, partitioned for parallel
     * pull: with a numeric split column the read fans out across
     * `numPartitions` range-predicated connections (the scale path for

@@ -85,6 +85,33 @@ class EtlSpec extends AnyFunSuite {
     assert(bad(0).getAs[Long]("cust_id") == 99L && bad(0).getAs[Long]("n_rows") == 2)
   }
 
+  test("jsonl roundtrip: documents -> sink -> stage, schema + rows survive") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    Import.sinkJsonl(docs, dir)
+    // explicit-schema read (the scale path — no inference scan)
+    val back = Import.stageJsonl(spark, dir,
+      Some("doc_id BIGINT, source STRING, text STRING"))
+    assert(back.schema.map(f => f.name -> f.dataType) ==
+      docs.schema.map(f => f.name -> f.dataType))
+    val a = docs.orderBy("doc_id").collect()
+    val b = back.orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    // corrupt lines surface in _corrupt_record, not as a job failure
+    Files.write(java.nio.file.Paths.get(dir, "bad.json"),
+      "{not valid json\n".getBytes)
+    // Spark disallows querying ONLY _corrupt_record from a raw file
+    // scan — materialize the parse first (cache), then inspect
+    val withBad = Import.stageJsonl(spark, dir,
+      Some("doc_id BIGINT, source STRING, text STRING, _corrupt_record STRING"))
+      .persist()
+    assert(withBad.count() == a.length + 1)
+    assert(withBad.filter(col("_corrupt_record").isNotNull).count() == 1)
+    withBad.unpersist(blocking = false)
+  }
+
   test("end-to-end import: CSV -> map -> validate -> sink, states land IMPORTED") {
     import spark.implicits._
     val dir = Files.createTempDirectory("etl").toFile.getAbsolutePath
