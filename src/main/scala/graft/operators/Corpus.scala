@@ -139,6 +139,54 @@ object Corpus {
       }: _*)
   }
 
+  /** Temperature-based mixture sampling — the GPT-3/PaLM data-mixing
+    * move: source g is kept with probability ∝ share_g^τ / share_g…
+    * normalized so the largest weight keeps everything. τ < 1 flattens
+    * the mixture (upsamples tail sources relative to the head); τ = 1
+    * is proportional (no resampling); τ = 0 is uniform-by-source. Doc
+    * selection is the deterministic md5-hash mod, so the sample is
+    * reproducible run-to-run and engine-to-engine — no RNG state.
+    *
+    * Plan: two 1-row cross joins (total tokens, max weight) over the
+    * per-source rollup — broadcast by construction — then one
+    * broadcast join of per-source p_keep back to docs for the kept
+    * count. Nothing shuffles at doc granularity except the final
+    * per-source count.
+    *
+    * τ = 0.5 routes through sqrt, which IEEE requires to be correctly
+    * rounded (bit-identical across engines); other τ use pow, whose
+    * last-ulp behavior is libm-specific — fine for production, but the
+    * cross-engine oracle gate pins τ = 0.5.
+    *
+    * @return (grp, n_docs, grp_tokens, token_share, p_keep, n_kept)
+    */
+  def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, tau: Double = 0.5): DataFrame = {
+    val t = docs.select(col(groupCol).as("grp"), col(idCol).as("_id"),
+      size(TextFns.tokens(TextFns.normText(col(textCol)))).as("_n"))
+    val per = t.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n")).cast("long").as("grp_tokens"))
+    val tot = per.agg(sum(col("grp_tokens")).cast("long").as("_tot"))
+    val w = per.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        col("grp_tokens").cast("double") / col("_tot"))
+      .withColumn("_w",
+        if (tau == 0.5) sqrt(col("token_share"))
+        else pow(col("token_share"), tau))
+    val wmax = w.agg(max(col("_w")).as("_wmax"))
+    val probs = w.crossJoin(broadcast(wmax))
+      .select(col("grp"), col("n_docs"), col("grp_tokens"),
+        col("token_share"), (col("_w") / col("_wmax")).as("p_keep"))
+    val kept = t
+      .join(broadcast(probs.select(col("grp"), col("p_keep"))), "grp")
+      .filter(TextFns.hash32(col("_id").cast("string")) % 1000000
+        < floor(col("p_keep") * 1000000))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n_kept"))
+    probs.join(kept, Seq("grp"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+  }
+
   /** Sequence packing (concat-and-chunk): within each group, documents
     * are laid end-to-end in id order and cut into context windows of
     * `budget` tokens — a doc lands in the bin where its first token

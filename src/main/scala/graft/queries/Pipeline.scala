@@ -858,6 +858,42 @@ object Pipeline {
        |FROM a""".stripMargin
   }
 
+  /** Temperature-flattened mixture sampling (Corpus.temperatureSample,
+    * τ = 0.5): per-source keep probability √share normalized to the
+    * largest source, docs kept by deterministic hash mod. */
+  private def p27(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.temperatureSample(
+      Tables.df(spark, dir, "documents"), "source", "doc_id", "text")
+      .withColumnRenamed("grp", "source")
+      .withColumnRenamed("grp_tokens", "source_tokens")
+
+  private val p27Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH t AS (
+       |  SELECT source AS grp, doc_id, CAST(len($toks) AS INT) AS n
+       |  FROM documents),
+       |per AS (SELECT grp, COUNT(*) AS n_docs,
+       |          CAST(SUM(n) AS BIGINT) AS grp_tokens
+       |        FROM t GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(grp_tokens) AS BIGINT) AS tot FROM per),
+       |w AS (SELECT grp, n_docs, grp_tokens,
+       |        CAST(grp_tokens AS DOUBLE) / tt.tot AS token_share,
+       |        sqrt(CAST(grp_tokens AS DOUBLE) / tt.tot) AS w
+       |      FROM per, tot tt),
+       |wm AS (SELECT MAX(w) AS wmax FROM w),
+       |probs AS (SELECT grp, n_docs, grp_tokens, token_share,
+       |            w / wm.wmax AS p_keep FROM w, wm),
+       |kept AS (
+       |  SELECT t.grp, COUNT(*) AS n_kept
+       |  FROM t JOIN probs USING (grp)
+       |  WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000
+       |    < CAST(FLOOR(p_keep * 1000000) AS BIGINT)
+       |  GROUP BY 1)
+       |SELECT p.grp AS source, p.n_docs, p.grp_tokens AS source_tokens,
+       |  p.token_share, p.p_keep, COALESCE(k.n_kept, 0) AS n_kept
+       |FROM probs p LEFT JOIN kept k USING (grp)""".stripMargin
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
@@ -1015,5 +1051,6 @@ object Pipeline {
     QueryDef("p23_chunk_dedup", p23, Some(p23Sql)),
     QueryDef("p24_token_quantiles", p24, Some(p24Sql)),
     QueryDef("p25_knn_label", p25, Some(p25Sql)),
-    QueryDef("p26_kmv_distinct", p26, Some(p26Sql)))
+    QueryDef("p26_kmv_distinct", p26, Some(p26Sql)),
+    QueryDef("p27_temperature_mix", p27, Some(p27Sql)))
 }

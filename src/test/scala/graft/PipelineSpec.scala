@@ -132,6 +132,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(q.getAs[Double]("p99") - 4.96) < 1e-12)
   }
 
+  test("temperature sampling: head keeps all at tau=0, tail upsampled at tau=0.5") {
+    import spark.implicits._
+    val d = (1L to 90L).map(i => (i, "head", "a b c d e f g h i j")) ++
+      (91L to 100L).map(i => (i, "tail", "a b c d e f g h i j"))
+    val df = d.toDF("doc_id", "source", "text")
+    val out = Corpus.temperatureSample(df, "source", "doc_id", "text")
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("token_share"), r.getAs[Double]("p_keep"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("n_docs"))).toMap
+    // largest source anchors p_keep = 1 (keeps everything)
+    assert(out("head")._2 == 1.0 && out("head")._3 == out("head")._4)
+    // tail: p_keep = sqrt(share_t/share_h) > share_t/share_h — flattened,
+    // not proportional — and kept docs never exceed the group
+    val (shareT, pT, keptT, nT) = out("tail")
+    assert(pT > shareT / out("head")._1 && pT < 1.0)
+    assert(keptT <= nT)
+    // tau = 0 is uniform: every source keeps everything
+    val uni = Corpus.temperatureSample(df, "source", "doc_id", "text", tau = 0.0)
+      .collect().map(r => r.getAs[Long]("n_kept") -> r.getAs[Long]("n_docs"))
+    assert(uni.forall { case (k, n) => k == n })
+  }
+
   test("knn classify: separable clusters classify perfectly") {
     import spark.implicits._
     val corpus = Seq(
