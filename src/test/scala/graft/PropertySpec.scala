@@ -1,0 +1,133 @@
+package graft
+
+import graft.functions.TextFns
+import graft.operators.{Clusters, Ranges}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants over the text/hash primitives and the
+  * operators whose correctness arguments are algebraic (idempotence,
+  * path-independence, brute-force equivalence) rather than
+  * fixture-specific. Spark round-trips are batched per property (one
+  * job over a generated table, not one per sample) to keep the suite
+  * fast.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(8)
+
+  /** seeded sampling — the suite is a CI gate, so generated inputs are
+    * deterministic run-to-run (and .get never sees a None) */
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val rawText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.oneOf("!?.,;:@#$%\t\n")
+    )).map(_.mkString)
+
+  test("normText is idempotent and emits only [a-z0-9 ] singly-spaced") {
+    import spark.implicits._
+    val samples = sample(Gen.listOfN(200, rawText), 1L)
+    val df = samples.toDF("t")
+      .select(TextFns.normText(col("t")).as("n1"))
+      .select(col("n1"), TextFns.normText(col("n1")).as("n2"))
+      .collect()
+    df.foreach { r =>
+      val (n1, n2) = (r.getString(0), r.getString(1))
+      assert(n1 == n2, s"not idempotent: '$n1' -> '$n2'")
+      assert(n1.matches("|[a-z0-9]+( [a-z0-9]+)*"), s"bad alphabet: '$n1'")
+    }
+  }
+
+  test("wordShingles: distinct, each shingle has exactly n tokens") {
+    import spark.implicits._
+    val n = 3
+    val samples = sample(Gen.listOfN(100, rawText), 2L)
+    val rows = samples.toDF("t")
+      .select(TextFns.tokens(TextFns.normText(col("t"))).as("toks"))
+      .select(col("toks"), TextFns.wordShingles(col("toks"), n).as("sh"))
+      .collect()
+    rows.foreach { r =>
+      val toks = r.getSeq[String](0)
+      val sh = r.getSeq[String](1)
+      assert(sh.distinct.size == sh.size)
+      if (toks.size >= n)
+        sh.foreach(s => assert(s.split(" ").length == n, s"'$s'"))
+    }
+  }
+
+  test("hash60 stays in [0, 2^60) and agrees with a JVM reimplementation") {
+    import spark.implicits._
+    val samples = sample(Gen.listOfN(200, rawText), 3L).distinct
+    val rows = samples.toDF("t")
+      .select(col("t"), TextFns.hash60(col("t")).as("h")).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0 && h < (1L << 60))
+      val hex = md.digest(r.getString(0).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      assert(h == java.lang.Long.parseLong(hex, 16))
+    }
+  }
+
+  test("connected components: both paths equal brute force on random graphs") {
+    import spark.implicits._
+    // brute-force closure via repeated relabeling over the edge list
+    def bruteCC(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val label = scala.collection.mutable.Map[Long, Long]()
+      edges.foreach { case (a, b) =>
+        label.getOrElseUpdate(a, a); label.getOrElseUpdate(b, b)
+      }
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m) { label(a) = m; changed = true }
+          if (label(b) != m) { label(b) = m; changed = true }
+        }
+      }
+      label.toMap
+    }
+    val genEdges = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L))).map(_.filter(e => e._1 != e._2))
+    // a handful of generated graphs, each checked against brute force on
+    // both the union-find and the distributed path
+    (1 to 4).foreach { i =>
+      val edges = sample(genEdges, 100L + i)
+      if (edges.nonEmpty) {
+        val expected = bruteCC(edges)
+        val df = edges.toDF("ida", "idb")
+        val small = Clusters.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val dist = Clusters.connectedComponents(df, smallGraphEdges = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(small == expected)
+        assert(dist == expected)
+      }
+    }
+  }
+
+  test("bandStats equals aggregated bandPairs on random integer values") {
+    import spark.implicits._
+    val genVals = Gen.listOfN(50, Gen.choose(0L, 60L))
+    (1 to 3).foreach { i =>
+      val vals = sample(genVals, 200L + i).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+      val df = vals.toDF("id", "v")
+      val viaPairs = Ranges.bandPairs(df, "id", "v", 7.0)
+        .groupBy(col("ida"))
+        .agg(count(lit(1)).as("n"), sum(col("vb")).as("s"),
+          min(col("idb")).as("m"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val viaStats = Ranges.bandStats(df, "id", "v", 7.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(viaStats == viaPairs)
+    }
+  }
+}
