@@ -90,9 +90,39 @@ object Similarity {
       .limit(nCells)
       .drop("_h")
 
+  /** Learned IVF centroids via spark.ml KMeans (k-means|| init, fixed
+    * seed — deterministic for a given corpus + partitioning): the
+    * quality upgrade over [[topKByHashCentroids]], which samples corpus
+    * vectors and so places cells where DATA is, not where cluster
+    * structure is. Same (list_id, centroid, centroid_n) contract, so it
+    * drops into [[ivfTopK]] via the `centroids` override. Training cost
+    * is maxIter passes over the corpus — paid once per corpus, amortized
+    * over query batches (persist the assignment, or write it bucketed
+    * by list_id). Not oracle-gated: k-means results are deterministic
+    * per partitioning but not expressible in portable SQL; the spec
+    * pins recall ≥ the driver-gated hash-centroid path on the fixture.
+    */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, nCells: Int,
+      seed: Long = 42L, maxIter: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("features").fit(feats)
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("list_id", "centroid")
+      .select(col("list_id"), col("centroid"),
+        sqrt(dot(col("centroid"), col("centroid"))).as("centroid_n"))
+  }
+
   /** IVF-flat ANN: partition the corpus into Voronoi cells around
-    * `nCells` deterministic top-K-by-hash centroids (a k-means
-    * refinement would slot in here), then answer queries by probing the
+    * `nCells` deterministic top-K-by-hash centroids (or the
+    * [[kmeansCentroids]] refinement via the `centroids` override), then
+    * answer queries by probing the
     * `nProbe` nearest cells and exact-ranking only their members.
     *
     * Scale shape: the centroid set is O(nCells) — constant in corpus
@@ -104,10 +134,12 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCells: Int = 64, nProbe: Int = 3): DataFrame = {
+      nCells: Int = 64, nProbe: Int = 3,
+      centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
       .repartition(par(corpus), col("neighbor_id"))
-    val centroids = topKByHashCentroids(c, "neighbor_id", "cv", nCells)
+    val centroids = centroidsOverride.getOrElse(
+      topKByHashCentroids(c, "neighbor_id", "cv", nCells))
     // cell assignment: argmax cosine to centroid (one broadcast join)
     val byVec = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("c_cos").desc, col("list_id"))

@@ -199,6 +199,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("IVF with kmeans centroids: recall >= hash-centroid recall, full-probe exact") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    def recallOf(topk: org.apache.spark.sql.DataFrame, exact: Set[(Long, Long)]) = {
+      val got = topk.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val km = Similarity.kmeansCentroids(embs, "embedding", nCells = 8)
+    val kmRecall = recallOf(Similarity.ivfTopK(queries, embs, "vec_id",
+      "embedding", 5, nCells = 8, nProbe = 3, centroidsOverride = Some(km)), exact)
+    val hashRecall = recallOf(Similarity.ivfTopK(queries, embs, "vec_id",
+      "embedding", 5, nCells = 8, nProbe = 3), exact)
+    // learned cells sit where cluster structure is: never worse than the
+    // hash-sampled baseline on the fixture, and usable on its own
+    assert(kmRecall >= hashRecall - 1e-9,
+      s"kmeans-IVF recall $kmRecall < hash-IVF recall $hashRecall")
+    assert(kmRecall >= 0.5, s"kmeans-IVF recall $kmRecall")
+    // probing every learned cell degenerates to exact search too
+    val full = Similarity.ivfTopK(queries, embs, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 8, centroidsOverride = Some(km))
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == exact)
+  }
+
   test("IVF centroids: exactly min(nCells, n), never empty, deterministic") {
     import graft.functions.TextFns
     val v = embs.select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
