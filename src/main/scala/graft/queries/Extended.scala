@@ -20,6 +20,8 @@ object Extended {
 
   // band join half-width for q23, in exact integer cents
   private val BandCents = 5.0
+  // anomaly threshold for q24 (|z| above this flags the day)
+  private val ZThresh = 2.0
 
   /** J5/J6: array-membership join — the reference joins columns to
     * constraints on (schema, table) AND attnum = any(conkey)
@@ -509,6 +511,57 @@ object Extended {
        |  AND abs(a.cents - b.cents) <= ${BandCents.toInt}
        |GROUP BY a.event_id""".stripMargin
 
+  /** Per-type daily anomaly z-scores with EXACT second moments: daily
+    * counts are integers, so Σn and Σn² aggregate exactly at any
+    * partitioning and variance = (Σn² − (Σn)²/d)/(d−1) is one fixed
+    * IEEE op sequence — unlike stddev_samp, whose Welford merge order
+    * (and thus last-ulp result) depends on partition layout. The same
+    * plan is deterministic on 1 core or 1000 executors, which is what
+    * lets the oracle hash-match it. sd_n > 0 guards the NaN divergence
+    * (DuckDB orders NaN above all values; Spark follows IEEE). */
+  private def q24(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+    val daily = ev.groupBy(
+        to_date(date_trunc("DAY", col("ts"))).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("n_events")).as("sn"),
+        sum(col("n_events") * col("n_events")).as("sn2"))
+      .filter(col("d") > 1)
+      .select(col("event_type"),
+        (col("sn").cast("double") / col("d")).as("mean_n"),
+        sqrt((col("sn2").cast("double")
+          - col("sn").cast("double") * col("sn").cast("double") / col("d"))
+          / (col("d") - 1)).as("sd_n"))
+    daily.join(broadcast(stats), "event_type")
+      .select(col("day"), col("event_type"), col("n_events"),
+        ((col("n_events") - col("mean_n")) / col("sd_n")).as("z"),
+        col("sd_n"))
+      .filter(col("sd_n") > 0 && abs(col("z")) > ZThresh)
+      .drop("sd_n")
+  }
+
+  private val q24Sql =
+    s"""WITH daily AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       |    COUNT(*) AS n_events
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, COUNT(*) AS d,
+       |    CAST(SUM(n_events) AS BIGINT) AS sn,
+       |    CAST(SUM(n_events * n_events) AS BIGINT) AS sn2
+       |  FROM daily GROUP BY 1),
+       |sd AS (
+       |  SELECT event_type, CAST(sn AS DOUBLE) / d AS mean_n,
+       |    sqrt((CAST(sn2 AS DOUBLE)
+       |      - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / d) / (d - 1)) AS sd_n
+       |  FROM st WHERE d > 1)
+       |SELECT daily.day, daily.event_type, daily.n_events,
+       |  (daily.n_events - sd.mean_n) / sd.sd_n AS z
+       |FROM daily JOIN sd USING (event_type)
+       |WHERE sd.sd_n > 0
+       |  AND abs((daily.n_events - sd.mean_n) / sd.sd_n) > $ZThresh""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
     QueryDef("q6_minmax_score", q6, Some(q6Sql)),
@@ -528,5 +581,6 @@ object Extended {
     QueryDef("q20_rollup", q20, Some(q20Sql)),
     QueryDef("q21_funnel", q21, Some(q21Sql)),
     QueryDef("q22_asof_join", q22, Some(q22Sql)),
-    QueryDef("q23_band_join", q23, Some(q23Sql)))
+    QueryDef("q23_band_join", q23, Some(q23Sql)),
+    QueryDef("q24_daily_anomaly", q24, Some(q24Sql)))
 }
