@@ -162,8 +162,11 @@ object Corpus {
     */
   def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
       textCol: String, tau: Double = 0.5): DataFrame = {
+    // persisted: the token-count projection feeds both the per-source
+    // rollup and the kept-count pass — one tokenizer run, not two
     val t = docs.select(col(groupCol).as("grp"), col(idCol).as("_id"),
       size(TextFns.tokens(TextFns.normText(col(textCol)))).as("_n"))
+      .persist()
     val per = t.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_n")).cast("long").as("grp_tokens"))

@@ -136,6 +136,54 @@ object Dedup {
     }
   }
 
+  /** Asymmetric CONTAINMENT pairs: directed (container, contained) where
+    * |A∩B| / |contained| ≥ num/den — the quote/subset duplication that
+    * symmetric Jaccard misses entirely (a paragraph fully embedded in a
+    * 100× longer doc has Jaccard ≈ 1% but containment = 1). Candidates
+    * come from the same df-capped hashed inverted index as
+    * [[ngramJaccardPairs]] (linear cost); verification is the exact
+    * string-array intersection, normalized by the SMALLER side. The
+    * threshold check stays in integer cross-multiplication, so both
+    * engines agree bit-for-bit.
+    *
+    * @return (container_id, contained_id, inter, contained_sz) — the
+    *         contained doc is the one whose shingles are ≥ num/den
+    *         covered; a pair near-identical in both directions emits
+    *         with the smaller-shingle-set side as contained (ties:
+    *         smaller id is contained).
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, num: Int = 9, den: Int = 10,
+      maxDocFreq: Int = 20): DataFrame = {
+    val sh = shingleDocs(docs, idCol, textCol, n).persist()
+    val hinv = sh.select(col("doc_id"),
+      explode(transform(col("shingles"), s => hash60(s))).as("s"))
+    val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("s"))
+    val invf = hinv.join(common, Seq("s"), "left_anti")
+    val cand = invf.as("a")
+      .join(invf.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+    val scored = cand
+      .join(sh.select(col("doc_id").as("ida"), col("shingles").as("sha")), "ida")
+      .join(sh.select(col("doc_id").as("idb"), col("shingles").as("shb")), "idb")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("na", size(col("sha"))).withColumn("nb", size(col("shb")))
+    // orient: contained = smaller shingle set (ties → smaller id, i.e.
+    // ida, since candidates have ida < idb)
+    val aContained = col("na") <= col("nb")
+    scored
+      .select(
+        when(aContained, col("idb")).otherwise(col("ida")).as("container_id"),
+        when(aContained, col("ida")).otherwise(col("idb")).as("contained_id"),
+        col("inter"),
+        when(aContained, col("na")).otherwise(col("nb")).as("contained_sz"))
+      .filter(col("inter") * den >= col("contained_sz") * num)
+  }
+
   /** Chunk-level boilerplate removal (the line/paragraph dedup of
     * RefinedWeb-style pipelines, on token windows since the corpus
     * format has no line structure): cut each doc's normalized tokens

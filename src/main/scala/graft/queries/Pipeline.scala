@@ -70,6 +70,9 @@ object Pipeline {
   private val KnnHoldMod = 20
   // KMV distinct sketch size (relative error ~ 1/sqrt(k-2) ~ 13%)
   private val KmvK = 64
+  // containment threshold: contained doc's shingles >= 9/10 covered
+  private val ContainNum = 9
+  private val ContainDen = 10
 
   /** Shared CTE block `sh → … → pairs` mirroring
     * Dedup.ngramJaccardPairs(maxDocFreq = Some(cap)): candidates from
@@ -894,6 +897,43 @@ object Pipeline {
        |FROM probs p LEFT JOIN kept k USING (grp)""".stripMargin
   }
 
+  /** Asymmetric containment near-dup (Dedup.containmentPairs): directed
+    * (container, contained) pairs where ≥ 90% of the smaller doc's
+    * shingles appear in the larger — the quote/subset duplication
+    * symmetric Jaccard misses. Same df-capped hashed index as p02b. */
+  private def p28(spark: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.df(spark, dir, "documents"),
+      "doc_id", "text", ShingleN, ContainNum, ContainDen, JaccardMaxDf)
+
+  private val p28Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""WITH sh AS (SELECT doc_id, $sh AS shingles FROM documents),
+       |ex AS (SELECT doc_id,
+       |       ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+       |       FROM sh),
+       |common AS (SELECT s FROM ex GROUP BY s
+       |           HAVING COUNT(*) > $JaccardMaxDf),
+       |exf AS (SELECT e.doc_id, e.s FROM ex e ANTI JOIN common USING (s)),
+       |cnd AS (
+       |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |sc AS (
+       |  SELECT c.ida, c.idb,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+       |    len(sa.shingles) AS na, len(sb.shingles) AS nb
+       |  FROM cnd c
+       |  JOIN sh sa ON sa.doc_id = c.ida
+       |  JOIN sh sb ON sb.doc_id = c.idb)
+       |SELECT
+       |  CASE WHEN na <= nb THEN idb ELSE ida END AS container_id,
+       |  CASE WHEN na <= nb THEN ida ELSE idb END AS contained_id,
+       |  CAST(inter AS INT) AS inter,
+       |  CAST(CASE WHEN na <= nb THEN na ELSE nb END AS INT) AS contained_sz
+       |FROM sc
+       |WHERE inter * $ContainDen
+       |  >= (CASE WHEN na <= nb THEN na ELSE nb END) * $ContainNum""".stripMargin
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
@@ -1052,5 +1092,6 @@ object Pipeline {
     QueryDef("p24_token_quantiles", p24, Some(p24Sql)),
     QueryDef("p25_knn_label", p25, Some(p25Sql)),
     QueryDef("p26_kmv_distinct", p26, Some(p26Sql)),
-    QueryDef("p27_temperature_mix", p27, Some(p27Sql)))
+    QueryDef("p27_temperature_mix", p27, Some(p27Sql)),
+    QueryDef("p28_containment", p28, Some(p28Sql)))
 }

@@ -132,6 +132,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(q.getAs[Double]("p99") - 4.96) < 1e-12)
   }
 
+  test("containment: embedded paragraph found, oriented right, Jaccard blind to it") {
+    import spark.implicits._
+    val para = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val host = "intro words here " + para + " closing remarks follow now " +
+      (1 to 30).map(i => s"fill$i").mkString(" ")
+    val d = Seq((1L, para), (2L, host), (3L, "unrelated text entirely " +
+      (1 to 20).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text", n = 5,
+        num = 9, den = 10, maxDocFreq = 20)
+      .collect().map(r => (r.getAs[Long]("container_id"),
+        r.getAs[Long]("contained_id"))).toSet
+    // the paragraph (doc 1) is fully inside doc 2 → (container=2, contained=1)
+    assert(pairs == Set((2L, 1L)))
+    // symmetric Jaccard at 0.7 misses it (shared shingles are a small
+    // fraction of the union) — the reason containment exists
+    val jac = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        maxDocFreq = Some(20))
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("temperature sampling: head keeps all at tau=0, tail upsampled at tau=0.5") {
     import spark.implicits._
     val d = (1L to 90L).map(i => (i, "head", "a b c d e f g h i j")) ++
