@@ -132,6 +132,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("theta-shaped operators never plan nested-loop or cartesian joins") {
+    // the no-equi-key band join and the df-capped near-dup pipelines
+    // exist precisely to avoid BroadcastNestedLoopJoin/CartesianProduct
+    // — a regression to either is the 100 TB failure mode
+    Seq("q23_band_join", "p02b_ngram_jaccard_capped", "p28_containment")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans BNLJ")
+        assert(!p.contains("CartesianProduct"), s"$q plans cartesian")
+      }
+  }
+
+  test("q22 as-of join plans as one exchange + window, no join node") {
+    val p = plan("q22_asof_join")
+    assert(!p.contains("Join"), s"asof should have no join node:\n$p")
+    assert(p.contains("Window"), p)
+    assert("(?m)^\\(\\d+\\) Exchange\\b".r.findAllIn(p).size == 1,
+      s"asof should shuffle exactly once:\n$p")
+  }
+
+  test("p26 KMV sketch aggregates map-side before the exchange") {
+    val p = plan("p26_kmv_distinct")
+    // partial ObjectHashAggregate (the sketch) must appear BELOW the
+    // exchange — proof the buffer merges, not re-scans
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && firstExchange >= 0)
+    assert("graft_kmv".r.findAllIn(p).nonEmpty, p.take(400))
+  }
+
   test("grants plan: role validation, supabase normalization, quoting") {
     assert(Grants.validRoleName("app_reader"))
     assert(!Grants.validRoleName("x; drop table users--"))
