@@ -47,6 +47,9 @@ object Ranges {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valCols: Seq[String],
       prefix: String = "asof_"): DataFrame = {
+    val reserved = Set("_rv", "_side", "_m")
+    require(!left.columns.exists(reserved), s"asofJoin: left side uses " +
+      s"reserved internal column names ${left.columns.filter(reserved).mkString(", ")}")
     val payload = struct(col(tsCol).as("_ts") +: valCols.map(col): _*)
     val r = right.select(col(keyCol), col(tsCol),
       payload.as("_rv"), lit(0).as("_side"))

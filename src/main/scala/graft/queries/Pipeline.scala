@@ -73,6 +73,8 @@ object Pipeline {
   // containment threshold: contained doc's shingles >= 9/10 covered
   private val ContainNum = 9
   private val ContainDen = 10
+  // dataset-build quality gate: minimum token count to keep a doc
+  private val BuildMinTokens = 30
 
   /** Shared CTE block `sh → … → pairs` mirroring
     * Dedup.ngramJaccardPairs(maxDocFreq = Some(cap)): candidates from
@@ -934,6 +936,105 @@ object Pipeline {
        |  >= (CASE WHEN na <= nb THEN na ELSE nb END) * $ContainNum""".stripMargin
   }
 
+  /** Full dataset-build pipeline — the second flagship DAG (p15 curates
+    * by near-dup clustering; this one chains the OTHER families): exact
+    * dedup keepers → benchmark decontamination against the held-out
+    * doc_id%97 slice → token-count quality gate → per-source sequence
+    * packing, with per-source accounting of every stage's drops. One
+    * composed plan; the multi-consumer frames persist once each. */
+  private def p29(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val withHash = docs.select(col("doc_id"), col("source"), col("text"),
+      md5(TextFns.normText(col("text"))).as("_h"))
+    val keepers = withHash.groupBy(col("_h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = withHash.join(keepers, Seq("_h", "doc_id")).persist()
+    val verdicts = graft.operators.Decontaminate.ngramOverlap(
+      deduped.select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 97 === 0).select(col("text")),
+      "doc_id", "text", n = ShingleN, minHits = 3).persist()
+    val q = deduped
+      .join(verdicts.filter(!col("contaminated")).select("doc_id"), "doc_id")
+      .withColumn("n_tokens",
+        size(TextFns.tokens(TextFns.normText(col("text"))))).persist()
+    val kept = q.filter(col("n_tokens") >= BuildMinTokens).persist()
+    val windows = graft.operators.Corpus
+      .packSequences(kept, "source", "doc_id", "text", PackBudget)
+      .groupBy(col("grp").as("source")).agg(count(lit(1)).as("n_windows"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(deduped.groupBy(col("source"))
+        .agg(count(lit(1)).as("_nd")), Seq("source"), "left")
+      .join(deduped.join(verdicts.filter(col("contaminated"))
+          .select("doc_id"), "doc_id")
+        .groupBy(col("source")).agg(count(lit(1)).as("_nc")),
+        Seq("source"), "left")
+      .join(q.filter(col("n_tokens") < BuildMinTokens)
+        .groupBy(col("source")).agg(count(lit(1)).as("_nq")),
+        Seq("source"), "left")
+      .join(kept.groupBy(col("source")).agg(count(lit(1)).as("_nk"),
+        sum(col("n_tokens")).cast("long").as("_kt")), Seq("source"), "left")
+      .join(windows, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - coalesce(col("_nd"), lit(0L))).as("n_exact_dupes"),
+        coalesce(col("_nc"), lit(0L)).as("n_contaminated"),
+        coalesce(col("_nq"), lit(0L)).as("n_low_quality"),
+        coalesce(col("_nk"), lit(0L)).as("n_kept"),
+        coalesce(col("_kt"), lit(0L)).as("kept_tokens"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"))
+  }
+
+  private val p29Sql = {
+    val toks = toksSql(normSql("text"))
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""WITH h AS (
+       |  SELECT doc_id, source, text, md5(${normSql("text")}) AS hh
+       |  FROM documents),
+       |keep AS (SELECT hh, MIN(doc_id) AS kid FROM h GROUP BY hh),
+       |dd AS (SELECT h.doc_id, h.source, h.text
+       |       FROM h JOIN keep ON h.hh = keep.hh AND h.doc_id = keep.kid),
+       |ev AS (SELECT DISTINCT unnest($sh) AS s
+       |       FROM documents WHERE doc_id % 97 = 0),
+       |cg AS (SELECT doc_id, unnest($sh) AS s FROM dd),
+       |hits AS (SELECT cg.doc_id, COUNT(DISTINCT cg.s) AS hh
+       |         FROM cg JOIN ev USING (s) GROUP BY 1),
+       |flag AS (SELECT dd.doc_id, dd.source, dd.text,
+       |           COALESCE(hits.hh, 0) >= 3 AS contam
+       |         FROM dd LEFT JOIN hits USING (doc_id)),
+       |cl AS (SELECT doc_id, source, text,
+       |         CAST(len($toks) AS INT) AS n_tokens
+       |       FROM flag WHERE NOT contam),
+       |kept AS (SELECT * FROM cl WHERE n_tokens >= $BuildMinTokens),
+       |pk AS (
+       |  SELECT source, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tokens_before
+       |  FROM kept),
+       |win AS (
+       |  SELECT source, COUNT(DISTINCT CAST(FLOOR(
+       |    CAST(tokens_before AS DOUBLE) / $PackBudget) AS BIGINT))
+       |    AS n_windows
+       |  FROM pk GROUP BY 1),
+       |base AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+       |nd AS (SELECT source, COUNT(*) AS c FROM dd GROUP BY 1),
+       |nc AS (SELECT source, COUNT(*) AS c FROM flag WHERE contam GROUP BY 1),
+       |nq AS (SELECT source, COUNT(*) AS c FROM cl
+       |       WHERE n_tokens < $BuildMinTokens GROUP BY 1),
+       |nk AS (SELECT source, COUNT(*) AS c,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS kt FROM kept GROUP BY 1)
+       |SELECT b.source, b.n_docs,
+       |  b.n_docs - COALESCE(nd.c, 0) AS n_exact_dupes,
+       |  COALESCE(nc.c, 0) AS n_contaminated,
+       |  COALESCE(nq.c, 0) AS n_low_quality,
+       |  COALESCE(nk.c, 0) AS n_kept,
+       |  COALESCE(nk.kt, 0) AS kept_tokens,
+       |  COALESCE(win.n_windows, 0) AS n_windows
+       |FROM base b
+       |LEFT JOIN nd USING (source) LEFT JOIN nc USING (source)
+       |LEFT JOIN nq USING (source) LEFT JOIN nk USING (source)
+       |LEFT JOIN win USING (source)""".stripMargin
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
@@ -1093,5 +1194,6 @@ object Pipeline {
     QueryDef("p25_knn_label", p25, Some(p25Sql)),
     QueryDef("p26_kmv_distinct", p26, Some(p26Sql)),
     QueryDef("p27_temperature_mix", p27, Some(p27Sql)),
-    QueryDef("p28_containment", p28, Some(p28Sql)))
+    QueryDef("p28_containment", p28, Some(p28Sql)),
+    QueryDef("p29_dataset_build", p29, Some(p29Sql)))
 }
