@@ -101,32 +101,8 @@ object Dedup {
           .select(col("ida"), col("idb"), col("inter"), col("union_sz"))
       case Some(cap) =>
         // df-capped path: candidates from the rare-shingle index only,
-        // then exact verification against the full arrays. The index
-        // carries hash60(shingle) instead of the shingle string — the
-        // df groupBy, the rare-filter join, and the candidate self-join
-        // all shuffle 8-byte longs instead of ~40-byte 5-gram strings
-        // (~2x on the whole pair pipeline at sf0.1). Safe because the
-        // verify step intersects the full STRING arrays: a hash
-        // collision can only ADD a candidate pair, which exact
-        // verification then scores on its true shingles.
-        val hinv = sh.select(col("doc_id"),
-          explode(transform(col("shingles"), s => hash60(s))).as("s"))
-        // df-cap as an ANTI join against the OVER-cap set: the common
-        // set is small by construction (only boilerplate shingles
-        // exceed the cap), so AQE broadcasts it and the full index is
-        // shuffled once (for the self-join), not twice. The groupBy
-        // keeps map-side partial counts, which a window-based df would
-        // lose (WindowExec buffers whole partitions — skew-unsafe on
-        // mega-hot shingles).
-        val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > cap).select(col("s"))
-        val invf = hinv.join(common, Seq("s"), "left_anti")
-        val cand = invf.as("a")
-          .join(invf.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-          .distinct()
-        cand
+        // then exact verification against the full arrays
+        cappedCandidates(sh, cap)
           .join(sh.select(col("doc_id").as("ida"), col("shingles").as("sha")), "ida")
           .join(sh.select(col("doc_id").as("idb"), col("shingles").as("shb")), "idb")
           .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -157,17 +133,7 @@ object Dedup {
       n: Int = 5, num: Int = 9, den: Int = 10,
       maxDocFreq: Int = 20): DataFrame = {
     val sh = shingleDocs(docs, idCol, textCol, n).persist()
-    val hinv = sh.select(col("doc_id"),
-      explode(transform(col("shingles"), s => hash60(s))).as("s"))
-    val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select(col("s"))
-    val invf = hinv.join(common, Seq("s"), "left_anti")
-    val cand = invf.as("a")
-      .join(invf.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .distinct()
-    val scored = cand
+    val scored = cappedCandidates(sh, maxDocFreq)
       .join(sh.select(col("doc_id").as("ida"), col("shingles").as("sha")), "ida")
       .join(sh.select(col("doc_id").as("idb"), col("shingles").as("shb")), "idb")
       .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
@@ -182,6 +148,43 @@ object Dedup {
         col("inter"),
         when(aContained, col("na")).otherwise(col("nb")).as("contained_sz"))
       .filter(col("inter") * den >= col("contained_sz") * num)
+  }
+
+  /** df-capped candidate pairs (ida < idb, distinct) from the inverted
+    * index over `sh` = shingleDocs output — the shared candidate stage
+    * of [[ngramJaccardPairs]] and [[containmentPairs]].
+    *
+    * The index carries hash60(shingle), not the shingle string: the df
+    * groupBy, the anti-join, and the candidate self-join shuffle 8-byte
+    * longs instead of ~40-byte 5-grams (~2× on the pair pipeline).
+    * Collision honesty: a hash collision (a) may ADD a candidate —
+    * harmless, callers verify exactly on the string arrays — and (b)
+    * merges the colliding shingles' df counts, which can push rare
+    * shingles over the cap and silently DROP a candidate whose only
+    * shared shingles collided. At 2^60 hash space the expected number
+    * of colliding shingle pairs is |shingles|²/2^61 — negligible below
+    * ~10^8 distinct shingles and still vanishingly unlikely to be a
+    * pair's ONLY evidence above that — and cross-engine parity is
+    * unaffected either way because the oracle applies the identical
+    * hash before its df cap.
+    *
+    * The df-cap is an ANTI join against the OVER-cap set: that set is
+    * small by construction (only boilerplate shingles exceed the cap),
+    * so AQE broadcasts it and the full index is shuffled once (for the
+    * self-join), not twice. The groupBy keeps map-side partial counts,
+    * which a window-based df would lose (WindowExec buffers whole
+    * partitions — skew-unsafe on mega-hot shingles). */
+  private def cappedCandidates(sh: DataFrame, cap: Int): DataFrame = {
+    val hinv = sh.select(col("doc_id"),
+      explode(transform(col("shingles"), s => hash60(s))).as("s"))
+    val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("s"))
+    val invf = hinv.join(common, Seq("s"), "left_anti")
+    invf.as("a")
+      .join(invf.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
   }
 
   /** Chunk-level boilerplate removal (the line/paragraph dedup of

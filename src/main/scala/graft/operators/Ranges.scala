@@ -60,46 +60,21 @@ object Ranges {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // SQL join semantics for NULL keys: a NULL never equals a NULL, so
+    // NULL-key left rows must stay unmatched — but partitionBy groups
+    // all NULL keys together, where the running last() would hand them
+    // NULL-key right payloads. Masking the match for NULL-key rows
+    // keeps parity with ASOF JOIN's ON k = k (q22's oracle).
+    val m = when(col(keyCol).isNotNull,
+      last(col("_rv"), ignoreNulls = true).over(w))
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
+      .withColumn("_m", m)
       .filter(col("_side") === 1)
       .select(leftCols.map(col) ++
         (col("_m._ts").as(s"$prefix$tsCol") +:
           valCols.map(v => col(s"_m.$v").as(s"$prefix$v"))): _*)
   }
 
-  /** Band self-join: every DIRECTED pair (a, b), a ≠ b, with
-    * |a.valCol − b.valCol| ≤ eps. Emitted directed so per-row partner
-    * aggregates need no mirroring; halve downstream with ida < idb for
-    * unordered pairs.
-    *
-    * Exactness note: the bucket assignment `floor(v/eps)` is only
-    * candidate generation — membership is decided by the exact
-    * `abs(a−b) ≤ eps` filter, so callers wanting bit-reproducible
-    * results across engines should pass integer-valued columns (e.g.
-    * cents) where the comparison is exact.
-    *
-    * @return (ida, va, idb, vb) — `va`/`vb` carry valCol for the two
-    *         sides so callers can aggregate without re-joining.
-    */
-  /** Per-row band-partner statistics — the aggregate consumers usually
-    * want from [[bandPairs]], computed WITHOUT materializing the pairs:
-    * rows collapse to a value histogram first, the band join runs over
-    * DISTINCT values (cost O(V·band-width) for V distinct values, not
-    * O(candidate pairs)), and per-row stats come from one final join of
-    * the input against the per-value rollup. For integer-valued columns
-    * (cents, token counts) V is bounded by the value domain, so the
-    * expensive step is histogram-sized at ANY corpus size — this is the
-    * 100 TB shape; [[bandPairs]] stays for consumers that need the
-    * actual pair list.
-    *
-    * Partner = any OTHER row within eps. Exactness: same integer-safe
-    * guidance as [[bandPairs]].
-    *
-    * @return (idCol, valCol, n_close, sum_partner_vals,
-    *         min_partner_id) for rows with ≥ 1 partner — the same
-    *         frame `bandPairs(...).groupBy(ida)` would aggregate to.
-    */
   /** Per-row band-partner statistics — the aggregate consumers usually
     * want from [[bandPairs]], computed WITHOUT materializing the pairs:
     * rows collapse to a value histogram, the band join runs over
@@ -162,6 +137,20 @@ object Ranges {
           .otherwise(element_at(col("_bmins"), 2)).as("min_partner_id"))
   }
 
+  /** Band self-join: every DIRECTED pair (a, b), a ≠ b, with
+    * |a.valCol − b.valCol| ≤ eps. Emitted directed so per-row partner
+    * aggregates need no mirroring; halve downstream with ida < idb for
+    * unordered pairs.
+    *
+    * Exactness note: the bucket assignment `floor(v/eps)` is only
+    * candidate generation — membership is decided by the exact
+    * `abs(a−b) ≤ eps` filter, so callers wanting bit-reproducible
+    * results across engines should pass integer-valued columns (e.g.
+    * cents) where the comparison is exact.
+    *
+    * @return (ida, va, idb, vb) — `va`/`vb` carry valCol for the two
+    *         sides so callers can aggregate without re-joining.
+    */
   def bandPairs(df: DataFrame, idCol: String, valCol: String,
       eps: Double): DataFrame = {
     require(eps > 0, s"bandPairs eps must be positive, got $eps")

@@ -188,8 +188,12 @@ object Similarity {
   def ivfNearDupPairs(
       embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int = 64, assignProbe: Int = 3): DataFrame = {
+    // persisted: v feeds centroid selection, cell assignment, AND both
+    // sides of the verification re-attach — without the cache the
+    // cast/norm/repartition pipeline runs three times per call.
     val v = withNorm(embs, idCol, vecCol, "vec_id", "v")
       .repartition(par(embs), col("vec_id"))
+      .persist()
     val centroids = topKByHashCentroids(v, "vec_id", "v", nCells)
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("list_id"))
@@ -313,8 +317,12 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
+    // no broadcast hint on either re-attach join: the query side is
+    // usually small (AQE broadcasts it at runtime) but its true size is
+    // caller-controlled — a forced broadcast would be the failure mode
+    // on corpus-scale query batches, where SMJ degrades gracefully.
     cand
-      .join(broadcast(q), "query_id")
+      .join(q, "query_id")
       .join(c, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n"))).as("cos"))

@@ -521,9 +521,11 @@ object Extended {
     * (DuckDB orders NaN above all values; Spark follows IEEE). */
   private def q24(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.df(spark, dir, "events")
+    // persisted: daily feeds both the stats rollup and the final join
     val daily = ev.groupBy(
         to_date(date_trunc("DAY", col("ts"))).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+      .persist()
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("d"), sum(col("n_events")).as("sn"),
         sum(col("n_events") * col("n_events")).as("sn2"))

@@ -83,10 +83,11 @@ object Pipeline {
   private def cappedPairsCtes(rel: String, cap: Int): String = {
     val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
     // the inverted index carries hash60(shingle), not the shingle
-    // string, mirroring the Spark side: 8-byte join/shuffle keys
-    // instead of ~40-byte 5-gram strings. Verification below still
-    // intersects the full STRING arrays, so a (1-in-2^60) hash
-    // collision can only add a candidate, never a wrong pair.
+    // string, mirroring Dedup.cappedCandidates exactly — including its
+    // collision behavior (extra candidates are re-verified on the
+    // string arrays; merged df counts can in principle cap out a rare
+    // shingle, identically in both engines, so parity holds either
+    // way — see the cappedCandidates scaladoc).
     s"""sh AS (SELECT doc_id, $sh AS shingles FROM $rel),
        |ex AS (SELECT doc_id,
        |       ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s

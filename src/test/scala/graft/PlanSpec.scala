@@ -154,12 +154,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("p26 KMV sketch aggregates map-side before the exchange") {
     val p = plan("p26_kmv_distinct")
-    // partial ObjectHashAggregate (the sketch) must appear BELOW the
-    // exchange — proof the buffer merges, not re-scans
-    val firstAgg = p.indexOf("ObjectHashAggregate")
-    val firstExchange = p.indexOf("Exchange")
-    assert(firstAgg >= 0 && firstExchange >= 0)
-    assert("graft_kmv".r.findAllIn(p).nonEmpty, p.take(400))
+    // a PARTIAL-mode graft_kmv aggregate must exist in the plan — the
+    // proof that sketch buffers merge map-side and the shuffle carries
+    // serialized sketches, not raw hashes
+    assert(p.contains("partial_graft_kmv"),
+      s"no partial-mode graft_kmv aggregate in plan:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
   }
 
   test("grants plan: role validation, supabase normalization, quoting") {

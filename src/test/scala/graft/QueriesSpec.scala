@@ -126,6 +126,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(3L) == (Some(15L), Some("b")))    // most recent, not first
     assert(out(4L) == (Some(1L), Some("c")))     // per-key isolation
     assert(out(5L) == (None, None))              // key with no right rows
+    // SQL join semantics: NULL keys never match, even against NULL-key
+    // right rows (mirrors ASOF JOIN's ON k = k)
+    val nl = Seq((Some("u"), 1L, "x"), (None, 2L, "y"))
+      .toDF("k", "ts", "pay")
+    val nres = graft.operators.Ranges
+      .asofJoin(Seq((Option.empty[String], 9L, 10L)).toDF("k", "ts", "id"),
+        nl, "k", "ts", Seq("pay"))
+      .collect().head
+    assert(nres.getAs[String]("asof_pay") == null)
     // the plan must contain no join node — the whole point of the shape
     val plan = graft.operators.Ranges
       .asofJoin(left, right, "k", "ts", Seq("pay"))
