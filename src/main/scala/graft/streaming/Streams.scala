@@ -74,6 +74,17 @@ object Streams {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("est_distinct_users"))
 
+  /** Stream–static enrichment: the event stream joined to a batch
+    * dimension (user attributes, domain scores, block lists) — the
+    * everyday streaming join. The static side broadcasts per
+    * micro-batch (no stream state at all; Spark re-plans the batch
+    * side, so a refreshed dimension table is picked up on the next
+    * trigger). Left join: events with no dimension row pass through
+    * with NULLs rather than being dropped. */
+  def enrichedEvents(events: DataFrame, dim: DataFrame,
+      keyCol: String): DataFrame =
+    events.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Stream–stream interval join (purchase attribution): every purchase
     * matched to the same user's clicks in the preceding `horizon` — the
     * fourth canonical streaming shape. Both sides carry watermarks and

@@ -56,6 +56,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.values.toSeq.sorted == Seq(2.0, 3.0))
   }
 
+  test("stream-static enrichment: dim attaches, unmatched events pass with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dim = Seq((1L, "pro"), (2L, "free")).toDF("user_id", "tier")
+    val q = Streams.enrichedEvents(in.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    in.addData(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 2, "view", 2.0),
+      Event(3, ts(2), 99, "click", 3.0)) // no dim row
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("tier")).toMap
+    assert(rows == Map(1L -> "pro", 2L -> "free", 3L -> null))
+  }
+
   test("stream-stream interval join attributes purchases to prior clicks") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
