@@ -187,6 +187,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental cross-corpus near-dup: new-batch docs vs an EXISTING
+    * corpus — the ingest-time shape, where re-pairing the old corpus
+    * with itself every batch would be O(corpus) per ingest. Candidates
+    * pair a NEW doc with any doc (old or new) sharing a rare shingle;
+    * old×old pairs are never generated — the old side contributes only
+    * its inverted index, which production would keep precomputed and
+    * bucketed by shingle hash so each batch touches index shards, not
+    * the corpus. Jaccard-verified exactly like [[ngramJaccardPairs]].
+    *
+    * @return (new_id, match_id, inter, union_sz, match_is_new) —
+    *         match_is_new distinguishes new×new dup pairs (emitted
+    *         once, smaller id as new_id) from new×old matches.
+    */
+  def incrementalNearDupPairs(
+      oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, num: Int = 7, den: Int = 10,
+      maxDocFreq: Int = 20): DataFrame = {
+    val shOld = shingleDocs(oldDocs, idCol, textCol, n)
+      .select(col("doc_id"), col("shingles"), lit(false).as("is_new"))
+    val shNew = shingleDocs(newDocs, idCol, textCol, n)
+      .select(col("doc_id"), col("shingles"), lit(true).as("is_new"))
+    val sh = shOld.unionByName(shNew).persist()
+    val hinv = sh.select(col("doc_id"), col("is_new"),
+      explode(transform(col("shingles"), s => hash60(s))).as("s"))
+    val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq).select(col("s"))
+    val invf = hinv.join(common, Seq("s"), "left_anti")
+    // the probe side is NEW docs only — old×old pairs never form.
+    // a<b on ids dedups new×new; new×old keeps the new doc as probe.
+    val cand = invf.filter(col("is_new")).as("a")
+      .join(invf.as("b"),
+        col("a.s") === col("b.s")
+          && (col("a.doc_id") < col("b.doc_id") || !col("b.is_new"))
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("match_id"),
+        col("b.is_new").as("match_is_new"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("new_id"), col("shingles").as("sha")),
+        "new_id")
+      .join(sh.select(col("doc_id").as("match_id"), col("shingles").as("shb")),
+        "match_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_sz",
+        size(col("sha")) + size(col("shb")) - col("inter"))
+      .filter(col("inter") * den >= col("union_sz") * num)
+      .select(col("new_id"), col("match_id"), col("inter"),
+        col("union_sz"), col("match_is_new"))
+  }
+
   /** Chunk-level boilerplate removal (the line/paragraph dedup of
     * RefinedWeb-style pipelines, on token windows since the corpus
     * format has no line structure): cut each doc's normalized tokens

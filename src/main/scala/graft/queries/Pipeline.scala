@@ -1036,6 +1036,49 @@ object Pipeline {
        |LEFT JOIN win USING (source)""".stripMargin
   }
 
+  /** Incremental ingest dedup (Dedup.incrementalNearDupPairs): the
+    * doc_id%3==0 slice plays the new batch, the rest the existing
+    * corpus; near-dups of new docs against old+new, old×old never
+    * paired. */
+  private def p30(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") % 3 =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text")),
+      "doc_id", "text", ShingleN, JaccardNum, JaccardDen, JaccardMaxDf)
+  }
+
+  private val p30Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
+    s"""WITH shu AS (
+       |  SELECT doc_id, $sh AS shingles, (doc_id % 3 = 0) AS is_new
+       |  FROM documents),
+       |ex AS (SELECT doc_id, is_new,
+       |       ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+       |       FROM shu),
+       |common AS (SELECT s FROM ex GROUP BY s
+       |           HAVING COUNT(*) > $JaccardMaxDf),
+       |exf AS (SELECT e.doc_id, e.is_new, e.s
+       |        FROM ex e ANTI JOIN common USING (s)),
+       |cnd AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id,
+       |    b.is_new AS match_is_new
+       |  FROM exf a JOIN exf b ON a.s = b.s AND a.is_new
+       |    AND (a.doc_id < b.doc_id OR NOT b.is_new)
+       |    AND a.doc_id <> b.doc_id)
+       |SELECT c.new_id, c.match_id,
+       |  CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INT) AS inter,
+       |  CAST(len(sa.shingles) + len(sb.shingles)
+       |    - len(list_intersect(sa.shingles, sb.shingles)) AS INT) AS union_sz,
+       |  c.match_is_new
+       |FROM cnd c
+       |JOIN shu sa ON sa.doc_id = c.new_id
+       |JOIN shu sb ON sb.doc_id = c.match_id
+       |WHERE len(list_intersect(sa.shingles, sb.shingles)) * $JaccardDen >=
+       |  (len(sa.shingles) + len(sb.shingles)
+       |    - len(list_intersect(sa.shingles, sb.shingles))) * $JaccardNum""".stripMargin
+  }
+
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
@@ -1196,5 +1239,6 @@ object Pipeline {
     QueryDef("p26_kmv_distinct", p26, Some(p26Sql)),
     QueryDef("p27_temperature_mix", p27, Some(p27Sql)),
     QueryDef("p28_containment", p28, Some(p28Sql)),
-    QueryDef("p29_dataset_build", p29, Some(p29Sql)))
+    QueryDef("p29_dataset_build", p29, Some(p29Sql)),
+    QueryDef("p30_incremental_dedup", p30, Some(p30Sql)))
 }

@@ -153,6 +153,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("incremental dedup: new matches old and new, old×old never pairs") {
+    import spark.implicits._
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val old = Seq(
+      (1L, base),                                  // will be matched by new 11
+      (2L, base + " tail"),                        // old near-dup of 1 — must NOT pair
+      (3L, (20 to 35).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (11L, base + " extra"),                      // near-dup of old 1 and 2
+      (12L, (40 to 55).map(i => s"q$i").mkString(" ")),
+      (13L, (40 to 55).map(i => s"q$i").mkString(" ")))  // new×new exact dup of 12
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDupPairs(old, fresh, "doc_id", "text",
+        n = 3, num = 7, den = 10, maxDocFreq = 20)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("match_id"),
+        r.getAs[Boolean]("match_is_new")))
+    // every probe is a new doc; the old near-dup pair (1,2) never appears
+    assert(out.forall(t => Set(11L, 12L, 13L)(t._1)))
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set((11L, 1L), (11L, 2L), (12L, 13L)))
+    assert(out.filter(_._1 == 11L).forall(!_._3))  // matches against OLD
+    assert(out.find(_._1 == 12L).get._3)           // new×new flagged, once
+  }
+
   test("temperature sampling: head keeps all at tau=0, tail upsampled at tau=0.5") {
     import spark.implicits._
     val d = (1L to 90L).map(i => (i, "head", "a b c d e f g h i j")) ++
