@@ -175,16 +175,26 @@ object Dedup {
     * which a window-based df would lose (WindowExec buffers whole
     * partitions — skew-unsafe on mega-hot shingles). */
   private def cappedCandidates(sh: DataFrame, cap: Int): DataFrame = {
-    val hinv = sh.select(col("doc_id"),
-      explode(transform(col("shingles"), s => hash60(s))).as("s"))
-    val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select(col("s"))
-    val invf = hinv.join(common, Seq("s"), "left_anti")
+    val invf = cappedIndex(sh, cap)
     invf.as("a")
       .join(invf.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
+  }
+
+  /** The df-capped hashed inverted index itself: (doc_id, s=hash60,
+    * passthrough cols) with over-cap shingles anti-joined out — the one
+    * place the hashing and cap semantics live; every candidate
+    * generator ([[cappedCandidates]], [[incrementalNearDupPairs]])
+    * builds on this so collision/cap changes apply everywhere at once. */
+  private def cappedIndex(sh: DataFrame, cap: Int,
+      passthrough: String*): DataFrame = {
+    val hinv = sh.select(col("doc_id") +: passthrough.map(col) :+
+      explode(transform(col("shingles"), s => hash60(s))).as("s"): _*)
+    val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select(col("s"))
+    hinv.join(common, Seq("s"), "left_anti")
   }
 
   /** Incremental cross-corpus near-dup: new-batch docs vs an EXISTING
@@ -194,7 +204,15 @@ object Dedup {
     * old×old pairs are never generated — the old side contributes only
     * its inverted index, which production would keep precomputed and
     * bucketed by shingle hash so each batch touches index shards, not
-    * the corpus. Jaccard-verified exactly like [[ngramJaccardPairs]].
+    * the corpus (this in-memory form rebuilds that index per call —
+    * candidate COUNT is batch-bounded, index build is corpus-sized
+    * until the index is persisted). Jaccard-verified exactly like
+    * [[ngramJaccardPairs]].
+    *
+    * Precondition: doc ids are globally unique ACROSS both sides — a
+    * re-ingested doc must carry a new id. An id present on both sides
+    * is never compared against its other version (a ≠ b on ids) and
+    * would attach both versions' shingle arrays at verification.
     *
     * @return (new_id, match_id, inter, union_sz, match_is_new) —
     *         match_is_new distinguishes new×new dup pairs (emitted
@@ -209,11 +227,7 @@ object Dedup {
     val shNew = shingleDocs(newDocs, idCol, textCol, n)
       .select(col("doc_id"), col("shingles"), lit(true).as("is_new"))
     val sh = shOld.unionByName(shNew).persist()
-    val hinv = sh.select(col("doc_id"), col("is_new"),
-      explode(transform(col("shingles"), s => hash60(s))).as("s"))
-    val common = hinv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDocFreq).select(col("s"))
-    val invf = hinv.join(common, Seq("s"), "left_anti")
+    val invf = cappedIndex(sh, maxDocFreq, "is_new")
     // the probe side is NEW docs only — old×old pairs never form.
     // a<b on ids dedups new×new; new×old keeps the new doc as probe.
     val cand = invf.filter(col("is_new")).as("a")

@@ -51,8 +51,11 @@ object Ranges {
     require(!left.columns.exists(reserved), s"asofJoin: left side uses " +
       s"reserved internal column names ${left.columns.filter(reserved).mkString(", ")}")
     val payload = struct(col(tsCol).as("_ts") +: valCols.map(col): _*)
-    val r = right.select(col(keyCol), col(tsCol),
-      payload.as("_rv"), lit(0).as("_side"))
+    // NULL-ts right rows can never satisfy l.ts >= r.ts in SQL — drop
+    // them, or Spark's NULLS FIRST sort would carry their payload into
+    // every later left row
+    val r = right.filter(col(tsCol).isNotNull)
+      .select(col(keyCol), col(tsCol), payload.as("_rv"), lit(0).as("_side"))
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_rv", lit(null).cast(r.schema("_rv").dataType))
@@ -60,12 +63,13 @@ object Ranges {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // SQL join semantics for NULL keys: a NULL never equals a NULL, so
-    // NULL-key left rows must stay unmatched — but partitionBy groups
-    // all NULL keys together, where the running last() would hand them
-    // NULL-key right payloads. Masking the match for NULL-key rows
-    // keeps parity with ASOF JOIN's ON k = k (q22's oracle).
-    val m = when(col(keyCol).isNotNull,
+    // SQL join semantics for NULLs: a NULL key never equals a NULL key
+    // and a NULL left ts satisfies no ts comparison, so rows with
+    // either stay unmatched — but partitionBy groups all NULL keys
+    // together and NULLS-FIRST ordering would hand them payloads.
+    // Masking keeps parity with ASOF JOIN's ON k = k AND l.ts >= r.ts
+    // (q22's oracle).
+    val m = when(col(keyCol).isNotNull && col(tsCol).isNotNull,
       last(col("_rv"), ignoreNulls = true).over(w))
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_m", m)

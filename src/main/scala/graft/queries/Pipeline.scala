@@ -76,24 +76,32 @@ object Pipeline {
   // dataset-build quality gate: minimum token count to keep a doc
   private val BuildMinTokens = 30
 
+  /** Shared CTE block `ex → common → exf` mirroring Dedup.cappedIndex
+    * exactly — including its collision behavior (extra candidates are
+    * re-verified on the string arrays; merged df counts can in
+    * principle cap out a rare shingle, identically in both engines, so
+    * parity holds either way — see the cappedIndex scaladoc). `sh`
+    * must expose (doc_id, shingles [, extra]). The single source of
+    * the hash60-index/df-cap SQL: p02b/p13/p15 (via cappedPairsCtes),
+    * p28, and p30 all splice this block. */
+  private def cappedIndexCtes(cap: Int, extra: String = ""): String = {
+    val ex = if (extra.isEmpty) "" else s", $extra"
+    s"""ex AS (SELECT doc_id$ex,
+       |       ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
+       |       FROM sh),
+       |common AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) > $cap),
+       |exf AS (SELECT e.doc_id$ex, e.s
+       |        FROM ex e ANTI JOIN common USING (s))""".stripMargin
+  }
+
   /** Shared CTE block `sh → … → pairs` mirroring
     * Dedup.ngramJaccardPairs(maxDocFreq = Some(cap)): candidates from
     * the df-capped inverted index, exact intersection verify over the
     * full shingle arrays. `rel` must expose (doc_id, text). */
   private def cappedPairsCtes(rel: String, cap: Int): String = {
     val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
-    // the inverted index carries hash60(shingle), not the shingle
-    // string, mirroring Dedup.cappedCandidates exactly — including its
-    // collision behavior (extra candidates are re-verified on the
-    // string arrays; merged df counts can in principle cap out a rare
-    // shingle, identically in both engines, so parity holds either
-    // way — see the cappedCandidates scaladoc).
     s"""sh AS (SELECT doc_id, $sh AS shingles FROM $rel),
-       |ex AS (SELECT doc_id,
-       |       ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
-       |       FROM sh),
-       |rare AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= $cap),
-       |exf AS (SELECT e.doc_id, e.s FROM ex e JOIN rare USING (s)),
+       |${cappedIndexCtes(cap)},
        |cnd AS (
        |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -911,12 +919,7 @@ object Pipeline {
   private val p28Sql = {
     val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
     s"""WITH sh AS (SELECT doc_id, $sh AS shingles FROM documents),
-       |ex AS (SELECT doc_id,
-       |       ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
-       |       FROM sh),
-       |common AS (SELECT s FROM ex GROUP BY s
-       |           HAVING COUNT(*) > $JaccardMaxDf),
-       |exf AS (SELECT e.doc_id, e.s FROM ex e ANTI JOIN common USING (s)),
+       |${cappedIndexCtes(JaccardMaxDf)},
        |cnd AS (
        |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
        |  FROM exf a JOIN exf b ON a.s = b.s AND a.doc_id < b.doc_id),
@@ -1050,16 +1053,10 @@ object Pipeline {
 
   private val p30Sql = {
     val sh = shinglesSql(toksSql(normSql("text")), ShingleN)
-    s"""WITH shu AS (
+    s"""WITH sh AS (
        |  SELECT doc_id, $sh AS shingles, (doc_id % 3 = 0) AS is_new
        |  FROM documents),
-       |ex AS (SELECT doc_id, is_new,
-       |       ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT AS s
-       |       FROM shu),
-       |common AS (SELECT s FROM ex GROUP BY s
-       |           HAVING COUNT(*) > $JaccardMaxDf),
-       |exf AS (SELECT e.doc_id, e.is_new, e.s
-       |        FROM ex e ANTI JOIN common USING (s)),
+       |${cappedIndexCtes(JaccardMaxDf, "is_new")},
        |cnd AS (
        |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id,
        |    b.is_new AS match_is_new
@@ -1072,8 +1069,8 @@ object Pipeline {
        |    - len(list_intersect(sa.shingles, sb.shingles)) AS INT) AS union_sz,
        |  c.match_is_new
        |FROM cnd c
-       |JOIN shu sa ON sa.doc_id = c.new_id
-       |JOIN shu sb ON sb.doc_id = c.match_id
+       |JOIN sh sa ON sa.doc_id = c.new_id
+       |JOIN sh sb ON sb.doc_id = c.match_id
        |WHERE len(list_intersect(sa.shingles, sb.shingles)) * $JaccardDen >=
        |  (len(sa.shingles) + len(sb.shingles)
        |    - len(list_intersect(sa.shingles, sb.shingles))) * $JaccardNum""".stripMargin

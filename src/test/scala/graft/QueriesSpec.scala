@@ -126,15 +126,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(3L) == (Some(15L), Some("b")))    // most recent, not first
     assert(out(4L) == (Some(1L), Some("c")))     // per-key isolation
     assert(out(5L) == (None, None))              // key with no right rows
-    // SQL join semantics: NULL keys never match, even against NULL-key
-    // right rows (mirrors ASOF JOIN's ON k = k)
-    val nl = Seq((Some("u"), 1L, "x"), (None, 2L, "y"))
-      .toDF("k", "ts", "pay")
+    // SQL join semantics: NULL keys never match (even NULL-key right
+    // rows), NULL-ts right rows match nothing, NULL-ts left rows stay
+    // unmatched (mirrors ASOF JOIN's ON k = k AND l.ts >= r.ts)
+    val nl = Seq((Some("u"), Some(1L), "x"), (None, Some(2L), "y"),
+      (Some("v"), None, "z")).toDF("k", "ts", "pay")
     val nres = graft.operators.Ranges
-      .asofJoin(Seq((Option.empty[String], 9L, 10L)).toDF("k", "ts", "id"),
-        nl, "k", "ts", Seq("pay"))
-      .collect().head
-    assert(nres.getAs[String]("asof_pay") == null)
+      .asofJoin(Seq((Option.empty[String], Some(9L), 10L),
+          (Some("v"), Some(9L), 11L), (Some("u"), Option.empty[Long], 12L))
+        .toDF("k", "ts", "id"), nl, "k", "ts", Seq("pay"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("asof_pay"))
+      .toMap
+    assert(nres == Map(10L -> null, 11L -> null, 12L -> null))
     // the plan must contain no join node — the whole point of the shape
     val plan = graft.operators.Ranges
       .asofJoin(left, right, "k", "ts", Seq("pay"))
