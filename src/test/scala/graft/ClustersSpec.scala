@@ -64,6 +64,18 @@ class ClustersSpec extends AnyFunSuite {
     assert(small == dist)
   }
 
+  test("distributed loop throws rather than returning partial labels") {
+    import spark.implicits._
+    // a 200-node path needs ~8 pointer-doubling rounds; maxIter=2 with
+    // the loop forced must fail LOUDLY, never converge silently wrong
+    val edges = (1L until 200L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val e = intercept[IllegalStateException] {
+      Clusters.connectedComponents(edges, maxIter = 2, smallGraphEdges = 0L)
+        .count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedup plan marks exactly one keeper per cluster") {
     import spark.implicits._
     val plan = Clusters.dedupPlan(

@@ -39,6 +39,20 @@ class KmvSpec extends AnyFunSuite {
       s"KMV estimate $est too far from 5000")
   }
 
+  test("rejects non-bigint input, k < 2, and non-literal k") {
+    import spark.implicits._
+    val strs = Seq("a", "b").toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      strs.agg(call_function("graft_kmv", col("v"), lit(64))).collect()
+    }
+    intercept[Exception] {
+      hashed(5).agg(call_function("graft_kmv", col("h"), lit(1))).collect()
+    }
+    intercept[Exception] {
+      hashed(5).agg(call_function("graft_kmin", col("h"), col("h"))).collect()
+    }
+  }
+
   test("callable from SQL and groups independently") {
     hashed(100).withColumn("g", (col("h") % 2 === 0).cast("int"))
       .createOrReplaceTempView("kmv_in")
