@@ -31,7 +31,9 @@ object Ranges {
   /** As-of join: for each `left` row, attach the `right` row with the
     * greatest `tsCol` ≤ the left row's `tsCol` within the same `keyCol`
     * group (at-or-before semantics — a right row at the exact same
-    * instant matches). Left rows with no prior right row keep NULLs.
+    * instant matches); `forward = true` flips to the SMALLEST ts ≥ the
+    * left row's ("next event at-or-after" — conversion-latency
+    * analytics). Left rows with no matching right row keep NULLs.
     *
     * `right` must expose `keyCol`, `tsCol`, and `valCols`; its payload
     * is attached as `<prefix><tsCol>` and `<prefix><valCol>` columns.
@@ -46,22 +48,27 @@ object Ranges {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valCols: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_", forward: Boolean = false): DataFrame = {
     val reserved = Set("_rv", "_side", "_m")
     require(!left.columns.exists(reserved), s"asofJoin: left side uses " +
       s"reserved internal column names ${left.columns.filter(reserved).mkString(", ")}")
     val payload = struct(col(tsCol).as("_ts") +: valCols.map(col): _*)
-    // NULL-ts right rows can never satisfy l.ts >= r.ts in SQL — drop
-    // them, or Spark's NULLS FIRST sort would carry their payload into
-    // every later left row
+    // NULL-ts right rows can never satisfy the ts comparison in SQL —
+    // drop them, or the NULLS-edge sort position would carry their
+    // payload into neighboring left rows
     val r = right.filter(col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol), payload.as("_rv"), lit(0).as("_side"))
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_rv", lit(null).cast(r.schema("_rv").dataType))
       .withColumn("_side", lit(1))
+    // forward=true flips the scan direction: descending ts with the
+    // right side still ordered first at ties gives each left row the
+    // EARLIEST right row at-or-after it ("next event" semantics,
+    // DuckDB ASOF with l.ts <= r.ts) — same single-shuffle plan.
+    val tsOrder = if (forward) col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(tsOrder, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // SQL join semantics for NULLs: a NULL key never equals a NULL key
     // and a NULL left ts satisfies no ts comparison, so rows with

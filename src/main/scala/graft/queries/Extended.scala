@@ -479,6 +479,28 @@ object Extended {
       |  WHERE event_type = 'purchase') p
       |ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
 
+  /** Forward as-of join (operators/Ranges.asofJoin forward=true): each
+    * event enriched with the same user's NEXT purchase at-or-after it —
+    * conversion-latency analytics, same single-shuffle no-join plan.
+    * Oracle is DuckDB ASOF with l.ts <= r.ts. */
+  private def q25(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+    graft.operators.Ranges.asofJoin(
+      ev.select(col("event_id"), col("user_id"), col("ts"), col("event_type")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value")),
+      "user_id", "ts", Seq("value"), "next_purchase_", forward = true)
+      .withColumnRenamed("next_purchase_ts", "next_purchase_at")
+  }
+
+  private val q25Sql =
+    """SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      |  p.ts AS next_purchase_at, p.value AS next_purchase_value
+      |FROM events e ASOF LEFT JOIN (
+      |  SELECT user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase') p
+      |ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin
+
   /** Band self-join with no equi key (operators/Ranges.bandStats):
     * partner count/sum/min-id within 5 cents of each event's value,
     * computed from the value HISTOGRAM — the band join runs over
@@ -584,5 +606,6 @@ object Extended {
     QueryDef("q21_funnel", q21, Some(q21Sql)),
     QueryDef("q22_asof_join", q22, Some(q22Sql)),
     QueryDef("q23_band_join", q23, Some(q23Sql)),
-    QueryDef("q24_daily_anomaly", q24, Some(q24Sql)))
+    QueryDef("q24_daily_anomaly", q24, Some(q24Sql)),
+    QueryDef("q25_asof_next", q25, Some(q25Sql)))
 }

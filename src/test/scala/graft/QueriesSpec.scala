@@ -138,6 +138,16 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("asof_pay"))
       .toMap
     assert(nres == Map(10L -> null, 11L -> null, 12L -> null))
+    // forward=true: earliest right row at-or-after, same-instant matches
+    val fwd = graft.operators.Ranges
+      .asofJoin(left, right, "k", "ts", Seq("pay"), forward = true)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("asof_pay"))).toMap
+    assert(fwd(1L) == Some("a"))   // next at-or-after ts=5 is ts=10
+    assert(fwd(2L) == Some("a"))   // same-instant matches forward too
+    assert(fwd(3L) == None)        // nothing after ts=20
+    assert(fwd(4L) == None)        // v's only right row is in the past
+    assert(fwd(5L) == None)
     // the plan must contain no join node — the whole point of the shape
     val plan = graft.operators.Ranges
       .asofJoin(left, right, "k", "ts", Seq("pay"))
