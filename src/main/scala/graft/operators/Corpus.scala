@@ -78,11 +78,13 @@ object Corpus {
         sum(col("n_tokens")).as("domain_tokens"))
     val tot = per.agg(sum(col("domain_tokens")).as("total_tokens"),
       count(lit(1)).as("n_domains"))
+    // all-empty domains get NULL mix_weight (inverse-share of zero
+    // tokens is undefined; ANSI would raise) — token_share stays 0
     per.crossJoin(broadcast(tot))
       .select(col("domain"), col("n_docs"), col("domain_tokens"),
         (col("domain_tokens").cast("double") / col("total_tokens"))
           .as("token_share"),
-        (col("total_tokens").cast("double")
+        when(col("domain_tokens") > 0, col("total_tokens").cast("double")
           / (col("n_domains") * col("domain_tokens"))).as("mix_weight"))
   }
 

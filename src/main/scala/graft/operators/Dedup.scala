@@ -317,6 +317,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame =
     shingleDocs(docs, idCol, textCol, n)
+      // zero-shingle docs (empty/whitespace/punctuation-only) have no
+      // signature: array_min over nothing is a NULL sig whose band keys
+      // hash identically, pairing every empty doc with every other and
+      // trivially passing exact verify at inter=0/union=0. Excluded
+      // here; the oracle mirrors with WHERE len(shingles) > 0.
+      .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), col("shingles"),
         transform(col("shingles"), s => hash32(s)).as("hashes"))
       .select(col("doc_id"), col("shingles"),
@@ -409,9 +415,12 @@ object Dedup {
       embs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
     val par = embs.sparkSession.sparkContext.defaultParallelism
+    // zero-norm vectors excluded — cosine undefined, ANSI would raise
+    // (same rule as Similarity.withNorm)
     val v = embs.select(col(idCol).as("vec_id"),
         col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
+      .filter(col("nrm") > 0)
     // norms precompute per vector (not per pair); broadcast one side,
     // repartition the stream side for core parallelism.
     val a = v.repartition(par, col("vec_id"))

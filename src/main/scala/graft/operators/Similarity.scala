@@ -37,11 +37,19 @@ object Similarity {
   /** Project out id + double vector + precomputed norm. The norm
     * materializes BEFORE any pair join, so each ‖v‖ is computed once per
     * vector, not once per pair; cos(a,b) = dot/(nrm_a·nrm_b) is then the
-    * exact same IEEE op sequence as the naive formula. */
+    * exact same IEEE op sequence as the naive formula.
+    *
+    * Zero-norm vectors (all-zero embeddings — padding rows, failed
+    * encoders) are EXCLUDED here: cosine is undefined for them, and one
+    * such row would otherwise divide-by-zero an entire 100 TB job under
+    * ANSI mode (or seed NaN scores whose ordering DuckDB and Spark
+    * disagree on). Every cosine operator inherits the exclusion; the
+    * oracles mirror it with `WHERE dot(v, v) > 0`. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
       id: String, vec: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
       sqrt(dot(col(vecCol), col(vecCol))).as(s"${vec}_n"))
+      .filter(col(s"${vec}_n") > 0)
 
   private def par(df: DataFrame): Int =
     df.sparkSession.sparkContext.defaultParallelism

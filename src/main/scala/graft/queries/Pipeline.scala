@@ -188,7 +188,8 @@ object Pipeline {
     }.mkString("[", ",\n    ", "]")
     val r = MinhashK / LshBands
     s"""WITH sh AS (SELECT doc_id, $sh AS shingles FROM documents),
-       |sig AS (SELECT doc_id, shingles, $sigExprs AS sig FROM sh),
+       |sig AS (SELECT doc_id, shingles, $sigExprs AS sig FROM sh
+       |        WHERE len(shingles) > 0),
        |keys AS (
        |  SELECT doc_id, g.band,
        |    md5(array_to_string(sig[g.band*$r+1 : g.band*$r+$r], ',')) AS key
@@ -247,7 +248,8 @@ object Pipeline {
       "vec_id", "embedding", NearDupCos, IvfCells, IvfProbe)
 
   private val p05Sql =
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
        |cent AS (
        |  SELECT vec_id AS list_id, embedding AS centroid FROM v
        |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
@@ -308,7 +310,8 @@ object Pipeline {
   }
 
   private val p06Sql =
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
        |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
        |s AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -348,7 +351,8 @@ object Pipeline {
       (0 until bands).map { b =>
         s"  SELECT vec_id AS $idAs, $b AS band, ${keyExpr("embedding", b)} AS key FROM v$where"
       }.mkString("\nUNION ALL\n")
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
        |qk AS (
        |${keyed("query_id", " WHERE vec_id % 50 = 0")}),
        |ck AS (
@@ -385,7 +389,8 @@ object Pipeline {
   }
 
   private val p14Sql =
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
        |cent AS (
        |  SELECT vec_id AS list_id, embedding AS centroid FROM v
        |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
@@ -469,7 +474,12 @@ object Pipeline {
         col("punct_chars"))
       .select(col("doc_id"), col("n_chars_raw"), col("n_tokens"),
         col("stop_hits"), col("punct_chars"),
-        (lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
+        // zero-token docs (empty/whitespace/punctuation-only) score 0
+        // outright: the ratio terms are 0/0 there, and ANSI mode would
+        // kill the whole job on one such row (n_tokens > 0 implies
+        // n_chars_raw > 0, so one guard covers both divisions)
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
           + lit(0.3) * (col("stop_hits").cast("double") / col("n_tokens"))
           + lit(0.2) * (lit(1.0) - col("punct_chars").cast("double") / col("n_chars_raw")))
           .as("quality"))
@@ -490,9 +500,11 @@ object Pipeline {
        |    punct_chars
        |  FROM t)
        |SELECT doc_id, n_chars_raw, n_tokens, stop_hits, punct_chars,
-       |  0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-       |  + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
-       |  + 0.2 * (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_raw) AS quality
+       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) ELSE
+       |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |    + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+       |    + 0.2 * (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_raw)
+       |  END AS quality
        |FROM m""".stripMargin
   }
 
@@ -542,7 +554,8 @@ object Pipeline {
         length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_chars"))
       .select(col("doc_id"), col("source"), col("text"),
         size(col("toks")).as("n_tokens"),
-        (lit(0.5) * least(lit(1.0), size(col("toks")).cast("double") / 100.0)
+        when(size(col("toks")) === 0, lit(0.0)).otherwise(
+          lit(0.5) * least(lit(1.0), size(col("toks")).cast("double") / 100.0)
           + lit(0.3) * (TextFns.stopwordHits(col("toks"), en).cast("double")
             / size(col("toks")))
           + lit(0.2) * (lit(1.0) - col("punct_chars").cast("double")
@@ -566,11 +579,13 @@ object Pipeline {
        |scored AS (
        |  SELECT doc_id, source, text,
        |    CAST(len($toksS) AS INT) AS n_tokens,
-       |    0.5 * least(1.0, CAST(len($toksS) AS DOUBLE) / 100.0)
-       |    + 0.3 * (CAST(len(list_filter($toksS, tk -> list_contains($en, tk))) AS DOUBLE)
-       |        / len($toksS))
-       |    + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-       |        / length(text)) AS quality
+       |    CASE WHEN len($toksS) = 0 THEN CAST(0 AS DOUBLE) ELSE
+       |      0.5 * least(1.0, CAST(len($toksS) AS DOUBLE) / 100.0)
+       |      + 0.3 * (CAST(len(list_filter($toksS, tk -> list_contains($en, tk))) AS DOUBLE)
+       |          / len($toksS))
+       |      + 0.2 * (1.0 - CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+       |          / length(text))
+       |    END AS quality
        |  FROM documents),
        |good AS (SELECT * FROM scored WHERE quality >= 0.2),
        |${cappedPairsCtes("good", JaccardMaxDf)},
@@ -602,16 +617,20 @@ object Pipeline {
     val docs = Tables.df(spark, dir, "documents")
     val toks = TextFns.tokens(col("text"))
     val en = TextFns.LangProfiles.head._2
+    // zero-token docs: every ratio is NULL (0/0 otherwise — ANSI mode
+    // would kill the job; NULL also sidesteps DuckDB's NaN-sorts-high
+    // comparison semantics), so all range rules fail for them
+    def ratio(c: org.apache.spark.sql.Column) =
+      when(size(col("toks")) > 0, c / size(col("toks")))
     val d = docs.select(col("doc_id"), col("source"), toks.as("toks"))
       .select(col("doc_id"), col("source"),
         size(col("toks")).as("n_words"),
-        (aggregate(transform(col("toks"), t => length(t)),
-          lit(0), (acc, x) => acc + x).cast("double")
-          / size(col("toks"))).as("mean_word_len"),
-        (size(filter(col("toks"), t => t.rlike("[#…]")))
-          .cast("double") / size(col("toks"))).as("symbol_ratio"),
-        (size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
-          .cast("double") / size(col("toks"))).as("alpha_frac"),
+        ratio(aggregate(transform(col("toks"), t => length(t)),
+          lit(0), (acc, x) => acc + x).cast("double")).as("mean_word_len"),
+        ratio(size(filter(col("toks"), t => t.rlike("[#…]")))
+          .cast("double")).as("symbol_ratio"),
+        ratio(size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
+          .cast("double")).as("alpha_frac"),
         TextFns.stopwordHits(transform(col("toks"), t => lower(t)), en)
           .as("stop_hits"))
     val pass = col("n_words") >= 5 && col("n_words") <= 100000 &&
@@ -635,12 +654,15 @@ object Pipeline {
     s"""WITH d AS (
        |  SELECT doc_id, source,
        |    CAST(len($toksS) AS INT) AS n_words,
-       |    CAST(list_sum(list_transform($toksS, t -> length(t))) AS DOUBLE)
-       |      / len($toksS) AS mean_word_len,
-       |    CAST(len(list_filter($toksS, t -> regexp_matches(t, '[#…]'))) AS DOUBLE)
-       |      / len($toksS) AS symbol_ratio,
-       |    CAST(len(list_filter($toksS, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
-       |      / len($toksS) AS alpha_frac,
+       |    CASE WHEN len($toksS) = 0 THEN NULL ELSE
+       |      CAST(list_sum(list_transform($toksS, t -> length(t))) AS DOUBLE)
+       |        / len($toksS) END AS mean_word_len,
+       |    CASE WHEN len($toksS) = 0 THEN NULL ELSE
+       |      CAST(len(list_filter($toksS, t -> regexp_matches(t, '[#…]'))) AS DOUBLE)
+       |        / len($toksS) END AS symbol_ratio,
+       |    CASE WHEN len($toksS) = 0 THEN NULL ELSE
+       |      CAST(len(list_filter($toksS, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE)
+       |        / len($toksS) END AS alpha_frac,
        |    CAST(len(list_filter(list_transform($toksS, t -> lower(t)),
        |      tk -> list_contains($en, tk))) AS INT) AS stop_hits
        |  FROM documents)
@@ -666,9 +688,14 @@ object Pipeline {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
-        transform(sequence(lit(0), greatest(size(col("toks")) - 2, lit(0))),
-          i => concat_ws(" ", element_at(col("toks"), i + 1),
-            element_at(col("toks"), i + 2))).as("bigrams"))
+        // docs with < 2 tokens have no bigrams and drop out here —
+        // unguarded, element_at(toks, i+2) is an ANSI out-of-bounds
+        // ERROR on 0/1-token docs (one empty doc kills the job)
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>")).as("bigrams"))
       .select(col("doc_id"), explode(col("bigrams")).as("bg"))
     bigrams.groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("cnt"))
@@ -685,8 +712,10 @@ object Pipeline {
     s"""WITH t AS (SELECT doc_id, $toksS AS toks FROM documents),
        |bg AS (
        |  SELECT doc_id,
-       |    unnest(list_transform(generate_series(0, greatest(len(toks)-2, 0)),
-       |      i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bg
+       |    unnest(CASE WHEN len(toks) >= 2 THEN
+       |      list_transform(generate_series(0, len(toks)-2),
+       |        i -> concat_ws(' ', toks[i+1], toks[i+2]))
+       |      ELSE [] END) AS bg
        |  FROM t),
        |cnts AS (
        |  SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
@@ -733,7 +762,11 @@ object Pipeline {
        |  FROM t),
        |ch AS (
        |  SELECT doc_id, pos,
-       |    array_to_string(toks[pos*$w+1 : pos*$w+$w], ' ') AS chunk
+       |    -- COALESCE: DuckDB's array_to_string([]) is NULL where
+       |    -- Spark's array_join([]) is '' — a zero-token doc must
+       |    -- yield the same single empty chunk in both engines
+       |    COALESCE(array_to_string(toks[pos*$w+1 : pos*$w+$w], ' '), '')
+       |      AS chunk
        |  FROM px),
        |b AS (SELECT chunk FROM ch GROUP BY chunk
        |      HAVING COUNT(DISTINCT doc_id) > $ChunkMaxDf),
@@ -809,9 +842,11 @@ object Pipeline {
 
   private val p25Sql =
     s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings
-       |           WHERE vec_id % $KnnHoldMod = 0),
+       |           WHERE vec_id % $KnnHoldMod = 0
+       |           AND list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
        |c AS (SELECT vec_id, embedding, label FROM embeddings
-       |      WHERE vec_id % $KnnHoldMod <> 0),
+       |      WHERE vec_id % $KnnHoldMod <> 0
+       |      AND list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
        |p AS (
        |  SELECT q.vec_id AS query_id, q.label AS qlabel,
        |    c.vec_id AS neighbor_id, c.label AS nbr_label,
@@ -1091,8 +1126,11 @@ object Pipeline {
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
       |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-      |    list_sum(list_transform(generate_series(1, octet_length(encode(text))),
-      |      i -> ('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT))::BIGINT AS checksum
+      |    -- COALESCE: a zero-byte payload sums to 0 on the Spark side,
+      |    -- but list_sum over DuckDB's empty series is NULL and would
+      |    -- silently drop the item from MIN/MAX
+      |    COALESCE(list_sum(list_transform(generate_series(1, octet_length(encode(text))),
+      |      i -> ('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT)), 0)::BIGINT AS checksum
       |  FROM documents)
       |SELECT kind, COUNT(*) AS n_items,
       |  SUM(n_bytes)::BIGINT AS total_bytes,
@@ -1174,8 +1212,8 @@ object Pipeline {
        |               COUNT(*) AS n_domains FROM per)
        |SELECT p.domain, p.n_docs, p.domain_tokens,
        |  CAST(p.domain_tokens AS DOUBLE) / t.total_tokens AS token_share,
-       |  CAST(t.total_tokens AS DOUBLE)
-       |    / (t.n_domains * p.domain_tokens) AS mix_weight
+       |  CASE WHEN p.domain_tokens > 0 THEN CAST(t.total_tokens AS DOUBLE)
+       |    / (t.n_domains * p.domain_tokens) END AS mix_weight
        |FROM per p, tot t""".stripMargin
   }
 
