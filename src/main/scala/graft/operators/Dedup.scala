@@ -316,13 +316,19 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame =
-    shingleDocs(docs, idCol, textCol, n)
-      // zero-shingle docs (empty/whitespace/punctuation-only) have no
-      // signature: array_min over nothing is a NULL sig whose band keys
-      // hash identically, pairing every empty doc with every other and
-      // trivially passing exact verify at inter=0/union=0. Excluded
-      // here; the oracle mirrors with WHERE len(shingles) > 0.
-      .filter(size(col("shingles")) > 0)
+    // zero-shingle docs (empty/whitespace/punctuation-only) have no
+    // signature: array_min over nothing is a NULL sig whose band keys
+    // hash identically, pairing every empty doc with every other and
+    // trivially passing exact verify at inter=0/union=0. Excluded BEFORE
+    // shingling on the equivalent cheap predicate (normText empty ⇔ zero
+    // tokens ⇔ zero shingles): a filter placed after shingleDocs gets
+    // predicate-pushed below the projection with the WHOLE shingle
+    // pipeline substituted into its condition, and conditional branches
+    // are outside codegen subexpression elimination — tokenize+shingle
+    // ran twice per doc (measured 16× on p03 at sf0.1). The oracle
+    // mirrors with WHERE len(shingles) > 0, which is the same doc set.
+    shingleDocs(docs.filter(normText(col(textCol)) =!= lit("")),
+        idCol, textCol, n)
       .select(col("doc_id"), col("shingles"),
         transform(col("shingles"), s => hash32(s)).as("hashes"))
       .select(col("doc_id"), col("shingles"),
