@@ -221,4 +221,63 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("bin_tokens"))
   }
+
+  /** Deterministic train/val/test assignment: split = md5-hash of the
+    * doc id mod 100 against cumulative percentage cut points — the
+    * standard hash-split that is (a) reproducible across runs, engines,
+    * and cluster sizes (no RNG, no row order dependence), (b) stable
+    * under corpus growth (a doc's split never changes when other docs
+    * are added — the property a random split lacks), and (c) a pure
+    * map: no shuffle until the per-split rollup.
+    *
+    * @param cuts (split_name, upper_bound_percent) with increasing
+    *   exclusive upper bounds, last = 100 — e.g.
+    *   ("train",80),("val",90),("test",100).
+    * @return (split, n_docs, total_tokens) — one row per split that
+    *   received at least one doc.
+    */
+  def splitStats(docs: DataFrame, idCol: String, textCol: String,
+      cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90,
+        "test" -> 100)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted && cuts.forall(_._2 > 0),
+      s"cuts must be increasing upper bounds ending at 100, got $cuts")
+    val bucket = TextFns.hash32(col(idCol).cast("string")) % 100
+    val split = cuts.init.foldRight(lit(cuts.last._1)) {
+      case ((name, ub), rest) => when(bucket < ub, lit(name)).otherwise(rest)
+    }
+    docs
+      .select(split.as("split"),
+        size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("total_tokens"))
+  }
+
+  /** Corpus-wide boilerplate n-gram mining: the `k` word-`n`-grams
+    * appearing in the most documents — the complement view of the dedup
+    * df-cap (what Dedup.cappedIndex DROPS is exactly what this surfaces
+    * for template/boilerplate review). Shingles are distinct per doc
+    * (shingleDocs), so the count IS document frequency. One shuffle on
+    * the shingle key with map-side partial counts; the top-k is a
+    * single-partition sort over the (tiny) df-filtered remainder — at
+    * corpus scale pre-filter with `minDf` so the global sort input
+    * stays bounded.
+    *
+    * @return (ngram, df, rnk) with rnk ≤ k, ties broken by ngram text.
+    */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, minDf: Int = 2): DataFrame = {
+    require(n > 0 && k > 0, s"need positive n/k, got n=$n k=$k")
+    // constant partition key: the global top-k sort over the (tiny)
+    // df-filtered remainder is single-partition BY DESIGN — the
+    // explicit key says so (vs. the accidental-global-window warning)
+    val w = Window.partitionBy(lit(0)).orderBy(col("df").desc, col("ngram"))
+    Dedup.shingleDocs(docs, idCol, textCol, n)
+      .select(explode(col("shingles")).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -338,4 +338,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
+
+  /** Symmetric per-vector int8 quantization audit: scale = 127/max|x_i|,
+    * q_i = floor(x_i·scale + 0.5) (explicit floor arithmetic — Spark's
+    * round() is HALF_UP, DuckDB's rounds half away from zero; floor
+    * keeps both engines on the same integer), reporting the worst
+    * per-dimension reconstruction error |x_i − q_i/scale|. This is the
+    * compression step a 100 TB embedding store runs before ANN serving
+    * (4× smaller than float32); the audit is a pure per-row map — no
+    * shuffle at all — so it pipelines into whatever scan produces the
+    * vectors. All arithmetic is element-wise IEEE double (no
+    * accumulation), so results are bit-reproducible cross-engine.
+    *
+    * All-zero vectors are excluded (no scale exists; same exclusion —
+    * and same reason — as [[withNorm]]).
+    *
+    * @return (vec_id, scale, max_abs_err) one row per non-zero vector.
+    */
+  def quantizeInt8Audit(embs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val absmax = array_max(transform(col("v"), x => abs(x)))
+    embs
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), absmax.as("am"))
+      .filter(col("am") > 0)
+      .select(col("vec_id"), col("v"), (lit(127.0) / col("am")).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        array_max(transform(col("v"),
+          x => abs(x - floor(x * col("scale") + 0.5) / col("scale"))))
+          .as("max_abs_err"))
+  }
 }

@@ -586,6 +586,35 @@ object Extended {
        |WHERE sd.sd_n > 0
        |  AND abs((daily.n_events - sd.mean_n) / sd.sd_n) > $ZThresh""".stripMargin
 
+  // the documents.lang domain, pinned so the pivot's output schema is
+  // static (Spark's value-less pivot would run a distinct scan AND make
+  // the schema data-dependent — wrong for a library surface)
+  private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Pivot (cross-tab): per-source character mass by language, one
+    * column per pinned lang value. Spark's relational pivot with
+    * explicit values is a single hash aggregate over
+    * sum(CASE WHEN lang = v) columns — no extra shuffle vs the flat
+    * groupBy, no distinct-values pre-scan. Empty cells stay NULL (sum
+    * over no rows) in both engines. */
+  private def q26(spark: SparkSession, dir: String): DataFrame =
+    Tables.df(spark, dir, "documents")
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .agg(sum(col("n_chars")))
+
+  private val q26Sql = {
+    // ::BIGINT: DuckDB's SUM(BIGINT) returns HUGEINT, which lands in
+    // the compare harness as float64 even when null-free; the cast puts
+    // both engines on int64-with-nulls semantics
+    val cells = PivotLangs.map(l =>
+      s"CAST(SUM(CASE WHEN lang = '$l' THEN n_chars END) AS BIGINT) AS $l")
+      .mkString(",\n  ")
+    s"""SELECT source,
+       |  $cells
+       |FROM documents GROUP BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
     QueryDef("q6_minmax_score", q6, Some(q6Sql)),
@@ -607,5 +636,6 @@ object Extended {
     QueryDef("q22_asof_join", q22, Some(q22Sql)),
     QueryDef("q23_band_join", q23, Some(q23Sql)),
     QueryDef("q24_daily_anomaly", q24, Some(q24Sql)),
-    QueryDef("q25_asof_next", q25, Some(q25Sql)))
+    QueryDef("q25_asof_next", q25, Some(q25Sql)),
+    QueryDef("q26_pivot", q26, Some(q26Sql)))
 }

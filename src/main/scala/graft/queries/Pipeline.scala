@@ -63,6 +63,9 @@ object Pipeline {
   // TF-IDF terms reported per doc; sequence-packing context window
   private val TfidfTopK = 3
   private val PackBudget = 256
+  // boilerplate mining: trigrams, top 20 by document frequency
+  private val BoilerN = 3
+  private val BoilerTopK = 20
   // chunk-level boilerplate removal: token window + doc-frequency cap
   private val ChunkW = 5
   private val ChunkMaxDf = 3
@@ -1244,6 +1247,61 @@ object Pipeline {
        |FROM c GROUP BY 1, 2""".stripMargin
   }
 
+  /** Deterministic hash train/val/test split (80/10/10) — reproducible
+    * across engines/cluster sizes, stable under corpus growth. */
+  private def p31(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.splitStats(
+      Tables.df(spark, dir, "documents"), "doc_id", "text")
+
+  private val p31Sql = {
+    val toks = toksSql(normSql("text"))
+    val bucket = s"(${hash32Sql("CAST(doc_id AS VARCHAR)")} % 100)"
+    s"""SELECT CASE WHEN $bucket < 80 THEN 'train'
+       |            WHEN $bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, SUM(len($toks))::BIGINT AS total_tokens
+       |FROM documents GROUP BY 1""".stripMargin
+  }
+
+  /** Corpus-wide boilerplate mining: top word-trigrams by document
+    * frequency — the complement view of the dedup df-cap. */
+  private def p32(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.topNgrams(
+      Tables.df(spark, dir, "documents"), "doc_id", "text",
+      BoilerN, BoilerTopK)
+
+  private val p32Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), BoilerN)
+    s"""WITH sh AS (SELECT doc_id, $sh AS shingles FROM documents),
+       |ex AS (SELECT unnest(shingles) AS ngram FROM sh),
+       |df AS (SELECT ngram, COUNT(*) AS df FROM ex GROUP BY 1
+       |       HAVING COUNT(*) >= 2),
+       |r AS (SELECT ngram, df,
+       |        ROW_NUMBER() OVER (ORDER BY df DESC, ngram) AS rnk FROM df)
+       |SELECT ngram, df, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= $BoilerTopK""".stripMargin
+  }
+
+  /** int8 embedding-quantization audit: per-vector scale + worst
+    * reconstruction error, element-wise IEEE doubles (bit-exact). */
+  private def p33(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8Audit(
+      Tables.df(spark, dir, "embeddings"), "vec_id", "embedding")
+
+  private val p33Sql =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS am,
+       |    embedding
+       |  FROM embeddings),
+       |s AS (SELECT vec_id, embedding, 127.0 / am AS scale
+       |      FROM v WHERE am > 0)
+       |SELECT vec_id, scale,
+       |  list_max(list_transform(embedding,
+       |    x -> abs(x::DOUBLE - floor(x::DOUBLE * scale + 0.5) / scale)))
+       |    AS max_abs_err
+       |FROM s""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -1275,5 +1333,8 @@ object Pipeline {
     QueryDef("p27_temperature_mix", p27, Some(p27Sql)),
     QueryDef("p28_containment", p28, Some(p28Sql)),
     QueryDef("p29_dataset_build", p29, Some(p29Sql)),
-    QueryDef("p30_incremental_dedup", p30, Some(p30Sql)))
+    QueryDef("p30_incremental_dedup", p30, Some(p30Sql)),
+    QueryDef("p31_split", p31, Some(p31Sql)),
+    QueryDef("p32_boilerplate_ngrams", p32, Some(p32Sql)),
+    QueryDef("p33_quantize", p33, Some(p33Sql)))
 }

@@ -358,4 +358,56 @@ class PipelineSpec extends AnyFunSuite {
       .collect()
     assert(pairs.forall(r => r.getAs[Long]("ida") < r.getAs[Long]("idb")))
   }
+
+  test("split: partitions the corpus, stable under corpus growth, cuts validated") {
+    val full = Corpus.splitStats(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(full.values.sum == docs.count())
+    assert(full.keySet == Set("train", "val", "test"))
+    // growth stability: restricting the corpus only SHRINKS each split —
+    // no doc changes sides when others disappear (hash of own id only)
+    val half = Corpus.splitStats(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text").collect()
+      .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+    assert(half.forall { case (s, n) => n <= full(s) })
+    intercept[IllegalArgumentException] {
+      Corpus.splitStats(docs, "doc_id", "text", Seq("train" -> 50))
+    }
+  }
+
+  test("top ngrams: known duplicated trigram ranks first, df exact, distinct-per-doc") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown cat sits"),
+      (3L, "the quick brown dog runs"),
+      // repeats "the quick brown" TWICE in one doc: df counts docs, not
+      // occurrences (shingles are distinct per doc)
+      (4L, "the quick brown the quick brown")).toDF("doc_id", "text")
+    val out = Corpus.topNgrams(d, "doc_id", "text", n = 3, k = 5)
+      .collect().map(r => (r.getAs[String]("ngram"), r.getAs[Long]("df"),
+        r.getAs[Int]("rnk")))
+    assert(out.head._1 == "the quick brown" && out.head._2 == 4L
+      && out.head._3 == 1)
+    // every reported df honors minDf and comes from distinct docs
+    assert(out.forall(_._2 >= 2))
+  }
+
+  test("int8 quantization audit: error bounded by half a quant step, zero vectors excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.1f)),
+      (2L, Seq(0f, 0f, 0f, 0f)), // excluded: no scale exists
+      (3L, Seq(-2.0f, 2.0f, 0.003f, 1.5f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8Audit(d, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Double]("max_abs_err"))).toMap
+    assert(!out.contains(2L))
+    // |x - q/s| <= 0.5/s for round-to-nearest
+    out.foreach { case (_, (s, err)) => assert(err <= 0.5 / s + 1e-12) }
+    // the max component maps to exactly +/-127: zero error there, and
+    // scale = 127/absmax
+    assert(out(1L)._1 == 127.0 / 1.0)
+    assert(out(3L)._1 == 127.0 / 2.0)
+  }
 }
