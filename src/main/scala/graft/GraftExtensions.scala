@@ -48,5 +48,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KMin(children.head, k)
       }))
+    // Spark SHIPS a codegen'd Bloom filter aggregate + probe pair
+    // (catalyst's BloomFilterAggregate / BloomFilterMightContain,
+    // the machinery behind AQE's InjectRuntimeFilter) but exposes no
+    // SQL surface for it. Register that battle-tested implementation
+    // rather than writing a parallel one: build once over the small
+    // side, broadcast the binary sketch, pre-filter the big side
+    // map-side before an expensive join (no false negatives, so an
+    // exact verify after the probe keeps results exact).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_bloom_agg takes (long_col, est_items, num_bits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain takes (bloom_binary, long_col)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
   }
 }

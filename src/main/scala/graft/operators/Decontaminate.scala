@@ -56,4 +56,57 @@ object Decontaminate {
         coalesce(col("eval_gram_hits"), lit(0L)).as("eval_gram_hits"))
       .withColumn("contaminated", col("eval_gram_hits") >= minHits)
   }
+
+  /** [[ngramOverlap]] with a Bloom-filter pre-probe — same exact result,
+    * built for the regime where even the DEDUPLICATED eval gram set is
+    * too wide to broadcast-join comfortably (a full eval-suite library
+    * is ~10^7-10^8 grams: a broadcast hash relation of strings is tens
+    * of GB; the Bloom sketch of the same set at ~10 bits/key is tens of
+    * MB, embedded in the plan as one binary literal).
+    *
+    * Stages: (1) hash both sides' grams to 60-bit longs; (2) aggregate
+    * the eval side into Spark's native Bloom sketch (catalyst
+    * BloomFilterAggregate, registered as `graft_bloom_agg`; one
+    * collect of the sketch bytes — driver traffic is the sketch, never
+    * data); (3) corpus grams stream through the `graft_might_contain`
+    * probe — a pure map-side filter, no join, no shuffle — dropping
+    * virtually all non-overlapping grams; (4) survivors exact-verify
+    * against the true gram set, so Bloom false positives are removed
+    * and the final counts equal [[ngramOverlap]]'s bit-for-bit (no
+    * false negatives by construction).
+    *
+    * @param bitsPerKey Bloom sizing (~10 bits/key ≈ 1% fp at the probe;
+    *   fp only costs verify work, never correctness)
+    */
+  def bloomNgramOverlap(
+      corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minHits: Int = 1, bitsPerKey: Int = 10): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val evalGrams = Dedup.shingleDocs(
+        eval.select(monotonically_increasing_id().as("doc_id"), col(textCol)),
+        "doc_id", textCol, n)
+      .select(explode(col("shingles")).as("s"))
+      .select(hash60(col("s")).as("g"))
+      .distinct()
+      .persist()
+    // two eval-side driver actions (count + sketch bytes): bounded by
+    // the eval suite / sketch size, both tiny next to the corpus
+    val nGrams = math.max(1L, evalGrams.count())
+    val sketch = evalGrams.agg(call_function("graft_bloom_agg", col("g"),
+        lit(nGrams), lit(nGrams * bitsPerKey)).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), hash60(col("s")).as("g"))
+      .filter(call_function("graft_might_contain", lit(sketch), col("g")))
+    val hits = corpusGrams
+      .join(broadcast(evalGrams), Seq("g")) // exact verify on survivors
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("g")).as("eval_gram_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("eval_gram_hits"), lit(0L)).as("eval_gram_hits"))
+      .withColumn("contaminated", col("eval_gram_hits") >= minHits)
+  }
 }

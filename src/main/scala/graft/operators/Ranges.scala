@@ -177,4 +177,60 @@ object Ranges {
         && abs(col("va") - col("vb")) <= eps)
       .select(col("ida"), col("va"), col("idb"), col("vb"))
   }
+
+  /** Regular-grid resample with last-observation-carried-forward — the
+    * time-series densification step (sensor rollups, daily feature
+    * snapshots from event streams). Per key: epoch-aligned slots every
+    * `stepSec` seconds spanning that key's own [min ts, max ts], each
+    * slot carrying the payload of the key's latest observation
+    * at-or-before it.
+    *
+    * Plan shape: one aggregate for the per-key bounds, `sequence()` +
+    * `explode` to generate slots ON EXECUTORS (grid size never touches
+    * the driver — no driver-side date loop, the classic scale trap
+    * here), then [[asofJoin]] attaches payloads — so the whole operator
+    * is two shuffles on the key (bounds agg + as-of window), zero
+    * joins, zero candidate blowup, and grid cost proportional to
+    * slots-per-key which the caller controls via `stepSec`.
+    *
+    * Slots are UTC epoch multiples of `stepSec` (cross-engine
+    * reproducible; slot instants are data-independent), so a key whose
+    * span contains no aligned instant yields no rows.
+    *
+    * @return (keyCol, tsCol = slot instant, <prefix><tsCol> = observed
+    *         ts carried forward, <prefix><valCol>…) — LOCF payload is
+    *         never NULL because every slot is ≥ the key's first
+    *         observation.
+    */
+  def resampleLocf(obs: DataFrame, keyCol: String, tsCol: String,
+      valCols: Seq[String], stepSec: Long,
+      prefix: String = "locf_"): DataFrame = {
+    require(stepSec > 0, s"resampleLocf stepSec must be positive, got $stepSec")
+    // integer slot arithmetic in doubles is exact here: epoch seconds
+    // (< 2^35) stay far under the 2^53 double-integer limit
+    def slotCeil(c: org.apache.spark.sql.Column) =
+      floor((c + (stepSec - 1)).cast("double") / stepSec).cast("long") * stepSec
+    def slotFloor(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / stepSec).cast("long") * stepSec
+    // per-row CEIL to whole epoch seconds (unix_timestamp truncates):
+    // without it a first observation at hh:mm:00.5 would admit the
+    // hh:mm:00 slot, which precedes every observation and would carry a
+    // NULL payload — ceil keeps the first slot at-or-after the first
+    // observation, so LOCF payloads are total
+    val ceilSec = when(
+      timestamp_seconds(unix_timestamp(col(tsCol))) === col(tsCol),
+      unix_timestamp(col(tsCol))).otherwise(unix_timestamp(col(tsCol)) + 1)
+    val grid = obs.filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(ceilSec).as("_lo"),
+        max(unix_timestamp(col(tsCol))).as("_hi"))
+      .select(col(keyCol), slotCeil(col("_lo")).as("_s0"),
+        slotFloor(col("_hi")).as("_s1"))
+      .filter(col("_s0") <= col("_s1")) // span may straddle no slot
+      .select(col(keyCol),
+        explode(sequence(col("_s0"), col("_s1"), lit(stepSec))).as("_slot"))
+      .select(col(keyCol), timestamp_seconds(col("_slot")).as(tsCol))
+    asofJoin(grid, obs.select(col(keyCol) +: col(tsCol) +: valCols.map(col): _*),
+      keyCol, tsCol, valCols, prefix)
+  }
 }

@@ -615,6 +615,40 @@ object Extended {
        |FROM documents GROUP BY source""".stripMargin
   }
 
+  // resample grid step: 6-hour epoch-aligned slots
+  private val ResampleStepSec = 21600L
+
+  /** Regular-grid LOCF resample (operators/Ranges.resampleLocf): per
+    * user, 6-hour epoch-aligned slots spanning that user's event range,
+    * each slot carrying the latest observation at-or-before it. Grid
+    * generation is sequence()+explode on executors; enrichment is the
+    * as-of window — two key shuffles total, no join node, no driver
+    * loop. Oracle: DuckDB generate_series + native ASOF JOIN. */
+  private def q27(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranges.resampleLocf(
+      Tables.df(spark, dir, "events"), "user_id", "ts", Seq("value"),
+      ResampleStepSec)
+
+  private val q27Sql = {
+    val st = ResampleStepSec
+    s"""WITH b AS (
+       |  SELECT user_id,
+       |    CAST(ceil(epoch(min(ts))) AS BIGINT) AS lo,
+       |    CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+       |  FROM events GROUP BY 1),
+       |s AS (SELECT user_id,
+       |        ((lo + ${st - 1}) // $st) * $st AS s0,
+       |        (hi // $st) * $st AS s1 FROM b),
+       |grid AS (
+       |  SELECT user_id,
+       |    make_timestamp(unnest(generate_series(s0, s1, $st)) * 1000000)
+       |      AS ts
+       |  FROM s WHERE s0 <= s1)
+       |SELECT g.user_id, g.ts, e.ts AS locf_ts, e.value AS locf_value
+       |FROM grid g ASOF LEFT JOIN events e
+       |ON g.user_id = e.user_id AND g.ts >= e.ts""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
     QueryDef("q6_minmax_score", q6, Some(q6Sql)),
@@ -637,5 +671,6 @@ object Extended {
     QueryDef("q23_band_join", q23, Some(q23Sql)),
     QueryDef("q24_daily_anomaly", q24, Some(q24Sql)),
     QueryDef("q25_asof_next", q25, Some(q25Sql)),
-    QueryDef("q26_pivot", q26, Some(q26Sql)))
+    QueryDef("q26_pivot", q26, Some(q26Sql)),
+    QueryDef("q27_resample", q27, Some(q27Sql)))
 }

@@ -1170,6 +1170,17 @@ object Pipeline {
        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
   }
 
+  /** Bloom-filter decontamination: same verdicts as p19 (the oracle IS
+    * p19's — exactness is the point: the native Bloom sketch only
+    * pre-filters; survivors exact-verify). */
+  private def p34(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    graft.operators.Decontaminate.bloomNgramOverlap(
+      docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("text")),
+      docs.filter(col("doc_id") % 97 === 0).select(col("text")),
+      "doc_id", "text", n = ShingleN, minHits = 3)
+  }
+
   // ---- corpus statistics --------------------------------------------------
 
   /** TF-IDF top terms per doc — rational idf (tf·N/df in one double
@@ -1336,5 +1347,6 @@ object Pipeline {
     QueryDef("p30_incremental_dedup", p30, Some(p30Sql)),
     QueryDef("p31_split", p31, Some(p31Sql)),
     QueryDef("p32_boilerplate_ngrams", p32, Some(p32Sql)),
-    QueryDef("p33_quantize", p33, Some(p33Sql)))
+    QueryDef("p33_quantize", p33, Some(p33Sql)),
+    QueryDef("p34_bloom_decontaminate", p34, Some(p19Sql)))
 }

@@ -359,6 +359,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("ida") < r.getAs[Long]("idb")))
   }
 
+  test("bloom decontamination ≡ exact decontamination; probe is a map-side filter") {
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val eval = docs.filter(col("doc_id") % 7 === 0).select(col("text"))
+    val exact = graft.operators.Decontaminate
+      .ngramOverlap(corpus, eval, "doc_id", "text", n = 5, minHits = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val bloom = graft.operators.Decontaminate
+      .bloomNgramOverlap(corpus, eval, "doc_id", "text", n = 5, minHits = 2)
+    val got = bloom.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // exactness: false positives die in the verify join, no false
+    // negatives exist — verdict maps are identical
+    assert(got == exact)
+    assert(exact.exists(_._2._2), "fixture should contain contamination")
+    // the probe runs as a plain Filter (might_contain against the
+    // sketch literal), before any join of the corpus gram stream
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("split: partitions the corpus, stable under corpus growth, cuts validated") {
     val full = Corpus.splitStats(docs, "doc_id", "text").collect()
       .map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap

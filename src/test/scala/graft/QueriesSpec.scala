@@ -155,6 +155,30 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"asofJoin planned a join:\n$plan")
   }
 
+  test("resample LOCF: slot alignment, carried payloads total, slotless span empty") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val obs = Seq(
+      ("u", "2024-01-01 00:30:00.5", 1.0), // sub-second: 00:00 slot must NOT appear
+      ("u", "2024-01-01 05:59:59", 2.0),
+      ("u", "2024-01-01 13:00:00", 3.0),
+      ("v", "2024-01-01 03:00:00", 4.0),   // span contains no 6h slot
+      ("w", "2024-01-01 06:00:00", 5.0))   // exactly ON a slot: matches itself
+      .toDF("k", "s", "value")
+      .select(col("k"), col("s").cast("timestamp").as("ts"), col("value"))
+    val out = graft.operators.Ranges
+      .resampleLocf(obs, "k", "ts", Seq("value"), 21600L)
+      .collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[java.sql.Timestamp]("ts").toString)
+        -> r.getAs[Double]("locf_value")).toMap
+    assert(out == Map(
+      ("u", "2024-01-01 06:00:00.0") -> 2.0,  // latest at-or-before 06:00
+      ("u", "2024-01-01 12:00:00.0") -> 2.0,  // 13:00 obs is in the future
+      ("w", "2024-01-01 06:00:00.0") -> 5.0)) // same-instant inclusive
+    // no v rows (no aligned slot in its span), no NULL payloads ever
+    assert(!out.keySet.exists(_._1 == "v"))
+  }
+
   test("band stats ≡ aggregated band pairs on scattered values") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, count, lit, min, sum}
