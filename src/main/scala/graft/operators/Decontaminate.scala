@@ -77,10 +77,18 @@ object Decontaminate {
     *
     * @param bitsPerKey Bloom sizing (~10 bits/key ≈ 1% fp at the probe;
     *   fp only costs verify work, never correctness)
+    * @param estimatedGrams sizing estimate for the sketch — an UPPER
+    *   bound on distinct eval grams. Deliberately an estimate, not an
+    *   exact `count()`: exactness would cost a second eval-side job,
+    *   and over-sizing only pads the sketch (fp rate falls, bytes
+    *   grow), never correctness. The 2^21 default probes at ~0.4 MB;
+    *   at the catalyst aggregate's 64Mbit cap the sketch holds ~6.7M
+    *   grams at 10 bits/key.
     */
   def bloomNgramOverlap(
       corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minHits: Int = 1, bitsPerKey: Int = 10): DataFrame = {
+      n: Int = 8, minHits: Int = 1, bitsPerKey: Int = 10,
+      estimatedGrams: Long = 1L << 21): DataFrame = {
     import graft.functions.TextFns.hash60
     val evalGrams = Dedup.shingleDocs(
         eval.select(monotonically_increasing_id().as("doc_id"), col(textCol)),
@@ -89,11 +97,11 @@ object Decontaminate {
       .select(hash60(col("s")).as("g"))
       .distinct()
       .persist()
-    // two eval-side driver actions (count + sketch bytes): bounded by
-    // the eval suite / sketch size, both tiny next to the corpus
-    val nGrams = math.max(1L, evalGrams.count())
+    // ONE eval-side driver action — the sketch bytes (driver traffic is
+    // the sketch, never data); the persisted gram set is reused by the
+    // verify join below
     val sketch = evalGrams.agg(call_function("graft_bloom_agg", col("g"),
-        lit(nGrams), lit(nGrams * bitsPerKey)).as("bf"))
+        lit(estimatedGrams), lit(estimatedGrams * bitsPerKey)).as("bf"))
       .collect()(0).getAs[Array[Byte]]("bf")
     val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))

@@ -1178,7 +1178,8 @@ object Pipeline {
     graft.operators.Decontaminate.bloomNgramOverlap(
       docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"), col("text")),
       docs.filter(col("doc_id") % 97 === 0).select(col("text")),
-      "doc_id", "text", n = ShingleN, minHits = 3)
+      "doc_id", "text", n = ShingleN, minHits = 3,
+      estimatedGrams = 1L << 16) // ~1% of docs are eval side
   }
 
   // ---- corpus statistics --------------------------------------------------
