@@ -85,30 +85,41 @@ object Decontaminate {
     *   at the catalyst aggregate's 64Mbit cap the sketch holds ~6.7M
     *   grams at 10 bits/key.
     */
-  def bloomNgramOverlap(
-      corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minHits: Int = 1, bitsPerKey: Int = 10,
-      estimatedGrams: Long = 1L << 21): DataFrame = {
+  /** The deduplicated hash60 gram set of an eval suite: (g). */
+  def evalGrams(eval: DataFrame, textCol: String, n: Int): DataFrame = {
     import graft.functions.TextFns.hash60
-    val evalGrams = Dedup.shingleDocs(
+    Dedup.shingleDocs(
         eval.select(monotonically_increasing_id().as("doc_id"), col(textCol)),
         "doc_id", textCol, n)
       .select(explode(col("shingles")).as("s"))
       .select(hash60(col("s")).as("g"))
       .distinct()
-      .persist()
-    // ONE eval-side driver action — the sketch bytes (driver traffic is
-    // the sketch, never data); the persisted gram set is reused by the
-    // verify join below
-    val sketch = evalGrams.agg(call_function("graft_bloom_agg", col("g"),
-        lit(estimatedGrams), lit(estimatedGrams * bitsPerKey)).as("bf"))
+  }
+
+  /** Bloom sketch bytes over a gram set — ONE driver action whose
+    * traffic is the sketch, never data. Shareable across calls/streams:
+    * build once per eval-suite release, probe everywhere. */
+  def gramSketch(grams: DataFrame, bitsPerKey: Int = 10,
+      estimatedGrams: Long = 1L << 21): Array[Byte] =
+    grams.agg(call_function("graft_bloom_agg", grams.columns.headOption
+        .map(col).getOrElse(col("g")),
+      lit(estimatedGrams), lit(estimatedGrams * bitsPerKey)).as("bf"))
       .collect()(0).getAs[Array[Byte]]("bf")
+
+  def bloomNgramOverlap(
+      corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minHits: Int = 1, bitsPerKey: Int = 10,
+      estimatedGrams: Long = 1L << 21): DataFrame = {
+    import graft.functions.TextFns.hash60
+    val evGrams = evalGrams(eval, textCol, n).persist()
+    // the persisted gram set is reused by the verify join below
+    val sketch = gramSketch(evGrams, bitsPerKey, estimatedGrams)
     val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), hash60(col("s")).as("g"))
       .filter(call_function("graft_might_contain", lit(sketch), col("g")))
     val hits = corpusGrams
-      .join(broadcast(evalGrams), Seq("g")) // exact verify on survivors
+      .join(broadcast(evGrams), Seq("g")) // exact verify on survivors
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("g")).as("eval_gram_hits"))
     corpus.select(col(idCol).as("doc_id"))

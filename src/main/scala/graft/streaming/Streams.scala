@@ -175,4 +175,34 @@ object Streams {
           }
       }
   }
+
+  /** Streaming ingest decontamination: flag documents whose word
+    * n-grams overlap a (batch-precomputed) eval-suite Bloom sketch —
+    * the in-stream face of `Decontaminate.bloomNgramOverlap`. The
+    * probe is completely STATELESS — per row: shingle the doc, count
+    * shingles whose hash60 hits the sketch literal — so it runs in any
+    * output mode, needs no watermark, no state store, and scales as a
+    * pure map over the ingest stream.
+    *
+    * Counts are probe counts: Bloom false positives can overcount (by
+    * the sketch's fp rate, caller-sized), never undercount — flagging
+    * is conservative toward quarantine, so contamination cannot slip
+    * through; route `contaminated = true` docs to a (tiny) quarantine
+    * sink for the batch-side exact verify.
+    *
+    * @param sketch bytes from `Decontaminate.gramSketch`, built once
+    *   per eval-suite release
+    * @return input columns + (eval_gram_hits, contaminated)
+    */
+  def bloomDecontaminated(docs: DataFrame, sketch: Array[Byte],
+      textCol: String, n: Int = 8, minHits: Int = 1): DataFrame = {
+    import graft.functions.TextFns.{hash60, normText, tokens, wordShingles}
+    val hits = size(filter(
+      transform(wordShingles(tokens(normText(col(textCol))), n),
+        s => hash60(s)),
+      g => call_function("graft_might_contain", lit(sketch), g)))
+    docs
+      .withColumn("eval_gram_hits", hits.cast("long"))
+      .withColumn("contaminated", col("eval_gram_hits") >= minHits)
+  }
 }

@@ -136,4 +136,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(s.getAs[Double]("total_value") == 6.0)
     assert(s.getAs[Long]("duration_sec") == 240L)
   }
+
+  test("streaming bloom decontamination: stateless probe flags leaked docs in-flight") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch side: sketch built once from the eval suite
+    val eval = Seq("alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("text")
+    val sketch = graft.operators.Decontaminate.gramSketch(
+      graft.operators.Decontaminate.evalGrams(eval, "text", 5),
+      estimatedGrams = 1L << 12)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.bloomDecontaminated(
+        in.toDF().toDF("doc_id", "text"), sketch, "text", n = 5, minHits = 2)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    in.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim
+      (2L, "prefix words alpha beta gamma delta epsilon tail end"), // 1 gram
+      (3L, "completely different words with no overlap at all here"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("decon").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("eval_gram_hits"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    // sketch fp rate at 4096-key sizing over 4 grams is ~0: counts exact
+    assert(rows(1L) == ((4L, true)))
+    assert(rows(2L) == ((1L, false)))
+    assert(rows(3L) == ((0L, false)))
+  }
 }
