@@ -649,6 +649,60 @@ object Extended {
        |ON g.user_id = e.user_id AND g.ts >= e.ts""".stripMargin
   }
 
+  /** Correlated scalar subquery — exercised through the SQL entry point
+    * (the DataFrame API cannot express correlation): each customer's
+    * max order price, NULL for order-less customers. Catalyst
+    * decorrelates (RewriteCorrelatedScalarSubquery) into an aggregate +
+    * left outer join — the same plan a hand-written join would give, so
+    * the declarative form costs nothing at scale. */
+  private def q28(spark: SparkSession, dir: String): DataFrame = {
+    Tables.df(spark, dir, "customer").createOrReplaceTempView("customer")
+    Tables.df(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_totalprice) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c""".stripMargin)
+  }
+
+  private val q28Sql =
+    """SELECT c_custkey, c_name,
+      |  (SELECT max(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c""".stripMargin
+
+  /** RANGE-frame sliding window: per user, each event's count/sum over
+    * the preceding hour BY VALUE RANGE on epoch seconds (peers at equal
+    * instants are all included — no tie-order ambiguity, unlike a ROWS
+    * frame). The summed quantity is integer cents, so the moving sum is
+    * exact in both engines regardless of their sliding-sum evaluation
+    * strategy (DuckDB's segment tree vs Spark's frame re-scan would
+    * disagree in the last ulp on doubles). */
+  private def q29(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.df(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-3600, Window.currentRow)
+    ev.select(col("event_id"), col("user_id"),
+        floor(col("ts").cast("double")).cast("long").as("es"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_id"), col("user_id"), col("es"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+  }
+
+  private val q29Sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_id, user_id, es,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_1h
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
     QueryDef("q6_minmax_score", q6, Some(q6Sql)),
@@ -672,5 +726,7 @@ object Extended {
     QueryDef("q24_daily_anomaly", q24, Some(q24Sql)),
     QueryDef("q25_asof_next", q25, Some(q25Sql)),
     QueryDef("q26_pivot", q26, Some(q26Sql)),
-    QueryDef("q27_resample", q27, Some(q27Sql)))
+    QueryDef("q27_resample", q27, Some(q27Sql)),
+    QueryDef("q28_correlated_subquery", q28, Some(q28Sql)),
+    QueryDef("q29_range_frame", q29, Some(q29Sql)))
 }
