@@ -5,13 +5,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = Sessions.local(cpus)
-    // JIT/classloader warmup at the smallest SF: first-query timings
-    // otherwise absorb janino compilation and parquet-reader class
-    // loading rather than query cost. Warmup failures are non-fatal
-    // (the timed run surfaces them) but still logged.
+    // JIT/classloader warmup at sf0.01 (not the smallest SF): each
+    // query's generated code is unique, and 6k-row inputs don't push
+    // its hot loops past the C2 compile thresholds — measured at sf0.1,
+    // an un-warmed query's first run pays 5-7s of interpreter/C1 time
+    // that a sf0.01 warmup (60k rows) eliminates. Warmup failures are
+    // non-fatal (the timed run surfaces them) but still logged.
     SparkEntry.queries.foreach { case (name, f) =>
       try {
-        f(spark, "/root/testdata/sf0.001").count()
+        f(spark, "/root/testdata/sf0.01").count()
       } catch {
         case e: Throwable =>
           System.err.println(s"warmup failed for $name: $e")
