@@ -230,22 +230,26 @@ object Corpus {
     * are added — the property a random split lacks), and (c) a pure
     * map: no shuffle until the per-split rollup.
     *
-    * @param cuts (split_name, upper_bound_percent) with increasing
-    *   exclusive upper bounds, last = 100 — e.g.
-    *   ("train",80),("val",90),("test",100).
+    * @param cuts (split_name, upper_bound_percent) with STRICTLY
+    *   increasing exclusive upper bounds, last = 100 — e.g.
+    *   ("train",80),("val",90),("test",100). Equal bounds are rejected:
+    *   they would make a split silently unreachable.
     * @return (split, n_docs, total_tokens) — one row per split that
-    *   received at least one doc.
+    *   received at least one doc. NULL-id docs (no hashable key) group
+    *   under a NULL split row — surfaced, never silently folded into
+    *   the last split.
     */
   def splitStats(docs: DataFrame, idCol: String, textCol: String,
       cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90,
         "test" -> 100)): DataFrame = {
-    require(cuts.nonEmpty && cuts.last._2 == 100 &&
-      cuts.map(_._2) == cuts.map(_._2).sorted && cuts.forall(_._2 > 0),
-      s"cuts must be increasing upper bounds ending at 100, got $cuts")
+    require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.head._2 > 0 &&
+      cuts.zip(cuts.tail).forall { case ((_, a), (_, b)) => a < b },
+      s"cuts must be strictly increasing upper bounds ending at 100, got $cuts")
     val bucket = TextFns.hash32(col(idCol).cast("string")) % 100
-    val split = cuts.init.foldRight(lit(cuts.last._1)) {
-      case ((name, ub), rest) => when(bucket < ub, lit(name)).otherwise(rest)
-    }
+    val split = when(bucket.isNotNull,
+      cuts.init.foldRight(lit(cuts.last._1)) {
+        case ((name, ub), rest) => when(bucket < ub, lit(name)).otherwise(rest)
+      })
     docs
       .select(split.as("split"),
         size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n"))
@@ -259,25 +263,26 @@ object Corpus {
     * df-cap (what Dedup.cappedIndex DROPS is exactly what this surfaces
     * for template/boilerplate review). Shingles are distinct per doc
     * (shingleDocs), so the count IS document frequency. One shuffle on
-    * the shingle key with map-side partial counts; the top-k is a
-    * single-partition sort over the (tiny) df-filtered remainder — at
-    * corpus scale pre-filter with `minDf` so the global sort input
-    * stays bounded.
+    * the shingle key with map-side partial counts; the top-k runs as
+    * sort+limit (TakeOrderedAndProject: per-partition partial top-k,
+    * k-row merge — never a full single-task sort).
     *
     * @return (ngram, df, rnk) with rnk ≤ k, ties broken by ngram text.
     */
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, minDf: Int = 2): DataFrame = {
     require(n > 0 && k > 0, s"need positive n/k, got n=$n k=$k")
-    // constant partition key: the global top-k sort over the (tiny)
-    // df-filtered remainder is single-partition BY DESIGN — the
-    // explicit key says so (vs. the accidental-global-window warning)
+    // global top-k as sort+limit: Spark plans TakeOrderedAndProject
+    // (per-partition partial top-k, k-row merge), so no single task
+    // ever sorts the full gram table — a minDf pre-filter that bounds
+    // little (df >= 2 keeps most grams) costs nothing. Only the <= k
+    // winners pass through the explicitly-single-partition rank window.
     val w = Window.partitionBy(lit(0)).orderBy(col("df").desc, col("ngram"))
     Dedup.shingleDocs(docs, idCol, textCol, n)
       .select(explode(col("shingles")).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("ngram")).limit(k)
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
   }
 }

@@ -57,6 +57,32 @@ object Decontaminate {
       .withColumn("contaminated", col("eval_gram_hits") >= minHits)
   }
 
+  /** The deduplicated eval gram set: (s = gram string, g = hash60(s)).
+    * The hash keys the sketch and the verify join; the string settles
+    * hash collisions exactly. */
+  def evalGrams(eval: DataFrame, textCol: String, n: Int): DataFrame = {
+    import graft.functions.TextFns.hash60
+    Dedup.shingleDocs(
+        eval.select(monotonically_increasing_id().as("doc_id"), col(textCol)),
+        "doc_id", textCol, n)
+      .select(explode(col("shingles")).as("s"))
+      .distinct()
+      .select(col("s"), hash60(col("s")).as("g"))
+  }
+
+  /** Bloom sketch bytes over a single-column key set — ONE driver
+    * action whose traffic is the sketch, never data. Shareable across
+    * calls/streams: build once per eval-suite release, probe
+    * everywhere. */
+  def gramSketch(grams: DataFrame, bitsPerKey: Int = 10,
+      estimatedGrams: Long = 1L << 21): Array[Byte] = {
+    require(grams.columns.length == 1,
+      s"gramSketch takes a single-column key frame, got ${grams.columns.mkString(", ")}")
+    grams.agg(call_function("graft_bloom_agg", col(grams.columns.head),
+      lit(estimatedGrams), lit(estimatedGrams * bitsPerKey)).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+  }
+
   /** [[ngramOverlap]] with a Bloom-filter pre-probe — same exact result,
     * built for the regime where even the DEDUPLICATED eval gram set is
     * too wide to broadcast-join comfortably (a full eval-suite library
@@ -71,9 +97,13 @@ object Decontaminate {
     * data); (3) corpus grams stream through the `graft_might_contain`
     * probe — a pure map-side filter, no join, no shuffle — dropping
     * virtually all non-overlapping grams; (4) survivors exact-verify
-    * against the true gram set, so Bloom false positives are removed
-    * and the final counts equal [[ngramOverlap]]'s bit-for-bit (no
-    * false negatives by construction).
+    * against the true gram set — joined on the compact hash key but
+    * SETTLED ON THE GRAM STRING, and hits counted over strings, so both
+    * Bloom false positives AND hash60 collisions are removed and the
+    * verdicts equal [[ngramOverlap]]'s exactly, not merely
+    * modulo-collision. The verify join is NOT hint-broadcast: survivors
+    * are few, the eval side shuffles by hash when it is genuinely too
+    * big to broadcast, and AQE still broadcasts it when it is small.
     *
     * @param bitsPerKey Bloom sizing (~10 bits/key ≈ 1% fp at the probe;
     *   fp only costs verify work, never correctness)
@@ -85,27 +115,6 @@ object Decontaminate {
     *   at the catalyst aggregate's 64Mbit cap the sketch holds ~6.7M
     *   grams at 10 bits/key.
     */
-  /** The deduplicated hash60 gram set of an eval suite: (g). */
-  def evalGrams(eval: DataFrame, textCol: String, n: Int): DataFrame = {
-    import graft.functions.TextFns.hash60
-    Dedup.shingleDocs(
-        eval.select(monotonically_increasing_id().as("doc_id"), col(textCol)),
-        "doc_id", textCol, n)
-      .select(explode(col("shingles")).as("s"))
-      .select(hash60(col("s")).as("g"))
-      .distinct()
-  }
-
-  /** Bloom sketch bytes over a gram set — ONE driver action whose
-    * traffic is the sketch, never data. Shareable across calls/streams:
-    * build once per eval-suite release, probe everywhere. */
-  def gramSketch(grams: DataFrame, bitsPerKey: Int = 10,
-      estimatedGrams: Long = 1L << 21): Array[Byte] =
-    grams.agg(call_function("graft_bloom_agg", grams.columns.headOption
-        .map(col).getOrElse(col("g")),
-      lit(estimatedGrams), lit(estimatedGrams * bitsPerKey)).as("bf"))
-      .collect()(0).getAs[Array[Byte]]("bf")
-
   def bloomNgramOverlap(
       corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minHits: Int = 1, bitsPerKey: Int = 10,
@@ -113,15 +122,17 @@ object Decontaminate {
     import graft.functions.TextFns.hash60
     val evGrams = evalGrams(eval, textCol, n).persist()
     // the persisted gram set is reused by the verify join below
-    val sketch = gramSketch(evGrams, bitsPerKey, estimatedGrams)
+    val sketch = gramSketch(evGrams.select(col("g")), bitsPerKey,
+      estimatedGrams)
     val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .select(col("doc_id"), hash60(col("s")).as("g"))
+      .select(col("doc_id"), col("s"), hash60(col("s")).as("g"))
       .filter(call_function("graft_might_contain", lit(sketch), col("g")))
     val hits = corpusGrams
-      .join(broadcast(evGrams), Seq("g")) // exact verify on survivors
+      .join(evGrams.select(col("g"), col("s").as("_es")), Seq("g"))
+      .filter(col("s") === col("_es")) // exact string verify
       .groupBy(col("doc_id"))
-      .agg(count_distinct(col("g")).as("eval_gram_hits"))
+      .agg(count_distinct(col("s")).as("eval_gram_hits"))
     corpus.select(col(idCol).as("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),

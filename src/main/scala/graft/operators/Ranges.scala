@@ -220,7 +220,10 @@ object Ranges {
     val ceilSec = when(
       timestamp_seconds(unix_timestamp(col(tsCol))) === col(tsCol),
       unix_timestamp(col(tsCol))).otherwise(unix_timestamp(col(tsCol)) + 1)
-    val grid = obs.filter(col(tsCol).isNotNull)
+    // NULL-key observations build no grid: SQL join/window semantics
+    // would attach no payload to a NULL-key slot (asofJoin masks NULL
+    // keys), which would break the payload-totality contract below
+    val grid = obs.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .groupBy(col(keyCol))
       .agg(min(ceilSec).as("_lo"),
         max(unix_timestamp(col(tsCol))).as("_hi"))

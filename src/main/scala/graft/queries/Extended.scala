@@ -656,13 +656,21 @@ object Extended {
     * left outer join — the same plan a hand-written join would give, so
     * the declarative form costs nothing at scale. */
   private def q28(spark: SparkSession, dir: String): DataFrame = {
-    Tables.df(spark, dir, "customer").createOrReplaceTempView("customer")
-    Tables.df(spark, dir, "orders").createOrReplaceTempView("orders")
-    spark.sql(
+    // query-scoped view names, dropped after analysis: spark.sql
+    // resolves views eagerly into the returned plan, so no session
+    // state leaks (a view named "customer"/"orders" would shadow real
+    // tables for everything else in a long-lived session)
+    Tables.df(spark, dir, "customer").createOrReplaceTempView("q28_customer")
+    Tables.df(spark, dir, "orders").createOrReplaceTempView("q28_orders")
+    try spark.sql(
       """SELECT c_custkey, c_name,
-        |  (SELECT max(o_totalprice) FROM orders o
+        |  (SELECT max(o_totalprice) FROM q28_orders o
         |   WHERE o.o_custkey = c.c_custkey) AS max_order
-        |FROM customer c""".stripMargin)
+        |FROM q28_customer c""".stripMargin)
+    finally {
+      spark.catalog.dropTempView("q28_customer")
+      spark.catalog.dropTempView("q28_orders")
+    }
   }
 
   private val q28Sql =

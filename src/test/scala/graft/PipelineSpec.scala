@@ -395,6 +395,19 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Corpus.splitStats(docs, "doc_id", "text", Seq("train" -> 50))
     }
+    // equal upper bounds would make a split silently unreachable
+    intercept[IllegalArgumentException] {
+      Corpus.splitStats(docs, "doc_id", "text",
+        Seq("train" -> 80, "val" -> 80, "test" -> 100))
+    }
+    // NULL-id docs surface as a NULL split row, never pollute a split
+    import spark.implicits._
+    val withNull = Seq((Some(1L), "one doc"), (None, "lost doc"))
+      .toDF("doc_id", "text")
+    val ns = Corpus.splitStats(withNull, "doc_id", "text").collect()
+      .map(r => Option(r.getAs[String]("split")) -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(ns(None) == 1L && ns.values.sum == 2L)
   }
 
   test("top ngrams: known duplicated trigram ranks first, df exact, distinct-per-doc") {

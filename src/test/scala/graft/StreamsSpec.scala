@@ -144,7 +144,7 @@ class StreamsSpec extends AnyFunSuite {
     val eval = Seq("alpha beta gamma delta epsilon zeta eta theta")
       .toDF("text")
     val sketch = graft.operators.Decontaminate.gramSketch(
-      graft.operators.Decontaminate.evalGrams(eval, "text", 5),
+      graft.operators.Decontaminate.evalGrams(eval, "text", 5).select("g"),
       estimatedGrams = 1L << 12)
     val in = MemoryStream[(Long, String)]
     val q = Streams.bloomDecontaminated(
