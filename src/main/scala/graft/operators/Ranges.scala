@@ -45,10 +45,19 @@ object Ranges {
     * `_side=1` at equal ts), one window per key ordered by (ts, side)
     * with a running `last(payload, ignoreNulls)` — a single hash
     * exchange on `keyCol` and a per-partition sort; no join node at all.
+    *
+    * @param toleranceSec pandas merge_asof-style max match gap: a
+    *   carried payload further than this many seconds from the left
+    *   row's ts is nulled (post-window mask — plan shape unchanged).
+    *   Timestamp ts columns compare at seconds granularity; numeric ts
+    *   columns compare in their own units.
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valCols: Seq[String],
-      prefix: String = "asof_", forward: Boolean = false): DataFrame = {
+      prefix: String = "asof_", forward: Boolean = false,
+      toleranceSec: Option[Long] = None): DataFrame = {
+    require(toleranceSec.forall(_ >= 0),
+      s"asofJoin tolerance must be non-negative, got $toleranceSec")
     val reserved = Set("_rv", "_side", "_m")
     require(!left.columns.exists(reserved), s"asofJoin: left side uses " +
       s"reserved internal column names ${left.columns.filter(reserved).mkString(", ")}")
@@ -78,9 +87,27 @@ object Ranges {
     // (q22's oracle).
     val m = when(col(keyCol).isNotNull && col(tsCol).isNotNull,
       last(col("_rv"), ignoreNulls = true).over(w))
+    // tolerance (merge_asof semantics): a carried payload further than
+    // toleranceSec from the left row is nulled AFTER the window — a
+    // post-mask, not a window change, so the plan shape (one exchange,
+    // one sort) is untouched. Seconds granularity via unix_timestamp
+    // works for timestamp ts columns; numeric ts columns compare
+    // directly when the caller's unit is seconds.
+    def withinTol(matched: org.apache.spark.sql.Column) =
+      toleranceSec match {
+        case None => matched
+        case Some(tol) =>
+          val (a, b) = (col(tsCol), col("_m._ts"))
+          def secs(c: org.apache.spark.sql.Column) =
+            if (left.schema(tsCol).dataType ==
+              org.apache.spark.sql.types.TimestampType) unix_timestamp(c)
+            else c.cast("long")
+          when(abs(secs(a) - secs(b)) <= tol, matched)
+      }
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("_m", m)
       .filter(col("_side") === 1)
+      .withColumn("_m", withinTol(col("_m")))
       .select(leftCols.map(col) ++
         (col("_m._ts").as(s"$prefix$tsCol") +:
           valCols.map(v => col(s"_m.$v").as(s"$prefix$v"))): _*)

@@ -155,6 +155,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"asofJoin planned a join:\n$plan")
   }
 
+  test("asof join tolerance: distant matches null out, near ones survive") {
+    import spark.implicits._
+    val left = Seq((1L, "u", 20L), (2L, "u", 16L)).toDF("id", "k", "ts")
+    val right = Seq(("u", 15L, "a")).toDF("k", "ts", "pay")
+    def run(tol: Long) = graft.operators.Ranges
+      .asofJoin(left, right, "k", "ts", Seq("pay"), toleranceSec = Some(tol))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("asof_pay"))).toMap
+    // gap 5 for id=1, gap 1 for id=2
+    assert(run(4L) == Map(1L -> None, 2L -> Some("a")))
+    assert(run(5L) == Map(1L -> Some("a"), 2L -> Some("a")))
+    intercept[IllegalArgumentException] {
+      graft.operators.Ranges.asofJoin(left, right, "k", "ts", Seq("pay"),
+        toleranceSec = Some(-1L))
+    }
+  }
+
   test("resample LOCF: slot alignment, carried payloads total, slotless span empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
