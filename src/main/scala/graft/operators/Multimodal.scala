@@ -98,6 +98,46 @@ object Multimodal {
           s"greatest(cast(length(payload) / $n as int), 1))").as("frame_payload"))
   }
 
+  /** Image resize: per-image transform to `targetW`×`targetH`, payload
+    * replaced by the re-encoded bytes. Runs in the same
+    * mapPartitions-batch shape as [[extractFeatures]] (one codec init
+    * per partition); the output keeps metadata + resized payload only.
+    * The byte transform is a STUB (deterministic stride-sample of the
+    * source bytes, sized targetW·targetH/8 — a real codec
+    * decode→scale→encode goes in its place); the schema, batch shape,
+    * and size-contraction contract are real.
+    *
+    * @return (media_id, source, width, height, payload) — width/height
+    *         are the TARGET dims (post-resize truth, not stub output).
+    */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int,
+      targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0,
+      s"resize dims must be positive, got ${targetW}x$targetH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val outBytes = math.max(1, targetW * targetH / 8)
+    media.filter(_.kind == "image")
+      .mapPartitions { it =>
+        // ===================== STUB resize ======================
+        // real codec: decode(payload) -> scale to targetW x targetH ->
+        // encode. The fake keeps determinism: stride-sample outBytes
+        // bytes across the source payload.
+        it.map { m =>
+          val n = m.payload.length
+          val out = new Array[Byte](math.min(outBytes, math.max(n, 1)))
+          var i = 0
+          while (i < out.length) {
+            out(i) = if (n == 0) 0 else m.payload((i.toLong * n / out.length).toInt)
+            i += 1
+          }
+          (m.media_id, m.source, targetW, targetH, out)
+        }
+        // ========================================================
+      }
+      .toDF("media_id", "source", "width", "height", "payload")
+  }
+
   /** End-to-end: docs → fake media → features → per-kind rollup. */
   def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(fakeMediaFromDocs(docs))

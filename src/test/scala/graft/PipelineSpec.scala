@@ -353,6 +353,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.forall(_.getAs[Array[Byte]]("frame_payload").nonEmpty))
   }
 
+  test("image resize: images only, target dims attached, payload contracted deterministically") {
+    val media = Multimodal.fakeMediaFromDocs(docs)
+    val out = Multimodal.resizeImages(media, 32, 32)
+    val nImages = media.toDF().filter(col("kind") === "image").count()
+    assert(out.count() == nImages)
+    val rows = out.collect()
+    assert(rows.forall(r => r.getAs[Int]("width") == 32
+      && r.getAs[Int]("height") == 32))
+    // stub contract: output payload is stride-sampled to <= W*H/8 bytes
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").length <= 128))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resizeImages(media, 32, 32).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[Array[Byte]]("payload").toSeq).toMap
+    assert(rows.forall(r => again(r.getAs[Long]("media_id"))
+      == r.getAs[Array[Byte]]("payload").toSeq))
+  }
+
   test("embedding near-dup: symmetric threshold, ida < idb") {
     val pairs = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.45)
       .collect()
