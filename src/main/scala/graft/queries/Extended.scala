@@ -716,6 +716,51 @@ object Extended {
       |WINDOW w AS (PARTITION BY user_id ORDER BY es
       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** CUBE grouping: all four (source, lang) grouping combinations in
+    * one aggregate — the full-lattice sibling of q20's ROLLUP;
+    * grouping() flags disambiguate data NULLs from subtotal rows. */
+  private def q30(spark: SparkSession, dir: String): DataFrame =
+    Tables.df(spark, dir, "documents")
+      .cube(col("source"), col("lang"))
+      .agg(grouping(col("source")).cast("int").as("g_src"),
+        grouping(col("lang")).cast("int").as("g_lang"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(coalesce(col("source"), lit("(all)")).as("source"),
+        coalesce(col("lang"), lit("(all)")).as("lang"),
+        col("g_src"), col("g_lang"), col("n_docs"), col("total_chars"))
+
+  private val q30Sql =
+    """SELECT COALESCE(source, '(all)') AS source,
+      |  COALESCE(lang, '(all)') AS lang,
+      |  CAST(GROUPING(source) AS INT) AS g_src,
+      |  CAST(GROUPING(lang) AS INT) AS g_lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY CUBE (source, lang)""".stripMargin
+
+  /** INTERSECT / EXCEPT set ops (planned as left-semi / left-anti
+    * aggregated joins): customers who ordered in 1995 AND 1996, minus
+    * anyone with an urgent order — both distinct-set operators in one
+    * query shape. */
+  private def q31(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.df(spark, dir, "orders")
+    def buyersIn(year: Int) =
+      ord.filter(org.apache.spark.sql.functions.year(col("o_orderdate")) === year)
+        .select(col("o_custkey"))
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    buyersIn(1995).intersect(buyersIn(1996)).except(urgent)
+  }
+
+  private val q31Sql =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_theta_array_join", q5, Some(q5Sql)),
     QueryDef("q6_minmax_score", q6, Some(q6Sql)),
@@ -741,5 +786,7 @@ object Extended {
     QueryDef("q26_pivot", q26, Some(q26Sql)),
     QueryDef("q27_resample", q27, Some(q27Sql)),
     QueryDef("q28_correlated_subquery", q28, Some(q28Sql)),
-    QueryDef("q29_range_frame", q29, Some(q29Sql)))
+    QueryDef("q29_range_frame", q29, Some(q29Sql)),
+    QueryDef("q30_cube", q30, Some(q30Sql)),
+    QueryDef("q31_intersect_except", q31, Some(q31Sql)))
 }
