@@ -130,4 +130,58 @@ class PropertySpec extends AnyFunSuite {
       assert(viaStats == viaPairs)
     }
   }
+
+  test("resampleLocf equals brute-force LOCF on random event series") {
+    import spark.implicits._
+    val gen = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 500000L), Gen.choose(0, 999)))
+    (1 to 3).foreach { i =>
+      // distinct (key, ts): the operator's documented uniqueness
+      // precondition (tie payloads are otherwise arbitrary both ways)
+      val rows = sample(gen, 300L + i)
+        .map { case (k, s, v) => (s"k$k", s, v.toDouble) }
+        .distinctBy(r => (r._1, r._2))
+      val df = rows.toDF("k", "es", "v")
+        .select(col("k"), timestamp_seconds(col("es")).as("ts"), col("v"))
+      val step = 50000L
+      val got = Ranges.resampleLocf(df, "k", "ts", Seq("v"), step)
+        .collect().map(r => (r.getString(0),
+          r.getAs[java.sql.Timestamp](1).getTime / 1000,
+          r.getAs[Double]("locf_v"))).toSet
+      // brute force: per key, slots ceil(min)..floor(max) aligned to
+      // step; LOCF = value of the max ts <= slot
+      val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val lo = rs.map(_._2).min; val hi = rs.map(_._2).max
+        val s0 = (lo + step - 1) / step * step
+        val s1 = hi / step * step
+        (s0 to s1 by step).map { slot =>
+          val (_, ts, v) = rs.filter(_._2 <= slot).maxBy(_._2)
+          (k, slot, v)
+        }
+      }.toSet
+      assert(got == expected, s"seed ${300 + i}")
+    }
+  }
+
+  test("splitStats partitions any corpus for any strictly-increasing cuts") {
+    import spark.implicits._
+    val genIds = Gen.listOfN(120, Gen.choose(Long.MinValue, Long.MaxValue))
+    val genCuts = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.pick(n, 1 to 99).map(_.sorted.toList))
+    (1 to 3).foreach { i =>
+      val ids = sample(genIds, 400L + i).distinct
+      val cutUbs = sample(genCuts, 500L + i) :+ 100
+      val cuts = cutUbs.zipWithIndex.map { case (ub, j) => s"s$j" -> ub }
+      val df = ids.map(id => (id, s"doc $id")).toDF("doc_id", "text")
+      val out = graft.operators.Corpus.splitStats(df, "doc_id", "text", cuts)
+        .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs"))
+      // a partition: every doc in exactly one split, only known names
+      assert(out.map(_._2).sum == ids.length)
+      assert(out.map(_._1).toSet.subsetOf(cuts.map(_._1).toSet))
+      // determinism: assignment is a pure function of the id
+      val again = graft.operators.Corpus.splitStats(df, "doc_id", "text", cuts)
+        .collect().map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs"))
+      assert(out.toMap == again.toMap)
+    }
+  }
 }
