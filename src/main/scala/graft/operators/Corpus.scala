@@ -258,6 +258,51 @@ object Corpus {
         sum(col("n")).cast("long").as("total_tokens"))
   }
 
+  /** Per-document compression ratio — the classic repetitiveness /
+    * low-entropy quality signal (boilerplate, generated spam, and
+    * keyword-stuffed pages compress far better than natural prose; the
+    * RefinedWeb/MassiveText filter families threshold on exactly
+    * this). deflate(level 6) over the utf-8 bytes; DEFLATE output for
+    * a fixed level/strategy is deterministic for fixed input, so
+    * results are stable run-to-run and cluster-size-independent.
+    *
+    * This is the one text operator that cannot be a Catalyst
+    * expression composition (no codegen deflate exists), so it runs as
+    * a typed mapPartitions — one Deflater per PARTITION, reset per
+    * row, the same batch shape as Multimodal's codec stage; still a
+    * pure map, zero shuffles, and the text column is dropped on
+    * output so downstream moves only scalars.
+    *
+    * @return (doc_id, n_bytes, n_compressed, ratio) — ratio =
+    *         n_compressed/n_bytes (lower = more repetitive); empty
+    *         docs report NULL-free (0, header-size, NULL ratio).
+    */
+  def compressionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6, true)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = Option(text).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed")
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          col("n_compressed").cast("double") / col("n_bytes")))
+  }
+
   /** Corpus-wide boilerplate n-gram mining: the `k` word-`n`-grams
     * appearing in the most documents — the complement view of the dedup
     * df-cap (what Dedup.cappedIndex DROPS is exactly what this surfaces

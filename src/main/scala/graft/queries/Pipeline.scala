@@ -1182,6 +1182,14 @@ object Pipeline {
       estimatedGrams = 1L << 16) // ~1% of docs are eval side
   }
 
+  /** Compression-ratio quality signal (deflate level 6). No DuckDB
+    * oracle — SQL engines ship no deflate scalar — so the driver
+    * records the weaker rows-only check; determinism and the
+    * repetitive-compresses-better ordering are spec-pinned instead. */
+  private def p35(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.compressionSignals(
+      Tables.df(spark, dir, "documents"), "doc_id", "text")
+
   // ---- corpus statistics --------------------------------------------------
 
   /** TF-IDF top terms per doc — rational idf (tf·N/df in one double
@@ -1349,5 +1357,6 @@ object Pipeline {
     QueryDef("p31_split", p31, Some(p31Sql)),
     QueryDef("p32_boilerplate_ngrams", p32, Some(p32Sql)),
     QueryDef("p33_quantize", p33, Some(p33Sql)),
-    QueryDef("p34_bloom_decontaminate", p34, Some(p19Sql)))
+    QueryDef("p34_bloom_decontaminate", p34, Some(p19Sql)),
+    QueryDef("p35_compression", p35, None))
 }

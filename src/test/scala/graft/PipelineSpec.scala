@@ -353,6 +353,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.forall(_.getAs[Array[Byte]]("frame_payload").nonEmpty))
   }
 
+  test("compression signal: repetitive text compresses harder, deterministic, empty-doc NULL ratio") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "quick zephyrs blow, vexing daft jim; lazy movers quit hard packing"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.compressionSignals(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Long]("n_compressed"),
+          Option(r.getAs[java.lang.Double]("ratio")).map(_.toDouble)))).toMap
+    // the repeated-token doc compresses far below the pangram-ish one
+    assert(out(1L)._3.get < out(2L)._3.get)
+    assert(out(1L)._3.get < 0.5 && out(2L)._3.get > 0.5)
+    // empty doc: 0 bytes, NULL ratio (not NaN, not a divide error)
+    assert(out(3L)._1 == 0L && out(3L)._3.isEmpty)
+    // fixed level+input => fixed output bytes, any partitioning
+    val again = Corpus.compressionSignals(d.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_compressed")).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
+
   test("image resize: images only, target dims attached, payload contracted deterministically") {
     val media = Multimodal.fakeMediaFromDocs(docs)
     val out = Multimodal.resizeImages(media, 32, 32)
