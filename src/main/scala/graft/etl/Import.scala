@@ -47,6 +47,27 @@ object Import {
   def sinkJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Write a curated dataset as layout-optimized parquet: hive-style
+    * partition directories on `partitionBy` (so reads filtering those
+    * columns prune whole directories before touching a file — the
+    * dominant 100 TB read optimization) and `sortWithinPartitions` on
+    * `sortBy` (clusters values within each file so parquet row-group
+    * min/max statistics skip pages for range predicates on the sort
+    * key — poor man's Z-order, one dimension). Partition columns must
+    * be low-cardinality (source, date, lang — NOT doc ids: a
+    * per-value directory with tiny files is the classic small-files
+    * failure). EtlSpec pins the pruned read plan. */
+  def sinkParquetClustered(df: DataFrame, path: String,
+      partitionBy: Seq[String], sortBy: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortBy.isEmpty) df
+      else df.sortWithinPartitions(
+        (partitionBy ++ sortBy).map(org.apache.spark.sql.functions.col): _*)
+    sorted.write.mode("overwrite")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   /** Postgres→staging load over Spark JDBC, partitioned for parallel
     * pull: with a numeric split column the read fans out across
     * `numPartitions` range-predicated connections (the scale path for

@@ -151,4 +151,28 @@ class EtlSpec extends AnyFunSuite {
     assert(!sinkRan)
     assert(result.summary.get.contains("\"violations\":1"))
   }
+
+  test("clustered parquet sink: partition dirs prune, sort key clusters row groups") {
+    val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
+    val dir = Files.createTempDirectory("graft_clustered").toString
+    Import.sinkParquetClustered(docs, dir,
+      partitionBy = Seq("source"), sortBy = Seq("doc_id"))
+    // hive-style partition directories exist
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.exists(_.startsWith("source=")), subdirs.mkString(", "))
+    // a filter on the partition column becomes a PartitionFilter —
+    // directory pruning, zero data files of other sources touched
+    val read = spark.read.parquet(dir).filter(col("source") === "src3")
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(source"),
+      plan.linesIterator.filter(_.contains("Partition")).mkString("\n"))
+    assert(read.count() ==
+      docs.filter(col("source") === "src3").count())
+    // round-trip fidelity: same rows, schema survives partition split
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.columns.toSet == docs.columns.toSet)
+  }
 }
