@@ -59,10 +59,21 @@ object Import {
     * failure). EtlSpec pins the pruned read plan. */
   def sinkParquetClustered(df: DataFrame, path: String,
       partitionBy: Seq[String], sortBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.col
+    // repartition on the partition key FIRST: without it every task
+    // writes its own file into every hive directory — tasks×values
+    // files, the small-files failure by task count — and the sort-key
+    // clustering fragments into overlapping min/max ranges. After the
+    // repartition each partition value lands in one task: ~1
+    // well-clustered file per directory. (A pathologically hot
+    // partition value serializes through one task — salt the
+    // repartition key if a single value dominates the corpus.)
+    val parted =
+      if (partitionBy.isEmpty) df
+      else df.repartition(partitionBy.map(col): _*)
     val sorted =
-      if (sortBy.isEmpty) df
-      else df.sortWithinPartitions(
-        (partitionBy ++ sortBy).map(org.apache.spark.sql.functions.col): _*)
+      if (sortBy.isEmpty) parted
+      else parted.sortWithinPartitions((partitionBy ++ sortBy).map(col): _*)
     sorted.write.mode("overwrite")
       .partitionBy(partitionBy: _*)
       .parquet(path)

@@ -279,25 +279,34 @@ object Corpus {
     */
   def compressionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val deflater = new java.util.zip.Deflater(6, true)
-        val buf = new Array[Byte](1 << 16)
-        it.map { case (id, text) =>
-          val in = Option(text).getOrElse("")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          deflater.reset()
-          deflater.setInput(in)
-          deflater.finish()
-          var out = 0L
-          while (!deflater.finished()) out += deflater.deflate(buf)
-          (id, in.length.toLong, out)
-        }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // Row-encoded (not a case-class tuple): the id keeps its ORIGINAL
+    // type — a (Long, …) encoder would reject string/NULL ids with an
+    // opaque executor NPE naming neither operator nor row
+    val in = docs.select(col(idCol).as("doc_id"),
+      col(textCol).cast("string").as("_t"))
+    val outSchema = StructType(Seq(in.schema("doc_id"),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("n_compressed", LongType, nullable = false)))
+    in.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(6, true)
+      // Deflater state is ~256KB of native zlib memory per instance —
+      // end() it at task completion, never wait for finalization
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+      val buf = new Array[Byte](1 << 16)
+      rows.map { r =>
+        val bytes = Option(r.getString(1)).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var out = 0L
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        Row(r.get(0), bytes.length.toLong, out)
       }
-      .toDF("doc_id", "n_bytes", "n_compressed")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
       .withColumn("ratio",
         when(col("n_bytes") > 0,
           col("n_compressed").cast("double") / col("n_bytes")))

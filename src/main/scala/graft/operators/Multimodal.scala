@@ -116,7 +116,10 @@ object Multimodal {
       s"resize dims must be positive, got ${targetW}x$targetH")
     val spark = media.sparkSession
     import spark.implicits._
-    val outBytes = math.max(1, targetW * targetH / 8)
+    // long arithmetic: an Int product overflows at 46341^2 and would
+    // silently collapse outBytes to 1 for huge dims
+    val outBytes =
+      math.min(math.max(1L, targetW.toLong * targetH / 8), Int.MaxValue).toInt
     media.filter(_.kind == "image")
       .mapPartitions { it =>
         // ===================== STUB resize ======================

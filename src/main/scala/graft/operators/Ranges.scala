@@ -97,11 +97,19 @@ object Ranges {
       toleranceSec match {
         case None => matched
         case Some(tol) =>
+          import org.apache.spark.sql.types.{NumericType, TimestampType}
           val (a, b) = (col(tsCol), col("_m._ts"))
           def secs(c: org.apache.spark.sql.Column) =
-            if (left.schema(tsCol).dataType ==
-              org.apache.spark.sql.types.TimestampType) unix_timestamp(c)
-            else c.cast("long")
+            left.schema(tsCol).dataType match {
+              case TimestampType => unix_timestamp(c)
+              // numeric ts: compare IN ORIGINAL UNITS, no cast — a
+              // long-cast would truncate fractional ts and mis-decide
+              // gaps by up to ~2 units around the tolerance boundary
+              case _: NumericType => c
+              case other => throw new IllegalArgumentException(
+                s"asofJoin tolerance unsupported for ts type $other " +
+                  "(timestamp or numeric required)")
+            }
           when(abs(secs(a) - secs(b)) <= tol, matched)
       }
     l.unionByName(r, allowMissingColumns = true)
