@@ -137,6 +137,39 @@ class StreamsSpec extends AnyFunSuite {
     assert(s.getAs[Long]("duration_sec") == 240L)
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once, no duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val out = s"$dir/data"
+    val ckpt = s"$dir/ckpt"
+    def start() = Streams.windowedEventStats(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    // first run: watermark must pass window end before append emits
+    val q1 = start()
+    in.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(3), 1, "click", 2.0))
+    q1.processAllAvailable()
+    in.addData(Event(3, ts(40), 1, "view", 3.0))
+    q1.processAllAvailable(); q1.stop()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst >= 1) // the [0,10) click window is closed + flushed
+    // restart from the SAME checkpoint: prior batches must not replay
+    val q2 = start()
+    in.addData(Event(4, ts(80), 1, "buy", 4.0))
+    q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out)
+      .select(col("event_type"), col("n_events"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // exactly-once: the click window appears ONCE with both events
+    assert(rows.count(_._1 == "click") == 1, rows.mkString(", "))
+    assert(rows.find(_._1 == "click").get._2 == 2L)
+    // the view window flushed by the restarted query, also once
+    assert(rows.count(_._1 == "view") == 1, rows.mkString(", "))
+  }
+
   test("streaming bloom decontamination: stateless probe flags leaked docs in-flight") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
