@@ -339,6 +339,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Per-group per-dimension embedding means — the corpus-centroid
+    * analytics view (domain drift, per-source embedding bias). Long
+    * format (group, dim, n_vecs, mean_val): one row per dimension, so
+    * the output is scalar-typed and cross-engine comparable without
+    * array-equality semantics.
+    *
+    * Exactness: each component is fixed to integer PICOUNITS —
+    * round(toDouble(v)·1e12) as a long — so the cross-partition sum is
+    * exact integer arithmetic (order-independent, unlike a double
+    * fold), and the mean is then a fixed sequence of IEEE ops on
+    * identical operands in any engine. Decimal intermediates are
+    * deliberately avoided: Spark's decimal multiply overflows
+    * precision 38 for wide operands and silently ROUNDS (scale 12 →
+    * 11), and engines disagree in the last ulp of DECIMAL→DOUBLE
+    * casts. Requires |v| < ~10^6 (units fit a long at any realistic
+    * group size). Plan: posexplode + one shuffle on (group, dim);
+    * dimension count bounds state.
+    */
+  def dimensionMeans(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast("array<float>")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("col").cast("double") * lit(1e12))
+          .cast("long")).as("_units"))
+      .select(col("grp"), (col("pos") + 1).as("dim"), col("n_vecs"),
+        (col("_units").cast("double")
+          / (col("n_vecs").cast("double") * lit(1e12))).as("mean_val"))
+
   /** Symmetric per-vector int8 quantization audit: scale = 127/max|x_i|,
     * q_i = floor(x_i·scale + 0.5) (explicit floor arithmetic — Spark's
     * round() is HALF_UP, DuckDB's rounds half away from zero; floor

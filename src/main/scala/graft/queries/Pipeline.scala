@@ -66,6 +66,8 @@ object Pipeline {
   // boilerplate mining: trigrams, top 20 by document frequency
   private val BoilerN = 3
   private val BoilerTopK = 20
+  // embeddings table dimensionality (TESTDATA.md)
+  private val EmbDim = 64
   // chunk-level boilerplate removal: token window + doc-frequency cap
   private val ChunkW = 5
   private val ChunkMaxDf = 3
@@ -1190,6 +1192,36 @@ object Pipeline {
     graft.operators.Corpus.compressionSignals(
       Tables.df(spark, dir, "documents"), "doc_id", "text")
 
+  /** Per-source embedding centroids in long format (source ⋈ vectors on
+    * id, then exact-decimal per-dimension means — order-independent, so
+    * bit-reproducible by the oracle). */
+  private def p36(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.df(spark, dir, "embeddings")
+    val d = Tables.df(spark, dir, "documents")
+      .select(col("doc_id").as("vec_id"), col("source"))
+    Similarity.dimensionMeans(
+      e.join(broadcast(d), Seq("vec_id")), "source", "embedding")
+      .withColumnRenamed("grp", "source")
+  }
+
+  private val p36Sql =
+    s"""WITH j AS (
+       |  SELECT d.source, e.embedding
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |x AS (
+       |  SELECT source, t.i,
+       |    -- integer picounits via double: identical op sequence to
+       |    -- the Spark side (float->double, *1e12, round-away-from-
+       |    -- zero, bigint); decimals deliberately avoided — engines
+       |    -- disagree on FLOAT->DECIMAL and DECIMAL->DOUBLE rounding
+       |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e12) AS BIGINT)
+       |      AS u
+       |  FROM j, (SELECT unnest(generate_series(1, $EmbDim)) AS i) t)
+       |SELECT source, CAST(i AS INT) AS dim, COUNT(*) AS n_vecs,
+       |  CAST(SUM(u) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS mean_val
+       |FROM x GROUP BY source, i""".stripMargin
+
   // ---- corpus statistics --------------------------------------------------
 
   /** TF-IDF top terms per doc — rational idf (tf·N/df in one double
@@ -1358,5 +1390,6 @@ object Pipeline {
     QueryDef("p32_boilerplate_ngrams", p32, Some(p32Sql)),
     QueryDef("p33_quantize", p33, Some(p33Sql)),
     QueryDef("p34_bloom_decontaminate", p34, Some(p19Sql)),
-    QueryDef("p35_compression", p35, None))
+    QueryDef("p35_compression", p35, None),
+    QueryDef("p36_source_centroids", p36, Some(p36Sql)))
 }

@@ -353,6 +353,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.forall(_.getAs[Array[Byte]]("frame_payload").nonEmpty))
   }
 
+  test("dimension means: exact per-dim averages, partition-order independent") {
+    import spark.implicits._
+    val d = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)),
+      ("b", Seq(0.5f, -0.5f))).toDF("src", "v")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.dimensionMeans(df, "src", "v").collect()
+        .map(r => (r.getAs[String]("grp"), r.getAs[Int]("dim")) ->
+          (r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_val"))).toMap
+    val out = run(d)
+    assert(out(("a", 1)) == ((2L, 2.0)) && out(("a", 2)) == ((2L, 4.0)))
+    assert(out(("b", 1)) == ((1L, 0.5)) && out(("b", 2)) == ((1L, -0.5)))
+    // integer-unit accumulation: identical under any partitioning
+    assert(run(d.repartition(5)) == out)
+  }
+
   test("compression signal: repetitive text compresses harder, deterministic, empty-doc NULL ratio") {
     import spark.implicits._
     val d = Seq(
