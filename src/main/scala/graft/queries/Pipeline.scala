@@ -1192,6 +1192,35 @@ object Pipeline {
     graft.operators.Corpus.compressionSignals(
       Tables.df(spark, dir, "documents"), "doc_id", "text")
 
+  /** Cross-source duplication matrix — corpus governance: how many
+    * near-dup pairs link each (unordered) source pair. Reuses the
+    * df-capped pair machinery; sources attach to the (tiny) verified
+    * pair list by id join, so the matrix costs two broadcast-sized
+    * joins beyond p02b. Diagonal rows (sa = sb) are intra-source
+    * duplication. */
+  private def p37(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        ShingleN, JaccardNum, JaccardDen, maxDocFreq = Some(JaccardMaxDf))
+      .join(src.select(col("doc_id").as("ida"), col("source").as("_sa")), "ida")
+      .join(src.select(col("doc_id").as("idb"), col("source").as("_sb")), "idb")
+      .select(least(col("_sa"), col("_sb")).as("sa"),
+        greatest(col("_sa"), col("_sb")).as("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  private val p37Sql =
+    s"""WITH ${cappedPairsCtes("documents", JaccardMaxDf)}
+       |SELECT least(da.source, db.source) AS sa,
+       |  greatest(da.source, db.source) AS sb,
+       |  COUNT(*) AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.ida
+       |JOIN documents db ON db.doc_id = p.idb
+       |GROUP BY 1, 2""".stripMargin
+
   /** Per-source embedding centroids in long format (source ⋈ vectors on
     * id, then exact-decimal per-dimension means — order-independent, so
     * bit-reproducible by the oracle). */
@@ -1391,5 +1420,6 @@ object Pipeline {
     QueryDef("p33_quantize", p33, Some(p33Sql)),
     QueryDef("p34_bloom_decontaminate", p34, Some(p19Sql)),
     QueryDef("p35_compression", p35, None),
-    QueryDef("p36_source_centroids", p36, Some(p36Sql)))
+    QueryDef("p36_source_centroids", p36, Some(p36Sql)),
+    QueryDef("p37_cross_source_dup", p37, Some(p37Sql)))
 }
