@@ -26,6 +26,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(d => d.name -> d.fn).toMap
 
+  /** Declaration-ordered (name, fn) pairs. Bench iterates THESE, not
+    * `queries`: Map hash order reshuffles the run order every time a
+    * query is added, which moves JIT/allocation warm-up costs between
+    * queries and makes per-query timings incomparable across rounds. */
+  def orderedQueries: Seq[(String, (SparkSession, String) => DataFrame)] =
+    allDefs.map(d => d.name -> d.fn)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -97,15 +97,41 @@ object Import {
     }.load()
   }
 
+  /** XLSX staging — the reference product's headline import source —
+    * via the dependency-free [[Xlsx]] reader. `path` is any
+    * Hadoop-globbable location (one file, a directory, a `*.xlsx`
+    * glob): workbooks fan out ONE TASK PER FILE over `binaryFiles` (a
+    * zip is not splittable, and the format's 1,048,576-row sheet cap
+    * bounds per-task memory by construction — the 100 TB shape is many
+    * workbooks, not one huge one). The header comes from the first
+    * file; all files in a multi-file stage must share it (row width is
+    * padded/truncated to the header — staging validation catches
+    * drift, exactly as it does for CSV).
+    *
+    * All columns surface as nullable strings: staging is
+    * schema-on-read, typing belongs to the mapping stage. */
+  def stageXlsx(spark: SparkSession, path: String,
+      sheet: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val files = spark.sparkContext.binaryFiles(path)
+    val header = Xlsx.parse(files.first()._2.toArray(), sheet).header
+    require(header.nonEmpty, s"no header row in first workbook at $path")
+    val schema = StructType(header.map(StructField(_, StringType,
+      nullable = true)))
+    val n = header.size
+    val rows = files.flatMap { case (_, pds) =>
+      Xlsx.parse(pds.toArray(), sheet).rows
+        .map(r => Row.fromSeq(r.padTo(n, null).take(n)))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Declared-but-connector-dependent sources (reference
-    * data_migration_sources: GOOGLE_SPREADSHEET, XLSX, SALESFORCE).
-    * This container has no connector jars (zero egress), so these fail
+    * data_migration_sources: GOOGLE_SPREADSHEET, SALESFORCE). This
+    * container has no connector jars (zero egress), so these fail
     * loudly with the dependency they need; the import flow itself is
     * source-agnostic — any `() => DataFrame` plugs into runImport. */
-  def stageXlsx(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException(
-      "XLSX staging requires a spreadsheet connector (e.g. spark-excel); " +
-        "pass its DataFrame to runImport(load = ...)")
   def stageGoogleSheet(spark: SparkSession, sheetId: String): DataFrame =
     throw new UnsupportedOperationException(
       "Google Sheets staging requires an API connector; " +

@@ -111,9 +111,10 @@ object Decontaminate {
     *   bound on distinct eval grams. Deliberately an estimate, not an
     *   exact `count()`: exactness would cost a second eval-side job,
     *   and over-sizing only pads the sketch (fp rate falls, bytes
-    *   grow), never correctness. The 2^21 default probes at ~0.4 MB;
-    *   at the catalyst aggregate's 64Mbit cap the sketch holds ~6.7M
-    *   grams at 10 bits/key.
+    *   grow), never correctness. Sketch size is
+    *   estimatedGrams·bitsPerKey/8 bytes — ~2.6 MB for the 2^21
+    *   default at 10 bits/key; at the catalyst aggregate's 64Mbit cap
+    *   the sketch holds ~6.7M grams at 10 bits/key.
     */
   def bloomNgramOverlap(
       corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,

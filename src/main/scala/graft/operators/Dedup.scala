@@ -316,23 +316,26 @@ object Dedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame =
-    // zero-shingle docs (empty/whitespace/punctuation-only) have no
-    // signature: array_min over nothing is a NULL sig whose band keys
-    // hash identically, pairing every empty doc with every other and
-    // trivially passing exact verify at inter=0/union=0. Excluded BEFORE
-    // shingling on the equivalent cheap predicate (normText empty ⇔ zero
-    // tokens ⇔ zero shingles): a filter placed after shingleDocs gets
-    // predicate-pushed below the projection with the WHOLE shingle
-    // pipeline substituted into its condition, and conditional branches
-    // are outside codegen subexpression elimination — tokenize+shingle
-    // ran twice per doc (measured 16× on p03 at sf0.1). The oracle
-    // mirrors with WHERE len(shingles) > 0, which is the same doc set.
-    shingleDocs(docs.filter(normText(col(textCol)) =!= lit("")),
-        idCol, textCol, n)
+    // zero-shingle docs (empty/whitespace/punctuation-only) must not
+    // get a signature: array_min over nothing is a NULL element whose
+    // band keys hash identically, pairing every empty doc with every
+    // other and trivially passing exact verify at inter=0/union=0.
+    // They surface as a NULL sig — guarded on size(hashes), an already-
+    // materialized ATTRIBUTE, so the guard costs one int compare —
+    // rather than any filter: a filter above the projection gets
+    // predicate-pushed below it with the WHOLE tokenize+shingle
+    // pipeline substituted into its condition (measured 16× on p03 at
+    // sf0.1), and r5's pre-shingling normText filter still re-ran the
+    // normalize regexes once per doc beside the projection's own
+    // (measured 1.8×). Pair consumers drop NULL sigs from the CACHED
+    // frame (see minhashLshPairs), where no recompute is possible; the
+    // oracle mirrors with WHERE len(shingles) > 0 — the same doc set.
+    shingleDocs(docs, idCol, textCol, n)
       .select(col("doc_id"), col("shingles"),
         transform(col("shingles"), s => hash32(s)).as("hashes"))
       .select(col("doc_id"), col("shingles"),
-        minhashSignature(col("hashes"), minhashParams(k)).as("sig"))
+        when(size(col("hashes")) > 0,
+          minhashSignature(col("hashes"), minhashParams(k))).as("sig"))
 
   /** MinHash+LSH near-dup pairs, exact-verified.
     *
@@ -350,7 +353,12 @@ object Dedup {
     // persisted: sigs feeds the band keys AND the verify-stage shingle
     // lookups; keys feeds both sides of the bucket self-join.
     val sigs = minhashSignatures(docs, idCol, textCol, n, k).persist()
-    val keys = sigs.select(col("doc_id"),
+    // zero-shingle docs (NULL sig) drop HERE, above the persist
+    // boundary: the predicate reads the cached sig column through the
+    // InMemoryRelation, so unlike a filter below the cache it can never
+    // be rewritten into a re-evaluation of the text pipeline.
+    val keys = sigs.filter(col("sig").isNotNull)
+      .select(col("doc_id"),
         explode(lshBandKeys(col("sig"), k, bands)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .persist()

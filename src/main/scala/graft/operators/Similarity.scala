@@ -243,15 +243,22 @@ object Similarity {
     * embedding-quality eval harness of a training-data pipeline
     * (fastText-style label probing over the embedding column).
     *
-    * Built on `bruteForceTopK` (exact, deterministic); at corpus scale
-    * swap in `lshTopK`/`ivfTopK` for the neighbor stage — the vote and
-    * rollup stages are shape-identical. Voting shuffles only (query,
-    * label) pairs: bounded by |Q|·k, never corpus-sized.
+    * The neighbor stage is PLUGGABLE: any (queries, corpus, idCol,
+    * vecCol, k) → (query_id, rank, neighbor_id) producer. The default
+    * `bruteForceTopK` is the exact baseline, but it `broadcast`s the
+    * query side — only safe when |Q| is genuinely small; for a
+    * corpus-fraction holdout pass `ivfTopK`/`lshTopK` (the driver gates
+    * BOTH compositions: p25 brute-force, p25b via ivfTopK — the shape
+    * that survives a corpus-sized query set). The vote and rollup
+    * stages are identical either way and shuffle only (query, label)
+    * pairs: bounded by |Q|·k, never corpus-sized.
     */
   def knnClassify(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
-    val nn = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      neighbors: (DataFrame, DataFrame, String, String, Int) => DataFrame =
+        bruteForceTopK(_, _, _, _, _)): DataFrame = {
+    val nn = neighbors(queries, corpus, idCol, vecCol, k)
     val nbrLabels = corpus.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("nbr_label"))
     val byVotes = Window.partitionBy(col("query_id"))
@@ -346,16 +353,23 @@ object Similarity {
     * array-equality semantics.
     *
     * Exactness: each component is fixed to integer PICOUNITS —
-    * round(toDouble(v)·1e12) as a long — so the cross-partition sum is
-    * exact integer arithmetic (order-independent, unlike a double
-    * fold), and the mean is then a fixed sequence of IEEE ops on
-    * identical operands in any engine. Decimal intermediates are
-    * deliberately avoided: Spark's decimal multiply overflows
-    * precision 38 for wide operands and silently ROUNDS (scale 12 →
-    * 11), and engines disagree in the last ulp of DECIMAL→DOUBLE
-    * casts. Requires |v| < ~10^6 (units fit a long at any realistic
-    * group size). Plan: posexplode + one shuffle on (group, dim);
-    * dimension count bounds state.
+    * round(toDouble(v)·1e12) as a long — so the per-row quantization is
+    * a fixed sequence of IEEE ops identical in any engine, and the
+    * cross-partition SUM is exact integer arithmetic (order-independent,
+    * unlike a double fold). The sum accumulates in DECIMAL(38,0): the
+    * long→decimal cast is exact (no float→decimal rounding anywhere),
+    * and a plain LongType sum would wrap silently past 2^63 — for
+    * unit-magnitude components that is only ~9.2M vectors per group,
+    * well inside corpus scale — while DuckDB's BIGINT sum widens to
+    * HUGEINT and would diverge exactly there. 38 digits hold ~10^19
+    * unit-magnitude picounit rows per group. Decimal MULTIPLY is still
+    * deliberately avoided (precision-38 overflow rounds silently); the
+    * only decimal op here is the exact integer sum, and the final
+    * DECIMAL→DOUBLE / HUGEINT→DOUBLE casts are both
+    * correctly-rounded nearest-double conversions of the same exact
+    * integer. Requires |v| < ~10^6 (units fit a long per row). Plan:
+    * posexplode + one shuffle on (group, dim); dimension count bounds
+    * state.
     */
   def dimensionMeans(df: DataFrame, groupCol: String,
       vecCol: String): DataFrame =
@@ -364,7 +378,7 @@ object Similarity {
       .groupBy(col("grp"), col("pos"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(round(col("col").cast("double") * lit(1e12))
-          .cast("long")).as("_units"))
+          .cast("long").cast("decimal(38,0)")).as("_units"))
       .select(col("grp"), (col("pos") + 1).as("dim"), col("n_vecs"),
         (col("_units").cast("double")
           / (col("n_vecs").cast("double") * lit(1e12))).as("mean_val"))

@@ -875,6 +875,74 @@ object Pipeline {
        |    / COUNT(*) AS accuracy
        |FROM pr WHERE vr = 1 GROUP BY qlabel""".stripMargin
 
+  /** kNN label probe composed with the SCALE neighbor stage: identical
+    * holdout split, vote, and rollup to p25, but neighbors come from
+    * [[Similarity.ivfTopK]] — fixed-K deterministic centroids, corpus
+    * shuffled once on list_id, O(K) broadcasts — instead of p25's
+    * brute-force stage, whose `broadcast(queries)` dies when the
+    * holdout is a corpus fraction (here |Q| = corpus/20). Centroid
+    * seeding, assignment, probes, and re-rank are all deterministic
+    * (id tie-breaks), so even this approximate composition is exactly
+    * reproducible in SQL: the oracle splices p14's IVF CTEs (seeded
+    * from the corpus side only) into p25's vote/rollup CTEs. */
+  private def p25b(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.df(spark, dir, "embeddings")
+    Similarity.knnClassify(
+      embs.filter(col("vec_id") % KnnHoldMod === 0),
+      embs.filter(col("vec_id") % KnnHoldMod =!= 0),
+      "vec_id", "embedding", "label", TopK,
+      neighbors = Similarity.ivfTopK(_, _, _, _, _, IvfCells, IvfProbe))
+  }
+
+  private val p25bSql =
+    s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+       |           WHERE vec_id % $KnnHoldMod = 0
+       |           AND list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
+       |c AS (SELECT vec_id, embedding, label FROM embeddings
+       |      WHERE vec_id % $KnnHoldMod <> 0
+       |      AND list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM c
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |assigned AS (
+       |  SELECT list_id, vec_id, embedding, label FROM (
+       |    SELECT ct.list_id, c.vec_id, c.embedding, c.label,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cosSql("c.embedding", "ct.centroid")} DESC, ct.list_id) AS r
+       |    FROM c, cent ct)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qv, qlabel, list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv,
+       |      q.label AS qlabel, ct.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "ct.centroid")} DESC, ct.list_id) AS r
+       |    FROM q, cent ct)
+       |  WHERE r <= $IvfProbe),
+       |res AS (
+       |  SELECT query_id, qlabel, nbr_label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM (
+       |    SELECT p.query_id, p.qlabel, a.vec_id AS neighbor_id,
+       |      a.label AS nbr_label,
+       |      ${cosSql("p.qv", "a.embedding")} AS cos
+       |    FROM probes p JOIN assigned a USING (list_id)
+       |    WHERE p.query_id != a.vec_id)),
+       |v AS (SELECT query_id, qlabel, nbr_label, COUNT(*) AS votes
+       |      FROM res WHERE rnk <= $TopK GROUP BY 1, 2, 3),
+       |pr AS (
+       |  SELECT query_id, qlabel, nbr_label AS pred_label,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY votes DESC, nbr_label) AS vr
+       |  FROM v)
+       |SELECT qlabel AS label, COUNT(*) AS n_queries,
+       |  COUNT(*) FILTER (WHERE pred_label = qlabel) AS n_correct,
+       |  CAST(COUNT(*) FILTER (WHERE pred_label = qlabel) AS DOUBLE)
+       |    / COUNT(*) AS accuracy
+       |FROM pr WHERE vr = 1 GROUP BY qlabel""".stripMargin
+
   /** Distinct-token cardinality per source via the native KMV sketch
     * aggregate (expressions/KmvSketch — O(k) state, mergeable, exact
     * below k), with the true distinct count alongside so the estimate
@@ -1192,6 +1260,25 @@ object Pipeline {
     graft.operators.Corpus.compressionSignals(
       Tables.df(spark, dir, "documents"), "doc_id", "text")
 
+  /** The SQL-expressible half of the compression signal, oracle-gated:
+    * (doc_id, n_bytes) — the utf-8 byte length the ratio denominates —
+    * against DuckDB octet_length(encode(text)). The deflate half
+    * (n_compressed, ratio) is pinned by golden values in CorpusSpec
+    * (DEFLATE level 6 over fixed input is deterministic; the goldens
+    * were produced by an INDEPENDENT zlib — CPython's — so the gate is
+    * cross-implementation, not self-referential). Together with p35's
+    * rows-only check this closes the one ungated CORRECTNESS row. */
+  private def p35b(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.compressionSignals(
+      Tables.df(spark, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_bytes"))
+
+  private val p35bSql =
+    // coalesce mirrors compressionSignals' NULL-text→empty-bytes rule
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
+
   /** Cross-source duplication matrix — corpus governance: how many
     * near-dup pairs link each (unordered) source pair. Reuses the
     * df-capped pair machinery; sources attach to the (tiny) verified
@@ -1241,8 +1328,9 @@ object Pipeline {
        |  SELECT source, t.i,
        |    -- integer picounits via double: identical op sequence to
        |    -- the Spark side (float->double, *1e12, round-away-from-
-       |    -- zero, bigint); decimals deliberately avoided — engines
-       |    -- disagree on FLOAT->DECIMAL and DECIMAL->DOUBLE rounding
+       |    -- zero, bigint). SUM(u) widens to HUGEINT here; Spark sums
+       |    -- the longs into DECIMAL(38,0) — both exact integer sums,
+       |    -- and both final casts to DOUBLE are correctly rounded
        |    CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1e12) AS BIGINT)
        |      AS u
        |  FROM j, (SELECT unnest(generate_series(1, $EmbDim)) AS i) t)
@@ -1410,6 +1498,7 @@ object Pipeline {
     QueryDef("p23_chunk_dedup", p23, Some(p23Sql)),
     QueryDef("p24_token_quantiles", p24, Some(p24Sql)),
     QueryDef("p25_knn_label", p25, Some(p25Sql)),
+    QueryDef("p25b_knn_label_ivf", p25b, Some(p25bSql)),
     QueryDef("p26_kmv_distinct", p26, Some(p26Sql)),
     QueryDef("p27_temperature_mix", p27, Some(p27Sql)),
     QueryDef("p28_containment", p28, Some(p28Sql)),
@@ -1420,6 +1509,7 @@ object Pipeline {
     QueryDef("p33_quantize", p33, Some(p33Sql)),
     QueryDef("p34_bloom_decontaminate", p34, Some(p19Sql)),
     QueryDef("p35_compression", p35, None),
+    QueryDef("p35b_compression_bytes", p35b, Some(p35bSql)),
     QueryDef("p36_source_centroids", p36, Some(p36Sql)),
     QueryDef("p37_cross_source_dup", p37, Some(p37Sql)))
 }

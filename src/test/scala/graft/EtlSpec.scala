@@ -152,6 +152,118 @@ class EtlSpec extends AnyFunSuite {
     assert(result.summary.get.contains("\"violations\":1"))
   }
 
+  test("xlsx staging: real workbook -> stage -> map -> validate -> sink lands IMPORTED") {
+    val dir = Files.createTempDirectory("xlsx").toFile.getAbsolutePath
+    val path = s"$dir/people.xlsx"
+    writeTestXlsx(path)
+    // default sheet = first in workbook tab order
+    val staged = Import.stageXlsx(spark, path)
+    assert(staged.columns.toSeq == Seq("raw_name", "qty", "active", "note"))
+    val rows = staged.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3)))
+    // shared string (untrimmed), number as raw text, b=1 boolean,
+    // missing cell NULL
+    assert(rows.contains(("  alice  ", "3", "true", null)))
+    // rich-text shared string runs concatenate; sparse row (B skipped);
+    // inline string with a comma survives (no CSV quoting semantics)
+    assert(rows.contains(("bob", null, "false", "note, with comma")))
+    assert(rows.length == 2)
+    // sheet selection by workbook name, not part order
+    val other = Import.stageXlsx(spark, path, sheet = Some("Other"))
+    assert(other.columns.toSeq == Seq("k"))
+    assert(other.collect().map(_.getString(0)).toSeq == Seq("42"))
+    intercept[IllegalArgumentException] {
+      Import.stageXlsx(spark, path, sheet = Some("NoSuchSheet"))
+    }
+    // the full import flow over the staged workbook
+    val store = new MigrationStore
+    val reg = BidiRegistry.withDefaults
+    var sunk: Array[Row] = Array.empty
+    val result = Import.runImport(
+      store, MigrationSource.Xlsx, "people",
+      load = () => Import.stageXlsx(spark, path),
+      mappings = Seq(
+        Import.ColumnMapping("raw_name", "name", reg("trim_str")),
+        Import.ColumnMapping("qty", "qty", reg("identity"))),
+      rules = _ => Seq(Import.Rule("not_null", "name", col("name").isNull)),
+      sink = df => sunk = df.collect())
+    assert(result.state == "IMPORTED")
+    assert(sunk.map(_.getString(0)).sorted.sameElements(Array("alice", "bob")))
+  }
+
+  test("xlsx parser: bijective base-26 refs, header fallbacks") {
+    assert(Xlsx.colIndex("A1") == 0)
+    assert(Xlsx.colIndex("Z9") == 25)
+    assert(Xlsx.colIndex("AA10") == 26)
+    assert(Xlsx.colIndex("AB1") == 27)
+    assert(Xlsx.colIndex("BA7") == 52)
+  }
+
+  /** Hand-assembled SpreadsheetML zip — shared strings (plain +
+    * rich-text runs), inline strings, numbers, booleans, a sparse row,
+    * and a second sheet to exercise name-based selection. */
+  private def writeTestXlsx(path: String): Unit = {
+    val sstXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
+        |<si><t xml:space="preserve">  alice  </t></si>
+        |<si><r><t>bo</t></r><r><t>b</t></r></si>
+        |</sst>""".stripMargin
+    val wbXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets>
+        |<sheet name="People" sheetId="1" r:id="rId1"/>
+        |<sheet name="Other" sheetId="2" r:id="rId2"/>
+        |</sheets></workbook>""".stripMargin
+    val relsXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin
+    val sheet1Xml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1">
+        |<c r="A1" t="inlineStr"><is><t>raw_name</t></is></c>
+        |<c r="B1" t="inlineStr"><is><t>qty</t></is></c>
+        |<c r="C1" t="inlineStr"><is><t>active</t></is></c>
+        |<c r="D1" t="inlineStr"><is><t>note</t></is></c>
+        |</row>
+        |<row r="2">
+        |<c r="A2" t="s"><v>0</v></c>
+        |<c r="B2"><v>3</v></c>
+        |<c r="C2" t="b"><v>1</v></c>
+        |</row>
+        |<row r="3">
+        |<c r="A3" t="s"><v>1</v></c>
+        |<c r="C3" t="b"><v>0</v></c>
+        |<c r="D3" t="inlineStr"><is><t>note, with comma</t></is></c>
+        |</row>
+        |</sheetData></worksheet>""".stripMargin
+    val sheet2Xml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>
+        |<row r="2"><c r="A2"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    try Seq(
+      "xl/workbook.xml" -> wbXml,
+      "xl/_rels/workbook.xml.rels" -> relsXml,
+      "xl/sharedStrings.xml" -> sstXml,
+      "xl/worksheets/sheet1.xml" -> sheet1Xml,
+      "xl/worksheets/sheet2.xml" -> sheet2Xml).foreach { case (name, xml) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zos.closeEntry()
+    } finally zos.close()
+  }
+
   test("clustered parquet sink: partition dirs prune, sort key clusters row groups") {
     val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
     val dir = Files.createTempDirectory("graft_clustered").toString

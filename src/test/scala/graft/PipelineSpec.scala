@@ -216,6 +216,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("n_queries") == 1L))
   }
 
+  test("knn classify via IVF: full-probe ≡ brute-force, nProbe=3 within ε and total-coverage") {
+    val hold = embs.filter(col("vec_id") % 20 === 0)
+    val rest = embs.filter(col("vec_id") % 20 =!= 0)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("label"),
+        (r.getAs[Long]("n_queries"), r.getAs[Long]("n_correct")))).toMap
+    val brute = rows(Similarity.knnClassify(
+      hold, rest, "vec_id", "embedding", "label", 5))
+    // probing every cell makes the IVF neighbor stage exactly the brute
+    // stage, so the whole composition must be row-identical — this pins
+    // the WIRING (split, vote, rollup all reused), not just recall
+    val full = rows(Similarity.knnClassify(
+      hold, rest, "vec_id", "embedding", "label", 5,
+      neighbors = Similarity.ivfTopK(_, _, _, _, _, 8, 8)))
+    assert(full == brute)
+    // at nProbe=3/8 the approximation: every query still classified
+    // (probed cells contain at least their own centroid, and centroids
+    // come from the corpus side — disjoint from the holdout), and the
+    // overall accuracy stays within ε of exact
+    val ivf = rows(Similarity.knnClassify(
+      hold, rest, "vec_id", "embedding", "label", 5,
+      neighbors = Similarity.ivfTopK(_, _, _, _, _, 8, 3)))
+    assert(ivf.values.map(_._1).sum == brute.values.map(_._1).sum,
+      "IVF composition must classify every holdout query")
+    val accB = brute.values.map(_._2).sum.toDouble / brute.values.map(_._1).sum
+    val accI = ivf.values.map(_._2).sum.toDouble / ivf.values.map(_._1).sum
+    assert(math.abs(accB - accI) <= 0.2, s"brute $accB vs ivf $accI")
+  }
+
   test("LSH ANN: recall >= 0.6 of exact top-5, exact re-rank order correct") {
     val queries = embs.filter(col("vec_id") % 50 === 0)
     val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
@@ -269,6 +298,20 @@ class PipelineSpec extends AnyFunSuite {
         nCells = 8, nProbe = 8, centroidsOverride = Some(km))
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     assert(full == exact)
+  }
+
+  test("kmeans centroids: same seed + same input ⇒ identical centers") {
+    def centers() = Similarity.kmeansCentroids(embs, "embedding", nCells = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("list_id"),
+        r.getAs[scala.collection.Seq[Double]]("centroid").toVector))
+      .sortBy(_._1).toVector
+    // k-means|| init draws from a SEEDED sampler and the corpus
+    // partitioning is a pure function of the input, so training is a
+    // deterministic computation — bit-identical centers run-to-run (the
+    // property that makes the learned-centroid path auditable even
+    // though it is not portable-SQL-expressible)
+    assert(centers() == centers())
   }
 
   test("IVF centroids: exactly min(nCells, n), never empty, deterministic") {
@@ -389,6 +432,34 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("doc_id") ->
         r.getAs[Long]("n_compressed")).toMap
     assert(again == out.view.mapValues(_._2).toMap)
+  }
+
+  test("compression signals: golden deflate values from an independent zlib") {
+    import spark.implicits._
+    // (n_bytes, n_compressed) pinned against CPython's zlib
+    // (compressobj(6, DEFLATED, -15) — raw deflate, level 6), a second
+    // zlib implementation: this gates the deflate half of p35 that no
+    // SQL oracle can express, cross-implementation rather than
+    // self-referentially re-running java.util.zip
+    val golden = Seq(
+      (1L, "", 0L, 2L),
+      (2L, "hello world", 11L, 13L),
+      (3L, "héllo wörld ∑", 17L, 19L), // utf-8 byte counting, not chars
+      (4L, "spam " * 200, 1000L, 15L), // run-length collapse
+      (5L, "The quick brown fox jumps over the lazy dog. " * 4, 180L, 49L))
+    val out = Corpus.compressionSignals(
+        golden.map { case (id, t, _, _) => (id, t) }.toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Long]("n_compressed"),
+          Option(r.getAs[java.lang.Double]("ratio"))))).toMap
+    golden.foreach { case (id, _, nb, nc) =>
+      assert(out(id)._1 == nb, s"doc $id n_bytes")
+      assert(out(id)._2 == nc, s"doc $id n_compressed")
+    }
+    // ratio is exactly n_compressed/n_bytes (one IEEE divide), NULL at 0
+    assert(out(1L)._3.isEmpty)
+    assert(out(4L)._3.contains(15.0 / 1000.0))
   }
 
   test("image resize: images only, target dims attached, payload contracted deterministically") {

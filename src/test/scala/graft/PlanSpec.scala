@@ -200,6 +200,52 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("p25b: every non-equi broadcast is the O(K) centroid set, never a corpus side") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // static plan (no AQE) so the join tree is inspectable pre-execution
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = SparkEntry.queries("p25b_knn_label_ivf")(spark, sf)
+        .queryExecution.executedPlan
+      val bnljs = p.collect { case b: BroadcastNestedLoopJoinExec => b }
+      // the centroid cross joins (assignment + probes) are the only
+      // legitimate non-equi broadcasts
+      assert(bnljs.nonEmpty, "expected centroid cross joins in the IVF plan")
+      bnljs.foreach { b =>
+        val bcast = if (b.buildSide == BuildLeft) b.left else b.right
+        assert(PlanSpec.hasFixedKLimit(bcast),
+          s"non-equi broadcast without a fixed-K limit (corpus-sized at " +
+            s"scale):\n${bcast.treeString.take(1200)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("kmeans-centroid IVF assignment broadcasts the O(K) local center set") {
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val embs = Tables.df(spark, sf, "embeddings")
+    val km = graft.operators.Similarity.kmeansCentroids(embs, "embedding", 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.operators.Similarity.ivfTopK(
+          embs.filter(col("vec_id") % 50 === 0), embs, "vec_id", "embedding",
+          5, nCells = 8, nProbe = 3, centroidsOverride = Some(km))
+        .queryExecution.executedPlan
+      val bnljs = p.collect { case b: BroadcastNestedLoopJoinExec => b }
+      assert(bnljs.nonEmpty)
+      // the learned centers are a driver-local K-row relation: the
+      // broadcast side must bottom out in a LocalTableScan, never a
+      // corpus scan
+      bnljs.foreach { b =>
+        val bcast = if (b.buildSide == BuildLeft) b.left else b.right
+        assert(PlanSpec.hasLocalScan(bcast),
+          s"kmeans assignment broadcast is not the local center set:\n" +
+            bcast.treeString.take(1200))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("grants plan: role validation, supabase normalization, quoting") {
     assert(Grants.validRoleName("app_reader"))
     assert(!Grants.validRoleName("x; drop table users--"))
@@ -213,4 +259,31 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(Grants.createRolesSql.length == 4)
   }
+}
+
+object PlanSpec {
+  import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec,
+    LocalTableScanExec, SparkPlan, TakeOrderedAndProjectExec}
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+  /** True when the subtree bottoms out in a fixed-K limit. Spark plans
+    * the SECOND reference to a shared broadcast as a leaf
+    * ReusedExchangeExec whose original sits in `child` outside normal
+    * children traversal — exactly the reuse we WANT (the centroid set
+    * broadcasts once for assignment + probes), so recurse through it. */
+  def hasFixedKLimit(p: SparkPlan): Boolean =
+    p.collect {
+      case g: GlobalLimitExec => g: Any
+      case l: LocalLimitExec => l: Any
+      case t: TakeOrderedAndProjectExec => t: Any
+      case r: ReusedExchangeExec if hasFixedKLimit(r.child) => r: Any
+    }.nonEmpty
+
+  /** True when the subtree bottoms out in a driver-local relation
+    * (through reused exchanges, as above). */
+  def hasLocalScan(p: SparkPlan): Boolean =
+    p.collect {
+      case l: LocalTableScanExec => l: Any
+      case r: ReusedExchangeExec if hasLocalScan(r.child) => r: Any
+    }.nonEmpty
 }
