@@ -312,6 +312,49 @@ object Corpus {
           col("n_compressed").cast("double") / col("n_bytes")))
   }
 
+  /** PII pattern set for text-level redaction — ASCII-only regexes kept
+    * deliberately inside the Java-regex ∩ RE2 common subset (no
+    * lookaround, no backrefs, leftmost-first in both engines) so Spark
+    * and the DuckDB oracle match and replace identically. These find
+    * FORMATS, not identities: the precision/recall tradeoff of regex
+    * PII scrubbing is the industry-standard first pass (the reference's
+    * whole concept layer flags PII COLUMNS by name with the same
+    * philosophy — `sql/V000006` pii regex; this is its text-payload
+    * analog for training corpora). */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\+?\\d[\\d -]{6,}\\d"
+
+  /** Text-level PII redaction: count and replace emails, then IPv4s,
+    * then phone-shaped digit runs (each stage scans the PREVIOUS
+    * stage's output — sequential semantics both engines replay
+    * identically; emails go first so their digits can't half-match the
+    * phone pattern). Returns counts plus md5 of the fully-redacted
+    * text — verifiable replacement, not just counting — and drops the
+    * text payload so downstream moves 16-byte hashes. Pure per-row
+    * map: no shuffle, pipelines into the scan; each regex runs once
+    * per row (staged projections — the count and the replace of a
+    * stage share its input attribute, not a recomputed expression).
+    *
+    * @return (doc_id, n_emails, n_ips, n_phones, redacted_hash)
+    */
+  def piiRedact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t0"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("_t0"), lit(EmailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        regexp_replace(col("_t0"), EmailPat, "<EMAIL>").as("_t1"))
+      .select(col("doc_id"), col("n_emails"),
+        size(regexp_extract_all(col("_t1"), lit(Ipv4Pat), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(col("_t1"), Ipv4Pat, "<IP>").as("_t2"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        size(regexp_extract_all(col("_t2"), lit(PhonePat), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(col("_t2"), PhonePat, "<PHONE>"))
+          .as("redacted_hash"))
+
   /** Corpus-wide boilerplate n-gram mining: the `k` word-`n`-grams
     * appearing in the most documents — the complement view of the dedup
     * df-cap (what Dedup.cappedIndex DROPS is exactly what this surfaces

@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted, bucketed shingle index — the storage half of
+  * [[Dedup.incrementalNearDupPairs]], which (honestly documented there)
+  * re-shingles and re-hashes the ENTIRE old corpus on every ingest
+  * batch when given raw text. A production ingest pipeline builds this
+  * index once, appends each batch, and pays per-ingest costs that are
+  * batch-bounded everywhere except one columnar scan of the stored
+  * 8-byte key column:
+  *
+  *   - `{name}_idx` (s = hash60(shingle), doc_id) — UNCAPPED inverted
+  *     index, bucketed + sorted by `s`: the df count and every
+  *     candidate join over `s` are exchange-free on the stored side,
+  *     and appends are plain bucketed inserts (no rewrite). The df cap
+  *     is applied at QUERY time from the stored counts — that is what
+  *     makes the table append-only: a capped-at-write index would have
+  *     to delete rows whose shingle crosses the cap in a later batch.
+  *   - `{name}_sh` (doc_id, shingles) — the full string shingle arrays
+  *     for exact verification, bucketed by doc_id so the (few,
+  *     candidate-bounded) verify lookups join without shuffling the
+  *     corpus.
+  *   - `{name}_meta` (n, buckets) — the shingle width is baked into the
+  *     stored arrays; append/query calls verify it instead of silently
+  *     mixing widths.
+  *
+  * Semantics contract: [[incrementalPairs]] returns EXACTLY the rows of
+  * `Dedup.incrementalNearDupPairs(oldDocs, newDocs, …)` for the corpus
+  * the index holds — same candidates (df computed over old+new, cap
+  * applied to the combined count, old×old never paired), same exact
+  * Jaccard verification on the full arrays. DedupIndexSpec pins the
+  * equality; p30 remains the oracle gate for the semantics.
+  *
+  * Scale: per-ingest work is one scan of `{name}_idx`'s key column
+  * (columnar, exchange-free groupBy on the bucket key, no text touched)
+  * + everything else bounded by the batch: the batch's own shingling,
+  * the batch-keyed semi-join that selects relevant index shards, the
+  * candidate join, and verify joins that attach only candidate docs'
+  * arrays. Compare: the raw-text path re-runs normalize/tokenize/md5
+  * over the whole corpus per batch — the difference is roughly the
+  * corpus' text bytes vs 16 bytes per stored posting.
+  */
+object ShingleIndex {
+
+  /** Create (overwrite) the index tables for `docs`. */
+  def build(docs: DataFrame, idCol: String, textCol: String, name: String,
+      n: Int = 5, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_idx")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_sh")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+    val sh = Dedup.shingleDocs(docs, idCol, textCol, n)
+    sh.select(col("doc_id"), explode(transform(col("shingles"),
+        s => hash60(s))).as("s"))
+      .write.bucketBy(buckets, "s").sortBy("s")
+      .mode("overwrite").saveAsTable(s"${name}_idx")
+    sh.write.bucketBy(buckets, "doc_id").mode("overwrite")
+      .saveAsTable(s"${name}_sh")
+    Seq((n, buckets)).toDF("n", "buckets").write.mode("overwrite")
+      .saveAsTable(s"${name}_meta")
+  }
+
+  /** Append a batch to the index (plain bucketed inserts — the cap is
+    * query-time, so no stored row ever needs rewriting). Call AFTER
+    * running [[incrementalPairs]] for the batch, or its docs pair with
+    * themselves twice. Ids must stay globally unique across all
+    * batches (same precondition as the in-memory operator). */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      name: String): Unit = {
+    val (n, _) = meta(docs.sparkSession, name)
+    val sh = Dedup.shingleDocs(docs, idCol, textCol, n)
+    sh.select(col("doc_id"), explode(transform(col("shingles"),
+        s => hash60(s))).as("s"))
+      .write.mode("append").insertInto(s"${name}_idx")
+    sh.write.mode("append").insertInto(s"${name}_sh")
+  }
+
+  private def meta(spark: SparkSession, name: String): (Int, Int) = {
+    val r = spark.table(s"${name}_meta").head()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** New-batch near-dup pairs against the indexed corpus — row-for-row
+    * the result of `Dedup.incrementalNearDupPairs(corpus, newDocs, …)`
+    * without touching the corpus text. See the object scaladoc for the
+    * per-stage cost story.
+    *
+    * @return (new_id, match_id, inter, union_sz, match_is_new) */
+  def incrementalPairs(newDocs: DataFrame, idCol: String, textCol: String,
+      name: String, num: Int = 7, den: Int = 10,
+      maxDocFreq: Int = 20): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (n, _) = meta(spark, name)
+    val idx = spark.table(s"${name}_idx")
+    val shNew = Dedup.shingleDocs(newDocs, idCol, textCol, n).persist()
+    val newInv = shNew.select(col("doc_id"),
+      explode(transform(col("shingles"), s => hash60(s))).as("s"))
+    // combined df per shingle = stored count + batch count — identical
+    // to the in-memory path's count over old ∪ new. The stored half is
+    // an exchange-free aggregate on the bucket key; only over-cap keys
+    // (boilerplate, small by construction) leave the executors.
+    val dfOld = idx.groupBy(col("s")).agg(count(lit(1)).as("df_old"))
+    val dfNew = newInv.groupBy(col("s")).agg(count(lit(1)).as("df_new"))
+    val over = dfOld.join(dfNew, Seq("s"), "full_outer")
+      .filter(coalesce(col("df_old"), lit(0L))
+        + coalesce(col("df_new"), lit(0L)) > maxDocFreq)
+      .select(col("s"))
+    // probe side: the batch's under-cap postings (over-cap shingles are
+    // excluded combined-count-wise, exactly like the in-memory path)
+    val probe = newInv.join(over, Seq("s"), "left_anti").persist()
+    // stored side: only shards whose shingle appears in the batch —
+    // the semi-join keys the scan to the batch, and every surviving s
+    // is under the combined cap because probe's are
+    val oldMatched = idx.join(probe.select(col("s")).distinct(),
+        Seq("s"), "left_semi")
+      .select(col("s"), col("doc_id"), lit(false).as("is_new"))
+    val bSide = oldMatched.unionByName(
+      probe.select(col("s"), col("doc_id"), lit(true).as("is_new")))
+    val cand = probe.as("a")
+      .join(bSide.as("b"),
+        col("a.s") === col("b.s")
+          && (col("a.doc_id") < col("b.doc_id") || !col("b.is_new"))
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("match_id"),
+        col("b.is_new").as("match_is_new"))
+      .distinct()
+    // exact verify: match-side arrays come from the batch for new×new
+    // and from the bucketed store for new×old — candidate-bounded reads
+    val shOldStore = spark.table(s"${name}_sh")
+    val matchSh = cand.filter(col("match_is_new"))
+      .join(shNew.select(col("doc_id").as("match_id"),
+        col("shingles").as("shb")), "match_id")
+      .unionByName(cand.filter(!col("match_is_new"))
+        .join(shOldStore.select(col("doc_id").as("match_id"),
+          col("shingles").as("shb")), "match_id"))
+    matchSh
+      .join(shNew.select(col("doc_id").as("new_id"),
+        col("shingles").as("sha")), "new_id")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_sz",
+        size(col("sha")) + size(col("shb")) - col("inter"))
+      .filter(col("inter") * den >= col("union_sz") * num)
+      .select(col("new_id"), col("match_id"), col("inter"),
+        col("union_sz"), col("match_is_new"))
+  }
+}

@@ -236,6 +236,66 @@ object Similarity {
       .select(col("ida"), col("idb"))
   }
 
+  /** Semantic (embedding-space) decontamination — the SemDeDup-style
+    * complement to the lexical n-gram gates in Decontaminate: a corpus
+    * item is contaminated when its embedding sits within cosine
+    * `threshold` of ANY eval-set embedding, catching paraphrased or
+    * reformatted benchmark leakage that shares no 8-gram with the
+    * original. Candidates are pairs sharing an IVF cell (centroids
+    * seeded deterministically from the CORPUS side — eval-set
+    * independence keeps the cell layout stable as benchmarks rotate;
+    * both sides multi-assign to their `assignProbe` nearest cells),
+    * then exact cosine verification on candidates only — the same
+    * O(n·√n)-shaped plan as [[ivfNearDupPairs]], never |corpus|×|eval|.
+    * Every stage breaks ties on ids, so even the approximate candidate
+    * set is deterministic and the DuckDB oracle reproduces the verdicts
+    * bit-for-bit.
+    *
+    * Zero-norm corpus vectors are excluded (cosine undefined — same
+    * rule as [[withNorm]] everywhere else); the eval side likewise.
+    *
+    * @return one row per (norm-positive) corpus vector:
+    *         (vec_id, n_eval_near, contaminated)
+    */
+  def semanticContamination(
+      corpus: DataFrame, eval: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 64, assignProbe: Int = 3): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "vec_id", "v")
+      .repartition(par(corpus), col("vec_id"))
+      .persist() // feeds centroid seed, assignment, verify, and rollup
+    val e = withNorm(eval, idCol, vecCol, "eval_id", "ev").persist()
+    val centroids = topKByHashCentroids(c, "vec_id", "v", nCells)
+    def assign(df: DataFrame, id: String, vec: String) = {
+      val byVec = Window.partitionBy(col(id))
+        .orderBy(col("c_cos").desc, col("list_id"))
+      df.join(broadcast(centroids))
+        .select(col(id), col(vec), col(s"${vec}_n"), col("list_id"),
+          (dot(col(vec), col("centroid")) / (col(s"${vec}_n") * col("centroid_n")))
+            .as("c_cos"))
+        .withColumn("_r", row_number().over(byVec))
+        .filter(col("_r") <= assignProbe)
+        .select(col("list_id"), col(id))
+    }
+    // id-only candidates, deduped BEFORE vectors re-attach (the same
+    // ~30× shuffle saving as ivfNearDupPairs' slim stage)
+    val cand = assign(c, "vec_id", "v")
+      .join(assign(e, "eval_id", "ev"), Seq("list_id"))
+      .select(col("vec_id"), col("eval_id"))
+      .distinct()
+    val hits = cand
+      .join(c.select(col("vec_id"), col("v"), col("v_n")), "vec_id")
+      .join(e, "eval_id")
+      .filter(dot(col("v"), col("ev")) / (col("v_n") * col("ev_n"))
+        > threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_near"))
+    c.select(col("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_eval_near"), lit(0L)).as("n_eval_near"))
+      .withColumn("contaminated", col("n_eval_near") > 0)
+  }
+
   /** k-NN label prediction + per-label accuracy: predict each query
     * vector's label by majority vote among its `k` nearest corpus
     * vectors (cosine), ties broken toward the smaller label; report

@@ -78,6 +78,8 @@ object Pipeline {
   // containment threshold: contained doc's shingles >= 9/10 covered
   private val ContainNum = 9
   private val ContainDen = 10
+  // semantic-decontamination cosine threshold (embedding-space leak)
+  private val SemanticThr = 0.3
   // dataset-build quality gate: minimum token count to keep a doc
   private val BuildMinTokens = 30
 
@@ -1339,6 +1341,89 @@ object Pipeline {
        |    / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS mean_val
        |FROM x GROUP BY source, i""".stripMargin
 
+  /** Text-level PII redaction (Corpus.piiRedact): emails → IPv4s →
+    * phone-shaped digit runs, counted and replaced sequentially; the
+    * oracle replays the identical regex cascade (patterns live in the
+    * Java-regex ∩ RE2 common subset) and md5-verifies the fully
+    * redacted text, not just the counts. */
+  private def p38(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.piiRedact(
+      Tables.df(spark, dir, "documents"), "doc_id", "text")
+
+  private val p38Sql = {
+    import graft.operators.Corpus.{EmailPat, Ipv4Pat, PhonePat}
+    s"""WITH r1 AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '$EmailPat')) AS n_emails,
+       |    regexp_replace(text, '$EmailPat', '<EMAIL>', 'g') AS t1
+       |  FROM documents),
+       |r2 AS (
+       |  SELECT doc_id, n_emails,
+       |    len(regexp_extract_all(t1, '$Ipv4Pat')) AS n_ips,
+       |    regexp_replace(t1, '$Ipv4Pat', '<IP>', 'g') AS t2
+       |  FROM r1)
+       |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       |  CAST(n_ips AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(t2, '$PhonePat')) AS BIGINT)
+       |    AS n_phones,
+       |  md5(regexp_replace(t2, '$PhonePat', '<PHONE>', 'g'))
+       |    AS redacted_hash
+       |FROM r2""".stripMargin
+  }
+
+  /** Semantic decontamination (Similarity.semanticContamination):
+    * corpus embeddings within cosine $SemanticThr of ANY eval-split
+    * embedding, candidates via shared IVF cells — the paraphrase-leak
+    * complement to p19/p34's lexical gates. Deterministic centroids +
+    * id tie-breaks make the approximate candidate set itself
+    * oracle-reproducible, like p14/p25b. */
+  private def p39(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.df(spark, dir, "embeddings")
+    Similarity.semanticContamination(
+      embs.filter(col("vec_id") % 97 =!= 0),
+      embs.filter(col("vec_id") % 97 === 0),
+      "vec_id", "embedding", SemanticThr, IvfCells, IvfProbe)
+  }
+
+  private val p39Sql =
+    s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE vec_id % 97 <> 0
+       |       AND list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
+       |e AS (SELECT vec_id AS eval_id, embedding AS ev FROM embeddings
+       |      WHERE vec_id % 97 = 0
+       |      AND list_reduce(list_transform(generate_series(1, len(embedding)), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) > 0),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM c
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |ac AS (
+       |  SELECT list_id, vec_id FROM (
+       |    SELECT ct.list_id, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cosSql("c.embedding", "ct.centroid")} DESC, ct.list_id) AS r
+       |    FROM c, cent ct)
+       |  WHERE r <= $IvfProbe),
+       |ae AS (
+       |  SELECT list_id, eval_id FROM (
+       |    SELECT ct.list_id, e.eval_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.eval_id
+       |        ORDER BY ${cosSql("e.ev", "ct.centroid")} DESC, ct.list_id) AS r
+       |    FROM e, cent ct)
+       |  WHERE r <= $IvfProbe),
+       |cand AS (
+       |  SELECT DISTINCT ac.vec_id, ae.eval_id
+       |  FROM ac JOIN ae USING (list_id)),
+       |hits AS (
+       |  SELECT cd.vec_id, COUNT(*) AS n
+       |  FROM cand cd
+       |  JOIN c ON c.vec_id = cd.vec_id
+       |  JOIN e ON e.eval_id = cd.eval_id
+       |  WHERE ${cosSql("c.embedding", "e.ev")} > $SemanticThr
+       |  GROUP BY 1)
+       |SELECT c.vec_id, COALESCE(h.n, 0) AS n_eval_near,
+       |  COALESCE(h.n, 0) > 0 AS contaminated
+       |FROM c LEFT JOIN hits h ON h.vec_id = c.vec_id""".stripMargin
+
   // ---- corpus statistics --------------------------------------------------
 
   /** TF-IDF top terms per doc — rational idf (tf·N/df in one double
@@ -1511,5 +1596,7 @@ object Pipeline {
     QueryDef("p35_compression", p35, None),
     QueryDef("p35b_compression_bytes", p35b, Some(p35bSql)),
     QueryDef("p36_source_centroids", p36, Some(p36Sql)),
-    QueryDef("p37_cross_source_dup", p37, Some(p37Sql)))
+    QueryDef("p37_cross_source_dup", p37, Some(p37Sql)),
+    QueryDef("p38_pii_redact", p38, Some(p38Sql)),
+    QueryDef("p39_semantic_decontaminate", p39, Some(p39Sql)))
 }

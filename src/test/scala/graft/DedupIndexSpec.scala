@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Dedup, ShingleIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted shingle index must be a pure storage optimization:
+  * [[ShingleIndex.incrementalPairs]] returns row-for-row what the
+  * in-memory [[Dedup.incrementalNearDupPairs]] returns for the same
+  * corpus/batch split — across builds AND appends — while its plan
+  * reads the bucketed store instead of re-shingling corpus text. */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(8)
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Tables.df(spark, sf, "documents")
+
+  private def pairSet(df: DataFrame) = df.collect().map(r =>
+    (r.getAs[Long]("new_id"), r.getAs[Long]("match_id"),
+      r.getAs[Int]("inter"), r.getAs[Int]("union_sz"),
+      r.getAs[Boolean]("match_is_new"))).toSet
+
+  /** Detach a fixture slice from its parquet lineage (local relation),
+    * so "the indexed path never rescans the corpus parquet" is a real
+    * plan invariant — the BATCH legitimately scans its own source, and
+    * here that source comes from the same file as the corpus. */
+  private def localize(df: DataFrame): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  test("indexed incremental pairs == in-memory pairs, including after append") {
+    val old0 = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch1 = localize(
+      docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 0))
+    val batch2 = localize(docs.filter(col("doc_id") % 10 === 0))
+    try {
+      ShingleIndex.build(old0, "doc_id", "text", "graft_t")
+      val viaIndex = ShingleIndex.incrementalPairs(
+        batch1, "doc_id", "text", "graft_t")
+      val inMemory = Dedup.incrementalNearDupPairs(
+        old0, batch1, "doc_id", "text")
+      val got = pairSet(viaIndex)
+      assert(got == pairSet(inMemory))
+      assert(got.nonEmpty, "fixture should contain planted near-dups")
+      // the plan reads the bucketed store — never the corpus text: no
+      // scan of the documents parquet feeds the indexed run
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_t_idx") && plan.contains("graft_t_sh"),
+        plan.take(600))
+      assert(!plan.contains("documents.parquet"),
+        "indexed path must not rescan the corpus parquet")
+      // a second ingest round: append batch1, compare batch2 against
+      // the grown corpus — the df counts must reflect old ∪ batch1
+      ShingleIndex.append(batch1, "doc_id", "text", "graft_t")
+      val viaIndex2 = ShingleIndex.incrementalPairs(
+        batch2, "doc_id", "text", "graft_t")
+      val inMemory2 = Dedup.incrementalNearDupPairs(
+        old0.unionByName(batch1), batch2, "doc_id", "text")
+      assert(pairSet(viaIndex2) == pairSet(inMemory2))
+      // the stored-side df aggregate is exchange-free (bucketed on s):
+      // nothing corpus-sized crosses the network per ingest
+      val dfOldPlan = spark.table("graft_t_idx")
+        .groupBy(col("s")).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(!dfOldPlan.contains("Exchange"),
+        s"df count over the bucketed index must not shuffle:\n$dfOldPlan")
+    } finally Seq("graft_t_idx", "graft_t_sh", "graft_t_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("shingle width comes from the stored meta, not a caller default") {
+    val old0 = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    try {
+      // build at n=3: the batch query takes NO width parameter — if it
+      // silently shingled at the default 5 the pair sets would diverge
+      ShingleIndex.build(old0, "doc_id", "text", "graft_t2", n = 3)
+      val viaIndex = ShingleIndex.incrementalPairs(
+        batch, "doc_id", "text", "graft_t2")
+      val inMemory = Dedup.incrementalNearDupPairs(
+        old0, batch, "doc_id", "text", n = 3)
+      assert(pairSet(viaIndex) == pairSet(inMemory))
+    } finally Seq("graft_t2_idx", "graft_t2_sh", "graft_t2_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+}

@@ -434,6 +434,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(again == out.view.mapValues(_._2).toMap)
   }
 
+  test("pii redaction: planted emails/ips/phones counted and replaced, clean text untouched") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "contact bob.smith+spam@example.co.uk or admin@host.org today"),
+      (2L, "server at 10.0.254.3 answered, backup at 192.168.1.1 did not"),
+      (3L, "call +1 555 123 4567 or 020-7946-0958 now"),
+      (4L, "mixed: a@b.io from 127.0.0.1 dialed 555 867 5309"),
+      (5L, "perfectly clean prose with the number 42 and word e-mail"))
+      .toDF("doc_id", "text")
+    val out = Corpus.piiRedact(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips"),
+          r.getAs[Long]("n_phones"), r.getAs[String]("redacted_hash")))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 0 && out(1L)._3 == 0)
+    assert(out(2L)._1 == 0 && out(2L)._2 == 2 && out(2L)._3 == 0)
+    assert(out(3L)._1 == 0 && out(3L)._2 == 0 && out(3L)._3 == 2)
+    assert(out(4L) == ((1L, 1L, 1L, out(4L)._4)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // replacement verified against hand-redacted strings, not just counts
+    assert(out(1L)._4 == md5hex("contact <EMAIL> or <EMAIL> today"))
+    assert(out(2L)._4 == md5hex("server at <IP> answered, backup at <IP> did not"))
+    assert(out(3L)._4 == md5hex("call <PHONE> or <PHONE> now"))
+    assert(out(4L)._4 == md5hex("mixed: <EMAIL> from <IP> dialed <PHONE>"))
+    // a clean doc's redacted hash IS md5(text): redaction is identity
+    assert(out(5L)._4 == md5hex("perfectly clean prose with the number 42 and word e-mail"))
+  }
+
+  test("semantic decontamination: planted paraphrase-leak flagged, orthogonal doc clean") {
+    import spark.implicits._
+    def unit(dim: Int, at: Int*) = {
+      val a = Array.fill(8)(0f); at.foreach(i => a(i) = 1f); a.toSeq
+    }
+    val eval = Seq((1000L, unit(8, 0)), (1001L, unit(8, 3)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.98f, 0.1f, 0f, 0f, 0f, 0f, 0f, 0f)), // ~eval 1000
+      (2L, unit(8, 5)), // orthogonal to both eval vectors
+      (3L, Seq(0f, 0f, 0f, 0.9f, 0.2f, 0f, 0f, 0f)), // ~eval 1001
+      (4L, Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))) // zero-norm: excluded
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticContamination(
+        corpus, eval, "vec_id", "embedding", threshold = 0.8,
+        nCells = 4, assignProbe = 4) // full probe: no recall excuse
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_eval_near"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((0L, false)))
+    assert(out(3L) == ((1L, true)))
+    assert(!out.contains(4L), "zero-norm vectors have no cosine")
+    assert(out.size == 3)
+  }
+
   test("compression signals: golden deflate values from an independent zlib") {
     import spark.implicits._
     // (n_bytes, n_compressed) pinned against CPython's zlib
