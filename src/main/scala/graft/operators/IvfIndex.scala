@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF cell assignment — the storage half of
+  * [[Similarity.ivfTopK]], whose scaladoc promises "the corpus shuffles
+  * ONCE on list_id and can be written bucketed-by-list for reuse across
+  * query batches". This is that write. Build once per corpus:
+  *
+  *   - `{name}_cells` (list_id, neighbor_id, cv, cv_n) — every corpus
+  *     vector in its nearest cell, with the norm PRECOMPUTED, bucketed
+  *     by list_id: a query batch's probe join reads cells
+  *     shuffle-free on the stored side and never recomputes a corpus
+  *     norm or centroid assignment.
+  *   - `{name}_cent` (list_id, centroid, centroid_n) — the O(nCells)
+  *     centroid set (tiny; broadcast at query time). nCells is implicit
+  *     in this table's row count; nProbe stays a query-time knob.
+  *
+  * Query-time cost for a batch of |Q| queries: |Q|·nCells centroid
+  * cosines (broadcast join), then exact re-rank inside the probed
+  * cells — ~|corpus|·nProbe/nCells rows read from the bucketed store,
+  * zero corpus-side shuffle, zero assignment recompute. [[topK]] is
+  * row-for-row [[Similarity.ivfTopK]] for the same corpus and nCells
+  * (IvfIndexSpec pins the equality); p14 remains the oracle gate for
+  * the semantics.
+  */
+object IvfIndex {
+
+  /** Create (overwrite) the index tables for `corpus`. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
+      nCells: Int = 64, buckets: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    Seq(s"${name}_cells", s"${name}_cent")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val c = Similarity
+      .withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("neighbor_id"))
+      .persist()
+    Similarity.topKByHashCentroids(c, "neighbor_id", "cv", nCells)
+      .write.mode("overwrite").saveAsTable(s"${name}_cent")
+    val byVec = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    c.join(broadcast(spark.table(s"${name}_cent")))
+      .select(col("neighbor_id"), col("cv"), col("cv_n"), col("list_id"),
+        (Similarity.dot(col("cv"), col("centroid"))
+          / (col("cv_n") * col("centroid_n"))).as("c_cos"))
+      .withColumn("_r", row_number().over(byVec))
+      .filter(col("_r") === 1)
+      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
+      .write.bucketBy(buckets, "list_id").sortBy("list_id")
+      .mode("overwrite").saveAsTable(s"${name}_cells")
+    c.unpersist(blocking = false)
+  }
+
+  /** ANN top-k for a query batch against the stored corpus —
+    * row-for-row `Similarity.ivfTopK(queries, corpus, …, nCells)` with
+    * the corpus-side work (norms, assignment, the list_id shuffle)
+    * already paid at [[build]] time.
+    *
+    * @return (query_id, rank, neighbor_id) — identical to ivfTopK */
+  def topK(queries: DataFrame, idCol: String, vecCol: String, name: String,
+      k: Int, nProbe: Int = 3): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.table(s"${name}_cent")
+    val q = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val probes = q.join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("qv_n"), col("list_id"),
+        (Similarity.dot(col("qv"), col("centroid"))
+          / (col("qv_n") * col("centroid_n"))).as("c_cos"))
+      .withColumn("_r", row_number().over(byQuery))
+      .filter(col("_r") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qv_n"), col("list_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(spark.table(s"${name}_cells"), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("qv"), col("cv"))
+          / (col("qv_n") * col("cv_n"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

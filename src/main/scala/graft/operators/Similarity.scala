@@ -45,7 +45,7 @@ object Similarity {
     * ANSI mode (or seed NaN scores whose ordering DuckDB and Spark
     * disagree on). Every cosine operator inherits the exclusion; the
     * oracles mirror it with `WHERE dot(v, v) > 0`. */
-  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+  private[graft] def withNorm(df: DataFrame, idCol: String, vecCol: String,
       id: String, vec: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
       sqrt(dot(col(vecCol), col(vecCol))).as(s"${vec}_n"))

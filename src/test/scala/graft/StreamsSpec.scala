@@ -198,4 +198,27 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(2L) == ((1L, false)))
     assert(rows(3L) == ((0L, false)))
   }
+
+  test("streaming pii redaction: the batch operator composes onto a stream unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // piiRedact is a pure per-row map (no shuffle, no state), so the
+    // BATCH operator applies to a streaming frame as-is — the property
+    // that makes the scrub stage deployable at ingest, not just in
+    // backfill jobs
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Corpus.piiRedact(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("pii")
+      .outputMode("append").start()
+    in.addData(
+      (1L, "write to ops@example.com from 10.1.2.3"),
+      (2L, "nothing sensitive here"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("pii").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_emails"), r.getAs[Long]("n_ips")))).toMap
+    assert(rows(1L) == ((1L, 1L)))
+    assert(rows(2L) == ((0L, 0L)))
+  }
 }
