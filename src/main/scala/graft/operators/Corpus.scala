@@ -355,6 +355,68 @@ object Corpus {
         md5(regexp_replace(col("_t2"), PhonePat, "<PHONE>"))
           .as("redacted_hash"))
 
+  /** Self-LM repetitiveness score — the CCNet-family "perplexity
+    * against a corpus LM" quality signal, made cross-engine exact by
+    * staying LOG-FREE: each doc scores mean_i p(w_{i+1}|w_i) under the
+    * bigram model trained on THIS corpus, p = c2(w_i,w_{i+1}) / c1(w_i)
+    * (occurrence counts; self-scoring ⇒ every doc bigram exists in the
+    * model, so no smoothing term is needed). High score = predictable /
+    * templated text, low = diverse prose — the same ordering signal as
+    * perplexity (which is a monotone transform of mean log p; libm
+    * `log` differs in the last ulp across engines, so the mean of exact
+    * rationals folded IN POSITION ORDER is used instead — the
+    * dot-product determinism trick applied to LM scoring).
+    *
+    * Plan: bigram explode → two count shuffles (bigram, prefix; both
+    * uniform text keys with map-side partials) → two attach joins →
+    * per-doc ordered fold (array_sort(collect_list(struct(pos,p))) —
+    * state per doc ∝ its bigram count, the same bounded envelope as
+    * chunkDedup's reassembly). Docs with < 2 tokens have no bigrams:
+    * n_bigrams = 0, avg_p NULL.
+    *
+    * @return (doc_id, n_bigrams, avg_p)
+    */
+  def lmBigramScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = docs
+      .repartition(par(docs), col(idCol))
+      .select(col(idCol).as("doc_id"),
+        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+    // bigrams with positions; when() without otherwise yields NULL for
+    // <2-token docs and explode drops them (Spark's sequence(0, -1)
+    // would count DOWN — the guard is load-bearing, not cosmetic)
+    val bg = t
+      .select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(0), size(col("toks")) - 2),
+            i => struct(i.as("pos"),
+              element_at(col("toks"), i + 1).as("w1"),
+              concat_ws(" ", element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2)).as("bigram"))))).as("b"))
+      .select(col("doc_id"), col("b.pos").as("pos"), col("b.w1").as("w1"),
+        col("b.bigram").as("bigram"))
+      .persist() // feeds both model counts AND the scoring join
+    val c2 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val scored = bg
+      .join(c2, Seq("bigram"))
+      .join(c1, Seq("w1"))
+      .select(col("doc_id"), col("pos"),
+        (col("c2").cast("double") / col("c1").cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("p")))),
+            s => s.getField("p")),
+          lit(0.0d), (acc, x) => acc + x).as("_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_sum") / col("n_bigrams").cast("double")).as("avg_p"))
+    t.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("avg_p"))
+  }
+
   /** Corpus-wide boilerplate n-gram mining: the `k` word-`n`-grams
     * appearing in the most documents — the complement view of the dedup
     * df-cap (what Dedup.cappedIndex DROPS is exactly what this surfaces

@@ -1424,6 +1424,43 @@ object Pipeline {
        |  COALESCE(h.n, 0) > 0 AS contaminated
        |FROM c LEFT JOIN hits h ON h.vec_id = c.vec_id""".stripMargin
 
+  /** Self-LM repetitiveness score (Corpus.lmBigramScore): mean bigram
+    * conditional probability under the corpus' own bigram model —
+    * the log-free, bit-reproducible stand-in for CCNet-style LM
+    * perplexity filtering. The oracle rebuilds the model and folds the
+    * per-position rationals in the same order; its 2-arg list_reduce
+    * starts from the first element where Spark folds from 0.0 — equal
+    * because 0.0 + p ≡ p exactly for the positive probabilities here. */
+  private def p40(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.lmBigramScore(
+      Tables.df(spark, dir, "documents"), "doc_id", "text")
+
+  private val p40Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bg0 AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, len(toks) - 2)) AS pos
+       |  FROM t WHERE len(toks) >= 2),
+       |bg AS (
+       |  SELECT doc_id, CAST(pos AS INT) AS pos, toks[pos + 1] AS w1,
+       |    toks[pos + 1] || ' ' || toks[pos + 2] AS bigram
+       |  FROM bg0),
+       |c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+       |p AS (
+       |  SELECT bg.doc_id, bg.pos,
+       |    CAST(c2.c2 AS DOUBLE) / CAST(c1.c1 AS DOUBLE) AS p
+       |  FROM bg JOIN c2 USING (bigram) JOIN c1 USING (w1)),
+       |s AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS psum
+       |  FROM p GROUP BY doc_id)
+       |SELECT t.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  s.psum / CAST(s.n_bigrams AS DOUBLE) AS avg_p
+       |FROM t LEFT JOIN s ON s.doc_id = t.doc_id""".stripMargin
+  }
+
   // ---- corpus statistics --------------------------------------------------
 
   /** TF-IDF top terms per doc — rational idf (tf·N/df in one double
@@ -1598,5 +1635,6 @@ object Pipeline {
     QueryDef("p36_source_centroids", p36, Some(p36Sql)),
     QueryDef("p37_cross_source_dup", p37, Some(p37Sql)),
     QueryDef("p38_pii_redact", p38, Some(p38Sql)),
-    QueryDef("p39_semantic_decontaminate", p39, Some(p39Sql)))
+    QueryDef("p39_semantic_decontaminate", p39, Some(p39Sql)),
+    QueryDef("p40_lm_score", p40, Some(p40Sql)))
 }

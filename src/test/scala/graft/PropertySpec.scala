@@ -163,6 +163,68 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("piiRedact is idempotent on arbitrary text (placeholders never re-match)") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // random text salted with real PII shapes so the property isn't
+    // vacuous on alphanumeric noise
+    val pii = Gen.oneOf("a@b.io", "ops@example.com", "10.0.0.1",
+      "+1 555 123 4567", "<EMAIL>", "")
+    val salted = for { t <- rawText; x <- pii; u <- pii }
+      yield s"$t $x middle $u"
+    val samples = sample(Gen.listOfN(200, salted), 7L)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val once = Corpus.piiRedact(samples.toDF("doc_id", "text"),
+      "doc_id", "text")
+    // redact the REDACTED text: counts must be zero and the hash stable
+    // (placeholders contain no digits or @, so no pattern can re-fire —
+    // the property that makes the scrub safe to re-run over a partially
+    // scrubbed corpus)
+    val redactedTexts = samples.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          Corpus.EmailPat, "<EMAIL>"), Corpus.Ipv4Pat, "<IP>"),
+          Corpus.PhonePat, "<PHONE>").as("text"))
+    val twice = Corpus.piiRedact(redactedTexts, "doc_id", "text")
+    val h1 = once.select("doc_id", "redacted_hash").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val again = twice.collect()
+    again.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 0
+        && r.getAs[Long]("n_ips") == 0 && r.getAs[Long]("n_phones") == 0,
+        s"re-scrub found PII in already-redacted doc ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[String]("redacted_hash") == h1(r.getAs[Long]("doc_id")),
+        "re-scrub changed already-redacted text")
+    }
+  }
+
+  test("lmBigramScore: probabilities in (0,1], repetitive text scores higher") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val docs = (1L to 40L).map { i =>
+      if (i <= 20) (i, "spam ham " * 10 + "spam") // pure repetition
+      else (i, s"doc$i unique tokens ${i * 7} zx$i qq${i % 13} end$i")
+    } :+ (99L, "solo") :+ (100L, "") // 1-token and 0-token edge docs
+    val out = Corpus.lmBigramScore(docs.toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"),
+          Option(r.getAs[java.lang.Double]("avg_p")).map(_.toDouble))))
+      .toMap
+    // every doc accounted for; short docs have no bigrams and NULL avg
+    assert(out.size == docs.size)
+    assert(out(99L) == ((0L, None)) && out(100L) == ((0L, None)))
+    // self-scoring: every probability is a ratio of positive counts
+    out.values.foreach { case (_, avg) =>
+      avg.foreach(a => assert(a > 0.0 && a <= 1.0, s"avg_p out of range: $a"))
+    }
+    // the repeated-template docs must outscore every unique-prose doc —
+    // the ordering that makes this usable as a repetitiveness filter
+    val rep = (1L to 20L).map(out(_)._2.get).min
+    val prose = (21L to 40L).map(out(_)._2.get).max
+    assert(rep > prose, s"repetitive $rep !> prose $prose")
+  }
+
   test("splitStats partitions any corpus for any strictly-increasing cuts") {
     import spark.implicits._
     val genIds = Gen.listOfN(120, Gen.choose(Long.MinValue, Long.MaxValue))
