@@ -296,6 +296,52 @@ object Similarity {
       .withColumn("contaminated", col("n_eval_near") > 0)
   }
 
+  /** Driver-side model for the STREAMING semantic gate
+    * (`Streams.semanticGate`) — the embedding-space analog of the Bloom
+    * sketch bytes: small enough to embed as plan literals, built once
+    * per eval-suite release.
+    *
+    * `centroids` are seeded from the EVAL side here (unlike the batch
+    * [[semanticContamination]], which seeds from the corpus for
+    * eval-rotation stability): a stream has no corpus to seed from, and
+    * the eval set IS the geometry being guarded. Eval vectors
+    * multi-assign to their `assignProbe` nearest cells so
+    * boundary-straddling queries still meet them.
+    *
+    * Size: O(nCells + |eval|·assignProbe) driver memory / plan-literal
+    * bytes — bounded by the benchmark suite, never the stream. Requires
+    * long-typed eval ids (used only to count DISTINCT near vectors). */
+  final case class SemanticGateModel(
+      centroids: Seq[(Long, Seq[Double], Double)],
+      cells: Map[Long, Seq[(Long, Seq[Double], Double)]])
+
+  def semanticGateModel(
+      eval: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 64, assignProbe: Int = 3): SemanticGateModel = {
+    val e = withNorm(eval, idCol, vecCol, "eval_id", "ev").persist()
+    val centroids = topKByHashCentroids(e, "eval_id", "ev", nCells)
+    val byVec = Window.partitionBy(col("eval_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val assigned = e.join(broadcast(centroids))
+      .select(col("eval_id"), col("ev"), col("ev_n"), col("list_id"),
+        (dot(col("ev"), col("centroid")) / (col("ev_n") * col("centroid_n")))
+          .as("c_cos"))
+      .withColumn("_r", row_number().over(byVec))
+      .filter(col("_r") <= assignProbe)
+      .select(col("list_id"), col("eval_id"), col("ev"), col("ev_n"))
+    val cent = centroids.collect().map(r => (r.getAs[Long]("list_id"),
+      r.getAs[scala.collection.Seq[Double]]("centroid").toSeq,
+      r.getAs[Double]("centroid_n"))).toSeq
+    val cells = assigned.collect()
+      .map(r => (r.getAs[Long]("list_id"), (r.getAs[Long]("eval_id"),
+        r.getAs[scala.collection.Seq[Double]]("ev").toSeq,
+        r.getAs[Double]("ev_n"))))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    e.unpersist(blocking = false)
+    require(cent.nonEmpty, "semanticGateModel needs a non-empty eval set")
+    SemanticGateModel(cent, cells)
+  }
+
   /** k-NN label prediction + per-label accuracy: predict each query
     * vector's label by majority vote among its `k` nearest corpus
     * vectors (cosine), ties broken toward the smaller label; report

@@ -205,4 +205,57 @@ object Streams {
       .withColumn("eval_gram_hits", hits.cast("long"))
       .withColumn("contaminated", col("eval_gram_hits") >= minHits)
   }
+
+  /** Stateless streaming SEMANTIC decontamination gate — the
+    * embedding-space sibling of [[bloomDecontaminated]]: each incoming
+    * vector probes its `nProbe` nearest model centroids and exact-checks
+    * cosine against only those cells' eval vectors, all as per-row array
+    * HOFs over PLAN LITERALS (`Similarity.semanticGateModel`, the
+    * analog of the Bloom sketch bytes). No state store, no watermark,
+    * no shuffle — per-row cost is K centroid cosines + ~|eval|·nProbe/K
+    * exact cosines, independent of stream length.
+    *
+    * Recall matches the model's cell geometry (eval multi-assignment +
+    * query multi-probe); `nProbe = nCells` degenerates to the exact
+    * any-eval-within-threshold check. Zero-norm vectors report clean
+    * (cosine undefined — the batch operator EXCLUDES such rows instead;
+    * a stream row must still flow, so clean is the conservative verdict
+    * for a row that cannot be near anything in cosine space). The norm
+    * is NULLed at zero rather than divided by — ANSI mode turns a 0.0
+    * divisor into a job-killing error, and one padding row must not
+    * stop the stream; NULL cosines fail every comparison, which is
+    * exactly the clean verdict.
+    *
+    * @return input columns + (n_eval_near, contaminated)
+    */
+  def semanticGate(rows: DataFrame,
+      model: graft.operators.Similarity.SemanticGateModel,
+      vecCol: String, threshold: Double, nProbe: Int = 3): DataFrame = {
+    import graft.operators.Similarity.dot
+    val centLit = typedLit(model.centroids)
+    val cellsLit = typedLit(model.cells)
+    // negated cosine sorts ascending = best cell first; ties on list_id
+    // via the struct's second field, same ordering as the batch side
+    val probes = slice(array_sort(transform(centLit, c =>
+      struct(
+        (lit(0.0) - dot(col("_qv"), c.getField("_2"))
+          / (col("_qn") * c.getField("_3"))).as("negcos"),
+        c.getField("_1").as("list_id")))), 1, nProbe)
+    // union of probed cells' eval vectors (distinct: multi-assignment
+    // duplicates an eval vector across cells)
+    val cands = array_distinct(flatten(filter(
+      transform(probes, p => element_at(cellsLit, p.getField("list_id"))),
+      a => a.isNotNull)))
+    val hitIds = transform(filter(cands, e =>
+      dot(col("_qv"), e.getField("_2")) / (col("_qn") * e.getField("_3"))
+        > threshold), e => e.getField("_1"))
+    rows
+      .withColumn("_qv", col(vecCol).cast("array<double>"))
+      .withColumn("_qn0", sqrt(dot(col("_qv"), col("_qv"))))
+      .withColumn("_qn", when(col("_qn0") > 0, col("_qn0")))
+      .withColumn("n_eval_near",
+        size(array_distinct(hitIds)).cast("long"))
+      .withColumn("contaminated", col("n_eval_near") > 0)
+      .drop("_qv", "_qn0", "_qn")
+  }
 }

@@ -199,6 +199,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(3L) == ((0L, false)))
   }
 
+  test("streaming semantic gate: planted near-eval vector flagged in-flight, orthogonal clean") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch side: gate model built once from the eval suite
+    val eval = Seq((1000L, Seq(1f, 0f, 0f, 0f)), (1001L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.semanticGateModel(
+      eval, "vec_id", "embedding", nCells = 2, assignProbe = 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    // full probe (nProbe = nCells): the gate is the exact
+    // any-eval-within-threshold check — no recall caveat in the spec
+    val q = Streams.semanticGate(
+        in.toDF().toDF("vec_id", "embedding"), model, "embedding",
+        threshold = 0.8, nProbe = 2)
+      .writeStream.format("memory").queryName("semgate")
+      .outputMode("append").start()
+    in.addData(
+      (1L, Seq(0.99f, 0.05f, 0f, 0f)), // ~eval 1000
+      (2L, Seq(0f, 1f, 0f, 0f)), // orthogonal to both
+      (3L, Seq(0.7f, 0f, 0.7f, 0f)), // between cells: cos ~0.7 to each — below 0.8
+      (4L, Seq(0f, 0f, 0f, 0f))) // zero-norm: clean verdict, still flows
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("semgate").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_eval_near"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(rows(1L) == ((1L, true)))
+    assert(rows(2L) == ((0L, false)))
+    assert(rows(3L) == ((0L, false)))
+    assert(rows(4L) == ((0L, false)), "zero-norm rows flow through clean")
+    assert(rows.size == 4)
+  }
+
   test("streaming pii redaction: the batch operator composes onto a stream unchanged") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
