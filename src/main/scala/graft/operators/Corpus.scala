@@ -325,6 +325,16 @@ object Corpus {
   val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val PhonePat = "\\+?\\d[\\d -]{6,}\\d"
 
+  /** The full redaction cascade as one Column — for consumers that need
+    * the redacted TEXT flowing onward (Ingest.triage scrubs before
+    * dedup/decontamination so every downstream stage sees uniform
+    * placeholders). Identical output to [[piiRedact]]'s hashed cascade:
+    * PropertySpec's idempotence test builds exactly this nested form
+    * and hash-compares it against the staged operator. */
+  def redactText(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      EmailPat, "<EMAIL>"), Ipv4Pat, "<IP>"), PhonePat, "<PHONE>")
+
   /** Text-level PII redaction: count and replace emails, then IPv4s,
     * then phone-shaped digit runs (each stage scans the PREVIOUS
     * stage's output — sequential semantics both engines replay

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Decontaminate, Ingest, ShingleIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end ingest triage: the composed pipeline (scrub → quality →
+  * Bloom decontamination → indexed near-dup) routes planted cases to
+  * their fates, in pipeline order, across TWO batches with an index
+  * append between them — the full production ingest loop. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(8)
+
+  private val evalText =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val longDoc =
+    "the curious archivist catalogued seventeen manuscripts before noon " +
+      "and annotated each margin with meticulous cross references daily"
+  private val nearDupOfLong =
+    "the curious archivist catalogued seventeen manuscripts before noon " +
+      "and annotated each margin with meticulous cross references nightly"
+
+  test("triage routes planted cases; accepted docs appended become dup targets") {
+    import spark.implicits._
+    val old = Seq((1L, longDoc)).toDF("doc_id", "text")
+    val sketch = Decontaminate.gramSketch(
+      Decontaminate.evalGrams(Seq(evalText).toDF("text"), "text", 8)
+        .select(col("g")),
+      estimatedGrams = 1L << 12)
+    val cfg = Ingest.Config("graft_ing", evalSketch = Some(sketch))
+    try {
+      ShingleIndex.build(old, "doc_id", "text", "graft_ing")
+      val batch1 = Seq(
+        (10L, "too short"), // quality gate
+        (11L, evalText + " plus a tail of more tokens to pass quality gates here"), // eval leak
+        (12L, nearDupOfLong), // near-dup of indexed doc 1
+        (13L, "a genuinely novel composition about tidal estuaries and the " +
+          "migratory herons that patrol them at first light every autumn"),
+        (14L, "reach me at ops@example.com about tidal estuaries and the " +
+          "migratory herons that patrol them at first light every autumn"))
+        .toDF("doc_id", "text")
+      // 13 and 14 differ only by the scrubbed prefix — they stay distinct
+      // (redaction runs BEFORE dedup, but their shared shingles are below
+      // the Jaccard threshold); 14's email must not reach the index
+      val t1 = Ingest.triage(batch1, "doc_id", "text", cfg)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fate"), Option(r.getAs[java.lang.Long]("dup_of"))
+            .map(_.toLong), r.getAs[String]("text")))).toMap
+      assert(t1(10L)._1 == "low_quality")
+      assert(t1(11L)._1 == "contaminated")
+      assert(t1(12L) == (("duplicate", Some(1L), nearDupOfLong)))
+      assert(t1(13L)._1 == "accepted")
+      assert(t1(14L)._1 == "accepted")
+      assert(t1(14L)._3.contains("<EMAIL>") && !t1(14L)._3.contains("@"),
+        "scrub must happen before anything persists or compares")
+      assert(t1.size == 5)
+      // commit the accepted docs, then a second batch: a near-dup of a
+      // batch-1 ACCEPTED doc must now triage as duplicate-of-it
+      val accepted1 = Seq((13L, t1(13L)._3), (14L, t1(14L)._3))
+        .toDF("doc_id", "text")
+      ShingleIndex.append(accepted1, "doc_id", "text", "graft_ing")
+      val batch2 = Seq(
+        (20L, "a genuinely novel composition about tidal estuaries and the " +
+          "migratory herons that patrol them at first light every winter"),
+        (21L, "completely fresh material on basalt columns and the slow " +
+          "geometry of cooling lava fields under a patient northern sky"))
+        .toDF("doc_id", "text")
+      val t2 = Ingest.triage(batch2, "doc_id", "text", cfg)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fate"),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+      assert(t2(20L) == (("duplicate", Some(13L))))
+      assert(t2(21L) == (("accepted", None)))
+    } finally {
+      Seq("graft_ing_idx", "graft_ing_sh", "graft_ing_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+}
