@@ -99,23 +99,30 @@ object ShingleIndex {
     val shNew = Dedup.shingleDocs(newDocs, idCol, textCol, n).persist()
     val newInv = shNew.select(col("doc_id"),
       explode(transform(col("shingles"), s => hash60(s))).as("s"))
-    // combined df per shingle = stored count + batch count — identical
-    // to the in-memory path's count over old ∪ new. The stored half is
-    // an exchange-free aggregate on the bucket key; only over-cap keys
-    // (boilerplate, small by construction) leave the executors.
-    val dfOld = idx.groupBy(col("s")).agg(count(lit(1)).as("df_old"))
+    // ONLY batch-relevant postings ever matter — for candidates AND for
+    // the cap check (an old-only over-cap shingle can't produce a
+    // candidate: the probe side is batch-only). One semi-join keys the
+    // stored scan to the batch; everything downstream (the df count,
+    // the candidate join) runs over this batch-bounded slice. Persisted:
+    // it feeds the df count and the candidate b-side.
+    val idxRel = idx.join(newInv.select(col("s")).distinct(),
+        Seq("s"), "left_semi")
+      .persist()
+    // combined df per batch shingle = stored count + batch count —
+    // identical to the in-memory path's count over old ∪ new for every
+    // s the candidate stage can see
+    val dfOld = idxRel.groupBy(col("s")).agg(count(lit(1)).as("df_old"))
     val dfNew = newInv.groupBy(col("s")).agg(count(lit(1)).as("df_new"))
-    val over = dfOld.join(dfNew, Seq("s"), "full_outer")
-      .filter(coalesce(col("df_old"), lit(0L))
-        + coalesce(col("df_new"), lit(0L)) > maxDocFreq)
+    val over = dfNew.join(dfOld, Seq("s"), "left")
+      .filter(coalesce(col("df_old"), lit(0L)) + col("df_new") > maxDocFreq)
       .select(col("s"))
     // probe side: the batch's under-cap postings (over-cap shingles are
     // excluded combined-count-wise, exactly like the in-memory path)
     val probe = newInv.join(over, Seq("s"), "left_anti").persist()
-    // stored side: only shards whose shingle appears in the batch —
-    // the semi-join keys the scan to the batch, and every surviving s
-    // is under the combined cap because probe's are
-    val oldMatched = idx.join(probe.select(col("s")).distinct(),
+    // stored side: every surviving probe key is under the combined cap,
+    // so the b-side is the relevant slice narrowed once more to probe's
+    // keys
+    val oldMatched = idxRel.join(probe.select(col("s")).distinct(),
         Seq("s"), "left_semi")
       .select(col("s"), col("doc_id"), lit(false).as("is_new"))
     val bSide = oldMatched.unionByName(
