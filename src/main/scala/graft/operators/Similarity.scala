@@ -296,6 +296,44 @@ object Similarity {
       .withColumn("contaminated", col("n_eval_near") > 0)
   }
 
+  /** Learned quality classifier, split Spark-first into train vs
+    * inference: spark.ml LogisticRegression fits on a LABELED SAMPLE
+    * (training cost ∝ sample, deterministic for fixed data +
+    * partitioning — L-BFGS has no RNG; same contract as
+    * [[kmeansCentroids]]), and inference is LOWERED TO A PURE
+    * PROJECTION — sigmoid(dot(v, coef) + intercept) over the codegen
+    * DotProduct — so scoring a 100 TB corpus is a per-row map with no
+    * ml stage, no UDF, no shuffle, pipelining into whatever scan
+    * produces the vectors. The O(dim) coefficient vector embeds as a
+    * plan literal (the CCNet/RefinedWeb "quality classifier" pattern:
+    * train small, score everything).
+    *
+    * QualityModelSpec pins the lowering's faithfulness (probabilities ≡
+    * spark.ml's transform within float slack), training determinism,
+    * and the shuffle-free scorer plan. */
+  final case class LogisticModel(coefficients: Seq[Double],
+      intercept: Double)
+
+  /** Fit a binary classifier on (vector, 0/1 label) rows. */
+  def trainLogistic(labeled: DataFrame, vecCol: String, labelCol: String,
+      maxIter: Int = 50, regParam: Double = 0.0): LogisticModel = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = labeled.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"),
+      col(labelCol).cast("double").as("label"))
+    val m = new LogisticRegression().setMaxIter(maxIter)
+      .setRegParam(regParam).fit(feats)
+    LogisticModel(m.coefficients.toArray.toSeq, m.intercept)
+  }
+
+  /** P(label=1 | v) as a scalar Column — compose into any projection. */
+  def logisticScore(model: LogisticModel, v: Column): Column = {
+    val z = dot(v.cast("array<double>"),
+      array(model.coefficients.map(lit): _*)) + lit(model.intercept)
+    lit(1.0) / (lit(1.0) + exp(lit(0.0) - z))
+  }
+
   /** Driver-side model for the STREAMING semantic gate
     * (`Streams.semanticGate`) — the embedding-space analog of the Bloom
     * sketch bytes: small enough to embed as plan literals, built once
