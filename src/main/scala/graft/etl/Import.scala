@@ -115,7 +115,15 @@ object Import {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val files = spark.sparkContext.binaryFiles(path)
-    val header = Xlsx.parse(files.first()._2.toArray(), sheet).header
+    // take(1), not first(): an empty glob should say so, not throw
+    // "empty collection". The header workbook is parsed once here
+    // (driver) and once again in the executor pass — accepted: a
+    // workbook is format-capped small, and distinguishing "the first
+    // file" inside the distributed flatMap would couple the parse to
+    // glob ordering.
+    val headFile = files.take(1)
+    require(headFile.nonEmpty, s"no workbooks match $path")
+    val header = Xlsx.parse(headFile(0)._2.toArray(), sheet).header
     require(header.nonEmpty, s"no header row in first workbook at $path")
     val schema = StructType(header.map(StructField(_, StringType,
       nullable = true)))

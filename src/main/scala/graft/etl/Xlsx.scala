@@ -102,15 +102,40 @@ object Xlsx extends Serializable {
 
   private def textOf(e: Element): String = Option(e.getTextContent).getOrElse("")
 
+  /** Concatenated visible cell text under `root`: every descendant `t`
+    * EXCEPT those inside phonetic-guide subtrees (`rPh`/`phoneticPr`) —
+    * Excel stores East Asian furigana alongside the text, and naive
+    * descendant flattening silently duplicates a value with its
+    * phonetic reading. */
+  private def visibleText(root: Element): String = {
+    val nl = root.getElementsByTagName("*")
+    (0 until nl.getLength).iterator.map(nl.item(_).asInstanceOf[Element])
+      .filter(localName(_) == "t")
+      .filterNot { t =>
+        var p = t.getParentNode
+        var phonetic = false
+        while (p != null && (p ne root) && !phonetic) {
+          p match {
+            case e: Element
+              if localName(e) == "rPh" || localName(e) == "phoneticPr" =>
+              phonetic = true
+            case _ =>
+          }
+          p = p.getParentNode
+        }
+        phonetic
+      }
+      .map(textOf).mkString
+  }
+
   // ---- workbook parts -------------------------------------------------------
 
   /** sharedStrings.xml: one entry per `si`, rich-text runs flattened by
-    * concatenating every descendant `t` (Excel splits a styled cell
-    * into `r` runs each holding a `t`). */
+    * concatenating the visible `t` descendants (Excel splits a styled
+    * cell into `r` runs each holding a `t`; phonetic runs excluded —
+    * see [[visibleText]]). */
   private def sharedStrings(bytes: Array[Byte]): Vector[String] =
-    descendants(dom(bytes).getDocumentElement, "si").map { si =>
-      descendants(si, "t").map(textOf).mkString
-    }
+    descendants(dom(bytes).getDocumentElement, "si").map(visibleText)
 
   /** Resolve the requested sheet to its worksheet-part XML via
     * workbook.xml (name + r:id, in tab order) joined to the workbook
@@ -193,7 +218,7 @@ object Xlsx extends Serializable {
     def v: Option[String] = descendants(c, "v").headOption.map(textOf)
     c.getAttribute("t") match {
       case "inlineStr" => descendants(c, "is").headOption
-        .map(is => descendants(is, "t").map(textOf).mkString).orNull
+        .map(visibleText).orNull
       case "s" => v.map(i => shared(i.trim.toInt)).orNull
       case "b" => v.map(b => if (b.trim == "1") "true" else "false").orNull
       case _ => v.orNull

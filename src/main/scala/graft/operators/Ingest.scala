@@ -66,9 +66,13 @@ object Ingest {
       cfg: Config): DataFrame = {
     val scrubbed = batch.select(col(idCol).as("doc_id"),
       Corpus.redactText(col(textCol)).as("text"))
+    // NULL text counts as 0 tokens: size(NULL) is NULL, and a NULL
+    // n_tokens would sail past the `< minTokens` gate (NULL comparison
+    // takes no branch) straight to "accepted" — a contentless doc must
+    // fail the quality gate like the empty string does
     val gated0 = scrubbed.select(col("doc_id"), col("text"),
-      size(TextFns.tokens(TextFns.normText(col("text"))))
-        .cast("long").as("n_tokens"))
+      coalesce(size(TextFns.tokens(TextFns.normText(col("text"))))
+        .cast("long"), lit(0L)).as("n_tokens"))
     val gated = cfg.evalSketch match {
       case Some(sk) => graft.streaming.Streams
         .bloomDecontaminated(gated0, sk, "text", cfg.bloomN, cfg.bloomMinHits)

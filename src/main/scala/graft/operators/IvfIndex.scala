@@ -41,15 +41,10 @@ object IvfIndex {
       .persist()
     Similarity.topKByHashCentroids(c, "neighbor_id", "cv", nCells)
       .write.mode("overwrite").saveAsTable(s"${name}_cent")
-    val byVec = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("c_cos").desc, col("list_id"))
-    c.join(broadcast(spark.table(s"${name}_cent")))
-      .select(col("neighbor_id"), col("cv"), col("cv_n"), col("list_id"),
-        (Similarity.dot(col("cv"), col("centroid"))
-          / (col("cv_n") * col("centroid_n"))).as("c_cos"))
-      .withColumn("_r", row_number().over(byVec))
-      .filter(col("_r") === 1)
-      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
+    // assignment uses the centroids READ BACK from the store, so the
+    // persisted cells agree with whatever the table holds, bit-for-bit
+    Similarity.assignCells(c, "neighbor_id", "cv",
+        spark.table(s"${name}_cent"), probe = 1)
       .write.bucketBy(buckets, "list_id").sortBy("list_id")
       .mode("overwrite").saveAsTable(s"${name}_cells")
     c.unpersist(blocking = false)
@@ -66,15 +61,8 @@ object IvfIndex {
     val spark = queries.sparkSession
     val centroids = spark.table(s"${name}_cent")
     val q = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv")
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_cos").desc, col("list_id"))
-    val probes = q.join(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("qv_n"), col("list_id"),
-        (Similarity.dot(col("qv"), col("centroid"))
-          / (col("qv_n") * col("centroid_n"))).as("c_cos"))
-      .withColumn("_r", row_number().over(byQuery))
-      .filter(col("_r") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qv_n"), col("list_id"))
+    val probes = Similarity.assignCells(q, "query_id", "qv", centroids,
+      nProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(spark.table(s"${name}_cells"), Seq("list_id"))

@@ -53,15 +53,19 @@ object ShingleIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${name}_idx")
     spark.sql(s"DROP TABLE IF EXISTS ${name}_sh")
     spark.sql(s"DROP TABLE IF EXISTS ${name}_meta")
-    val sh = Dedup.shingleDocs(docs, idCol, textCol, n)
-    sh.select(col("doc_id"), explode(transform(col("shingles"),
-        s => hash60(s))).as("s"))
-      .write.bucketBy(buckets, "s").sortBy("s")
-      .mode("overwrite").saveAsTable(s"${name}_idx")
-    sh.write.bucketBy(buckets, "doc_id").mode("overwrite")
-      .saveAsTable(s"${name}_sh")
-    Seq((n, buckets)).toDF("n", "buckets").write.mode("overwrite")
-      .saveAsTable(s"${name}_meta")
+    // persisted across the two writes: without it the whole corpus
+    // normalize/tokenize/shingle scan runs twice — once per table
+    val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
+    try {
+      sh.select(col("doc_id"), explode(transform(col("shingles"),
+          s => hash60(s))).as("s"))
+        .write.bucketBy(buckets, "s").sortBy("s")
+        .mode("overwrite").saveAsTable(s"${name}_idx")
+      sh.write.bucketBy(buckets, "doc_id").mode("overwrite")
+        .saveAsTable(s"${name}_sh")
+      Seq((n, buckets)).toDF("n", "buckets").write.mode("overwrite")
+        .saveAsTable(s"${name}_meta")
+    } finally sh.unpersist(blocking = false)
   }
 
   /** Append a batch to the index (plain bucketed inserts — the cap is
@@ -72,11 +76,14 @@ object ShingleIndex {
   def append(docs: DataFrame, idCol: String, textCol: String,
       name: String): Unit = {
     val (n, _) = meta(docs.sparkSession, name)
-    val sh = Dedup.shingleDocs(docs, idCol, textCol, n)
-    sh.select(col("doc_id"), explode(transform(col("shingles"),
-        s => hash60(s))).as("s"))
-      .write.mode("append").insertInto(s"${name}_idx")
-    sh.write.mode("append").insertInto(s"${name}_sh")
+    // persisted for the same two-writes reason as in build
+    val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
+    try {
+      sh.select(col("doc_id"), explode(transform(col("shingles"),
+          s => hash60(s))).as("s"))
+        .write.mode("append").insertInto(s"${name}_idx")
+      sh.write.mode("append").insertInto(s"${name}_sh")
+    } finally sh.unpersist(blocking = false)
   }
 
   private def meta(spark: SparkSession, name: String): (Int, Int) = {

@@ -98,6 +98,28 @@ object Similarity {
       .limit(nCells)
       .drop("_h")
 
+  /** Assign each (id, vec, vec_n) row to its `probe` nearest centroids —
+    * THE single cell-assignment implementation (cosine desc, list_id
+    * tie-break): every IVF consumer (ivfTopK, ivfNearDupPairs,
+    * semanticContamination, semanticGateModel, IvfIndex) routes through
+    * here, so the tie-break and cosine formula that the persisted-index
+    * and oracle equivalences depend on live in exactly one place.
+    *
+    * @return (list_id, id, vec, vec_n) — one row per (row, probed cell)
+    */
+  private[graft] def assignCells(df: DataFrame, id: String, vec: String,
+      centroids: DataFrame, probe: Int): DataFrame = {
+    val byVec = Window.partitionBy(col(id))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    df.join(broadcast(centroids))
+      .select(col(id), col(vec), col(s"${vec}_n"), col("list_id"),
+        (dot(col(vec), col("centroid")) / (col(s"${vec}_n") * col("centroid_n")))
+          .as("c_cos"))
+      .withColumn("_r", row_number().over(byVec))
+      .filter(col("_r") <= probe)
+      .select(col("list_id"), col(id), col(vec), col(s"${vec}_n"))
+  }
+
   /** Learned IVF centroids via spark.ml KMeans (k-means|| init, fixed
     * seed — deterministic for a given corpus + partitioning): the
     * quality upgrade over [[topKByHashCentroids]], which samples corpus
@@ -149,26 +171,10 @@ object Similarity {
     val centroids = centroidsOverride.getOrElse(
       topKByHashCentroids(c, "neighbor_id", "cv", nCells))
     // cell assignment: argmax cosine to centroid (one broadcast join)
-    val byVec = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("c_cos").desc, col("list_id"))
-    val assigned = c.join(broadcast(centroids))
-      .select(col("neighbor_id"), col("cv"), col("cv_n"), col("list_id"),
-        (dot(col("cv"), col("centroid")) / (col("cv_n") * col("centroid_n")))
-          .as("c_cos"))
-      .withColumn("_r", row_number().over(byVec))
-      .filter(col("_r") === 1)
-      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
+    val assigned = assignCells(c, "neighbor_id", "cv", centroids, 1)
     // query probes: nProbe nearest centroids per query
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_cos").desc, col("list_id"))
-    val probes = q.join(broadcast(centroids))
-      .select(col("query_id"), col("qv"), col("qv_n"), col("list_id"),
-        (dot(col("qv"), col("centroid")) / (col("qv_n") * col("centroid_n")))
-          .as("c_cos"))
-      .withColumn("_r", row_number().over(byQuery))
-      .filter(col("_r") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qv_n"), col("list_id"))
+    val probes = assignCells(q, "query_id", "qv", centroids, nProbe)
     // exact re-rank inside probed cells
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -203,15 +209,7 @@ object Similarity {
       .repartition(par(embs), col("vec_id"))
       .persist()
     val centroids = topKByHashCentroids(v, "vec_id", "v", nCells)
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("list_id"))
-    val assigned = v.join(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("v_n"), col("list_id"),
-        (dot(col("v"), col("centroid")) / (col("v_n") * col("centroid_n")))
-          .as("c_cos"))
-      .withColumn("_r", row_number().over(byVec))
-      .filter(col("_r") <= assignProbe)
-      .select(col("list_id"), col("vec_id"), col("v"), col("v_n"))
+    val assigned = assignCells(v, "vec_id", "v", centroids, assignProbe)
     // candidate generation over bare ids: the bucket self-join and the
     // distinct shuffle move 16-byte pairs, not 0.5 KB vector payloads
     // (multi-assignment means ~assignProbe² duplicates of every pair —
@@ -265,21 +263,12 @@ object Similarity {
       .persist() // feeds centroid seed, assignment, verify, and rollup
     val e = withNorm(eval, idCol, vecCol, "eval_id", "ev").persist()
     val centroids = topKByHashCentroids(c, "vec_id", "v", nCells)
-    def assign(df: DataFrame, id: String, vec: String) = {
-      val byVec = Window.partitionBy(col(id))
-        .orderBy(col("c_cos").desc, col("list_id"))
-      df.join(broadcast(centroids))
-        .select(col(id), col(vec), col(s"${vec}_n"), col("list_id"),
-          (dot(col(vec), col("centroid")) / (col(s"${vec}_n") * col("centroid_n")))
-            .as("c_cos"))
-        .withColumn("_r", row_number().over(byVec))
-        .filter(col("_r") <= assignProbe)
-        .select(col("list_id"), col(id))
-    }
     // id-only candidates, deduped BEFORE vectors re-attach (the same
     // ~30× shuffle saving as ivfNearDupPairs' slim stage)
-    val cand = assign(c, "vec_id", "v")
-      .join(assign(e, "eval_id", "ev"), Seq("list_id"))
+    val cand = assignCells(c, "vec_id", "v", centroids, assignProbe)
+      .select(col("list_id"), col("vec_id"))
+      .join(assignCells(e, "eval_id", "ev", centroids, assignProbe)
+        .select(col("list_id"), col("eval_id")), Seq("list_id"))
       .select(col("vec_id"), col("eval_id"))
       .distinct()
     val hits = cand
@@ -358,15 +347,7 @@ object Similarity {
       nCells: Int = 64, assignProbe: Int = 3): SemanticGateModel = {
     val e = withNorm(eval, idCol, vecCol, "eval_id", "ev").persist()
     val centroids = topKByHashCentroids(e, "eval_id", "ev", nCells)
-    val byVec = Window.partitionBy(col("eval_id"))
-      .orderBy(col("c_cos").desc, col("list_id"))
-    val assigned = e.join(broadcast(centroids))
-      .select(col("eval_id"), col("ev"), col("ev_n"), col("list_id"),
-        (dot(col("ev"), col("centroid")) / (col("ev_n") * col("centroid_n")))
-          .as("c_cos"))
-      .withColumn("_r", row_number().over(byVec))
-      .filter(col("_r") <= assignProbe)
-      .select(col("list_id"), col("eval_id"), col("ev"), col("ev_n"))
+    val assigned = assignCells(e, "eval_id", "ev", centroids, assignProbe)
     val cent = centroids.collect().map(r => (r.getAs[Long]("list_id"),
       r.getAs[scala.collection.Seq[Double]]("centroid").toSeq,
       r.getAs[Double]("centroid_n"))).toSeq

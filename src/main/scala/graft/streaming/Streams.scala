@@ -242,9 +242,14 @@ object Streams {
           / (col("_qn") * c.getField("_3"))).as("negcos"),
         c.getField("_1").as("list_id")))), 1, nProbe)
     // union of probed cells' eval vectors (distinct: multi-assignment
-    // duplicates an eval vector across cells)
+    // duplicates an eval vector across cells). try_element_at, NOT
+    // element_at: under ANSI (the Spark 4 default this very gate runs
+    // with) element_at THROWS on a missing map key, and a centroid's
+    // cell CAN be empty — duplicate eval vectors tie at cos=1.0 and the
+    // id tie-break can push a centroid's own self-assignment past
+    // assignProbe. One empty cell must not kill the stream.
     val cands = array_distinct(flatten(filter(
-      transform(probes, p => element_at(cellsLit, p.getField("list_id"))),
+      transform(probes, p => try_element_at(cellsLit, p.getField("list_id"))),
       a => a.isNotNull)))
     val hitIds = transform(filter(cands, e =>
       dot(col("_qv"), e.getField("_2")) / (col("_qn") * e.getField("_3"))

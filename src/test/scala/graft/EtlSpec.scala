@@ -164,8 +164,9 @@ class EtlSpec extends AnyFunSuite {
     // shared string (untrimmed), number as raw text, b=1 boolean,
     // missing cell NULL
     assert(rows.contains(("  alice  ", "3", "true", null)))
-    // rich-text shared string runs concatenate; sparse row (B skipped);
-    // inline string with a comma survives (no CSV quoting semantics)
+    // rich-text shared string runs concatenate, but the rPh phonetic
+    // guide in the fixture must NOT leak into the value; sparse row (B
+    // skipped); inline string with a comma survives (no CSV quoting)
     assert(rows.contains(("bob", null, "false", "note, with comma")))
     assert(rows.length == 2)
     // sheet selection by workbook name, not part order
@@ -207,7 +208,7 @@ class EtlSpec extends AnyFunSuite {
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="2" uniqueCount="2">
         |<si><t xml:space="preserve">  alice  </t></si>
-        |<si><r><t>bo</t></r><r><t>b</t></r></si>
+        |<si><r><t>bo</t></r><r><t>b</t></r><rPh sqref="A3"><t>bob-furigana</t></rPh><phoneticPr fontId="1"/></si>
         |</sst>""".stripMargin
     val wbXml =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>

@@ -41,6 +41,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("NULL-text docs shingle to empty, never pair: LSH and exact paths both clean") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // regression: NULL text used to shingle to [NULL] (size(NULL)=NULL,
+    // greatest SKIPS the null to 0, the window emits one NULL slot) and
+    // every NULL-text doc LSH-paired with every other at inter=1/union=1
+    // because concat_ws skips NULLs in the band keys
+    // 4 and 5 are verbatim copies: Jaccard 1 ⇒ identical signatures ⇒
+    // the pair is GUARANTEED through every band, so the positive case
+    // can't flake on band-collision luck
+    val d = Seq[(Long, String)](
+      (1L, null), (2L, null), (3L, null),
+      (4L, "one real document with enough words to form shingles here"),
+      (5L, "one real document with enough words to form shingles here"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleDocs(d, "doc_id", "text", 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("shingles")).toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty, "NULL text must have no shingles")
+    assert(sh(4L).nonEmpty)
+    val lsh = Dedup.minhashLshPairs(d, "doc_id", "text")
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.exists { case (a, b) => a <= 3 || b <= 3 },
+      s"NULL-text docs must never pair: $lsh")
+    assert(lsh == Set((4L, 5L)), s"the real near-dup pair must survive: $lsh")
+    val exact = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        maxDocFreq = Some(20))
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((4L, 5L)))
+  }
+
   test("wordShingles: distinct, each shingle has exactly n tokens") {
     import spark.implicits._
     val n = 3
