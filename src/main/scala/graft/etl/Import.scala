@@ -115,13 +115,21 @@ object Import {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val files = spark.sparkContext.binaryFiles(path)
-    // take(1), not first(): an empty glob should say so, not throw
-    // "empty collection". The header workbook is parsed once here
-    // (driver) and once again in the executor pass — accepted: a
+    // A zero-match path must say so plainly. Hadoop reports the two
+    // empty cases differently — a glob matching nothing throws
+    // InvalidInputException during split computation, an existing-but-
+    // empty directory just yields no partitions — so both are funneled
+    // into the same message here. The header workbook is parsed once on
+    // the driver and once again in the executor pass — accepted: a
     // workbook is format-capped small, and distinguishing "the first
     // file" inside the distributed flatMap would couple the parse to
     // glob ordering.
-    val headFile = files.take(1)
+    val headFile =
+      try files.take(1)
+      catch {
+        case e: org.apache.hadoop.mapreduce.lib.input.InvalidInputException =>
+          throw new IllegalArgumentException(s"no workbooks match $path", e)
+      }
     require(headFile.nonEmpty, s"no workbooks match $path")
     val header = Xlsx.parse(headFile(0)._2.toArray(), sheet).header
     require(header.nonEmpty, s"no header row in first workbook at $path")

@@ -103,29 +103,24 @@ object Xlsx extends Serializable {
   private def textOf(e: Element): String = Option(e.getTextContent).getOrElse("")
 
   /** Concatenated visible cell text under `root`: every descendant `t`
-    * EXCEPT those inside phonetic-guide subtrees (`rPh`/`phoneticPr`) —
-    * Excel stores East Asian furigana alongside the text, and naive
-    * descendant flattening silently duplicates a value with its
-    * phonetic reading. */
+    * EXCEPT those inside a phonetic-guide run (`rPh`) — Excel stores
+    * East Asian furigana alongside the text, and naive descendant
+    * flattening silently duplicates a value with its phonetic reading.
+    * (`phoneticPr` is attributes-only per ECMA-376 and can never hold
+    * a `t`, so `rPh` is the only subtree to exclude.) */
   private def visibleText(root: Element): String = {
-    val nl = root.getElementsByTagName("*")
-    (0 until nl.getLength).iterator.map(nl.item(_).asInstanceOf[Element])
-      .filter(localName(_) == "t")
-      .filterNot { t =>
-        var p = t.getParentNode
-        var phonetic = false
-        while (p != null && (p ne root) && !phonetic) {
-          p match {
-            case e: Element
-              if localName(e) == "rPh" || localName(e) == "phoneticPr" =>
-              phonetic = true
-            case _ =>
-          }
-          p = p.getParentNode
+    def inPhoneticRun(t: Element): Boolean = {
+      var p = t.getParentNode
+      while (p != null && (p ne root)) {
+        p match {
+          case e: Element if localName(e) == "rPh" => return true
+          case _ =>
         }
-        phonetic
+        p = p.getParentNode
       }
-      .map(textOf).mkString
+      false
+    }
+    descendants(root, "t").filterNot(inPhoneticRun).map(textOf).mkString
   }
 
   // ---- workbook parts -------------------------------------------------------

@@ -176,6 +176,12 @@ class EtlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Import.stageXlsx(spark, path, sheet = Some("NoSuchSheet"))
     }
+    // a zero-match glob reports plainly (Hadoop's InvalidInputException
+    // is translated), instead of a raw split-computation stack
+    val noMatch = intercept[IllegalArgumentException] {
+      Import.stageXlsx(spark, s"$dir/absent-*.xlsx")
+    }
+    assert(noMatch.getMessage.contains("no workbooks match"))
     // the full import flow over the staged workbook
     val store = new MigrationStore
     val reg = BidiRegistry.withDefaults
