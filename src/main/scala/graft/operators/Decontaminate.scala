@@ -35,31 +35,34 @@ object Decontaminate {
   def ngramOverlap(
       corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minHits: Int = 1): DataFrame = {
-    // distinct per-row ids so shingleDocs' keyed repartition spreads the
-    // eval suite across cores instead of collapsing it onto one
-    // partition; the ids are discarded right after shingling, so their
-    // nondeterminism never reaches the result (grams are id-free)
-    val evalGrams = Dedup.shingleDocs(
-        eval.select(monotonically_increasing_id().as("doc_id"), col(textCol)),
-        "doc_id", textCol, n)
-      .select(explode(col("shingles")).as("s"))
-      .distinct()
     val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
     val hits = corpusGrams
-      .join(broadcast(evalGrams), Seq("s")) // map-side semi vs tiny set
+      .join(broadcast(evalGrams(eval, textCol, n).select(col("s"))),
+        Seq("s")) // map-side semi vs tiny set
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("s")).as("eval_gram_hits"))
+    verdict(corpus, idCol, hits, minHits)
+  }
+
+  /** Total per-doc verdict assembly, shared by the exact and Bloom
+    * paths — the two must stay bit-identical (PipelineSpec pins it), so
+    * the verdict shape lives once. */
+  private def verdict(corpus: DataFrame, idCol: String, hits: DataFrame,
+      minHits: Int): DataFrame =
     corpus.select(col(idCol).as("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("eval_gram_hits"), lit(0L)).as("eval_gram_hits"))
       .withColumn("contaminated", col("eval_gram_hits") >= minHits)
-  }
 
   /** The deduplicated eval gram set: (s = gram string, g = hash60(s)).
     * The hash keys the sketch and the verify join; the string settles
-    * hash collisions exactly. */
+    * hash collisions exactly. Synthetic per-row ids exist only so
+    * shingleDocs' keyed repartition spreads the eval suite across cores
+    * instead of collapsing it onto one partition; they are discarded
+    * right after shingling, so their nondeterminism never reaches the
+    * result (grams are id-free). */
   def evalGrams(eval: DataFrame, textCol: String, n: Int): DataFrame = {
     import graft.functions.TextFns.hash60
     Dedup.shingleDocs(
@@ -134,10 +137,6 @@ object Decontaminate {
       .filter(col("s") === col("_es")) // exact string verify
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("s")).as("eval_gram_hits"))
-    corpus.select(col(idCol).as("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("eval_gram_hits"), lit(0L)).as("eval_gram_hits"))
-      .withColumn("contaminated", col("eval_gram_hits") >= minHits)
+    verdict(corpus, idCol, hits, minHits)
   }
 }

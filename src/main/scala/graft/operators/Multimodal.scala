@@ -73,10 +73,15 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow], partitions: Int = 0): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val balanced =
-      if (partitions > 0) media.repartition(partitions, col("media_id"))
-      else media
-    balanced.mapPartitions { it => it.map(StubCodec.decode) }.toDF()
+    // the id-keyed repartition is the contract (blobs spread evenly, no
+    // skew from source file-ordering), so the default applies it at
+    // defaultParallelism rather than silently inheriting the source
+    // layout; partitions > 0 overrides the width
+    val width =
+      if (partitions > 0) partitions
+      else media.sparkSession.sparkContext.defaultParallelism
+    media.repartition(width, col("media_id"))
+      .mapPartitions { it => it.map(StubCodec.decode) }.toDF()
   }
 
   /** Frame sampling: expand each video row into `n` evenly-spaced frame
@@ -87,7 +92,10 @@ object Multimodal {
     * the output shape (media_id, frame_idx, frame_payload, offset) is
     * the contract. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): DataFrame = {
-    import org.apache.spark.sql.functions._
+    // n <= 0 would not error: sequence(0, n-1) counts DOWN (phantom
+    // negative frame indices) and length/n seeds NaN offsets — garbage
+    // frames, not a crash. Same contract as resizeImages' dims guard.
+    require(n >= 1, s"sampleFrames needs n >= 1 frames, got $n")
     media.toDF()
       .filter(col("kind") === "video")
       .select(col("media_id"), col("payload"),
@@ -142,7 +150,7 @@ object Multimodal {
   }
 
   /** End-to-end: docs → fake media → features → per-kind rollup. */
-  def featureSummary(spark: SparkSession, docs: DataFrame): DataFrame =
+  def featureSummary(docs: DataFrame): DataFrame =
     extractFeatures(fakeMediaFromDocs(docs))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_items"),

@@ -61,6 +61,13 @@ object Ranges {
     val reserved = Set("_rv", "_side", "_m")
     require(!left.columns.exists(reserved), s"asofJoin: left side uses " +
       s"reserved internal column names ${left.columns.filter(reserved).mkString(", ")}")
+    // output-name collisions (e.g. chaining two asofJoins with the same
+    // tsCol and default prefix) would emit duplicate columns that only
+    // fail far downstream with AMBIGUOUS_REFERENCE — reject up front
+    val outNames = (tsCol +: valCols).map(v => s"$prefix$v")
+    require(!left.columns.exists(outNames.contains),
+      s"asofJoin: output name(s) ${outNames.filter(left.columns.contains)
+        .mkString(", ")} already exist on the left side — pass a distinct prefix")
     val payload = struct(col(tsCol).as("_ts") +: valCols.map(col): _*)
     // NULL-ts right rows can never satisfy the ts comparison in SQL —
     // drop them, or the NULLS-edge sort position would carry their
@@ -146,13 +153,26 @@ object Ranges {
   def bandStats(df: DataFrame, idCol: String, valCol: String,
       eps: Double): DataFrame = {
     require(eps > 0, s"bandStats eps must be positive, got $eps")
+    // graft_kmin's bounded buffer is long-typed (no implicit casts in a
+    // native aggregate) — accept any integral id by casting through
+    // long and casting the reported partner id back, and reject
+    // non-integral ids with a contract error instead of the aggregate's
+    // opaque AnalysisException. bandPairs itself has no id-type limit;
+    // this keeps the documented bandStats ≡ grouped-bandPairs
+    // equivalence true for every id type bandStats can serve at all.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"bandStats needs an integral id column for its bounded k-min " +
+        s"state; $idCol is $idType (use bandPairs + groupBy for other id types)")
     val rows = df.select(col(idCol).as("_id"), col(valCol).as("_v"))
     // value histogram: count, value·count, the cell's two smallest ids
     // (bounded graft_kmin state — never a collected id set)
     val hist = rows.groupBy(col("_v"))
       .agg(count(lit(1)).as("_cnt"),
         (col("_v") * count(lit(1))).as("_vsum"),
-        call_function("graft_kmin", col("_id"), lit(2)).as("_mins"))
+        call_function("graft_kmin", col("_id").cast("long"), lit(2))
+          .as("_mins"))
       .persist()
     // band join over distinct values only (directed, INCLUDING v'==v —
     // same-value rows are partners; self is excluded arithmetically in
@@ -180,7 +200,8 @@ object Ranges {
         (col("_bandSum") - col("_v")).as("sum_partner_vals"),
         when(element_at(col("_bmins"), 1) =!= col("_id"),
             element_at(col("_bmins"), 1))
-          .otherwise(element_at(col("_bmins"), 2)).as("min_partner_id"))
+          .otherwise(element_at(col("_bmins"), 2))
+          .cast(idType).as("min_partner_id"))
   }
 
   /** Band self-join: every DIRECTED pair (a, b), a ≠ b, with

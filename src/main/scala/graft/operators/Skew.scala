@@ -23,6 +23,13 @@ object Skew {
   def saltedJoin(
       left: DataFrame, right: DataFrame, key: String,
       leftSaltSrc: String, salt: Int = 16): DataFrame = {
+    // fail fast, not mid-join: salt=0 is pmod-by-zero (an ANSI runtime
+    // error deep in the stage; silently-empty output pre-ANSI), and a
+    // pre-existing _salt column would be overwritten, joined on, and
+    // dropped — corrupting both the join and the user's column
+    require(salt >= 1, s"saltedJoin salt must be >= 1, got $salt")
+    require(!left.columns.contains("_salt") && !right.columns.contains("_salt"),
+      "saltedJoin: inputs must not carry a _salt column (reserved)")
     val l = left.withColumn("_salt",
       pmod(xxhash64(col(leftSaltSrc)), lit(salt)).cast("int"))
     val r = right.withColumn("_salt",

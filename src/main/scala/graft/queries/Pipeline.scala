@@ -1189,7 +1189,7 @@ object Pipeline {
   // ---- multimodal ---------------------------------------------------------
 
   private def p12(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.featureSummary(spark, Tables.df(spark, dir, "documents"))
+    Multimodal.featureSummary(Tables.df(spark, dir, "documents"))
 
   /** Byte-based like the Spark side (StubCodec sums UTF-8 payload
     * bytes and uses the byte length): octet_length(encode(text)) and a

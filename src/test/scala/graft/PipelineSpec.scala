@@ -378,7 +378,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(f.getAs[Int]("n_bytes") > 0)
     assert(f.getAs[Int]("width") >= 16 && f.getAs[Int]("width") < 80)
     // kinds partition the id space 3 ways
-    val kinds = Multimodal.featureSummary(spark, docs).collect()
+    val kinds = Multimodal.featureSummary(docs).collect()
     assert(kinds.map(_.getAs[String]("kind")).sorted.sameElements(
       Array("audio", "image", "video")))
     assert(kinds.map(_.getAs[Long]("n_items")).sum == docs.count())
