@@ -79,6 +79,24 @@ object Import {
       .parquet(path)
   }
 
+  /** Staging→target-table write over Spark JDBC — the sink half of the
+    * reference's product loop (mapped + validated staging rows landing
+    * in the live Postgres tables, `sql/V000002__data_migrations.sql`'s
+    * IMPORTING→IMPORTED transition). One connection per partition with
+    * `batchsize`-row inserts; `append` by default because the target is
+    * a live table owned by the database — `overwrite` DROPS it and
+    * recreates it with Spark-inferred types, which is never what an
+    * import into an existing schema wants. Coalesce upstream if the
+    * target can't take `df.rdd.getNumPartitions` concurrent writers. */
+  def sinkJdbc(df: DataFrame, url: String, table: String,
+      props: Map[String, String] = Map.empty,
+      mode: String = "append", batchSize: Int = 1000): Unit =
+    props.foldLeft(
+      df.write.format("jdbc").option("url", url).option("dbtable", table)
+        .option("batchsize", batchSize.toString)
+    ) { case (w, (k, v)) => w.option(k, v) }
+      .mode(mode).save()
+
   /** Postgres→staging load over Spark JDBC, partitioned for parallel
     * pull: with a numeric split column the read fans out across
     * `numPartitions` range-predicated connections (the scale path for
@@ -136,9 +154,19 @@ object Import {
     val schema = StructType(header.map(StructField(_, StringType,
       nullable = true)))
     val n = header.size
-    val rows = files.flatMap { case (_, pds) =>
-      Xlsx.parse(pds.toArray(), sheet).rows
-        .map(r => Row.fromSeq(r.padTo(n, null).take(n)))
+    val rows = files.flatMap { case (file, pds) =>
+      val parsed = Xlsx.parse(pds.toArray(), sheet)
+      // the row pad/truncate below is POSITIONAL (it exists for ragged
+      // rows within a sheet) — a workbook with the same columns in a
+      // different order, or different columns entirely, would be
+      // silently misaligned into the wrong fields. The per-file header
+      // is already parsed right here, so mismatches are rejected at
+      // stage time instead.
+      require(parsed.header == header,
+        s"workbook $file header ${parsed.header.mkString("[", ",", "]")} " +
+          s"does not match the stage header ${header.mkString("[", ",", "]")}" +
+          " (positional staging would misalign its rows)")
+      parsed.rows.map(r => Row.fromSeq(r.padTo(n, null).take(n)))
     }
     spark.createDataFrame(rows, schema)
   }

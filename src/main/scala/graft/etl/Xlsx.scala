@@ -40,6 +40,15 @@ object Xlsx extends Serializable {
     * `rows` as the remaining rows padded to header width. */
   final case class Sheet(header: Vector[String], rows: Vector[Vector[String]])
 
+  /** Per-entry and whole-workbook decompressed-size caps. The row cap
+    * bounds CELLS, not bytes: a crafted workbook (zip bomb) can expand
+    * a small file to arbitrary XML, so the reader refuses past these
+    * limits rather than buffering unbounded bytes in an executor. 256
+    * MiB/part × 1 GiB/workbook is far above any real 1,048,576-row
+    * sheet and far below task-memory harm. */
+  val MaxPartBytes: Int = 256 << 20
+  val MaxTotalBytes: Long = 1L << 30
+
   /** Parse one workbook. `sheetName` picks a sheet by workbook name;
     * None takes the workbook's first sheet. */
   def parse(bytes: Array[Byte], sheetName: Option[String] = None): Sheet = {
@@ -63,12 +72,25 @@ object Xlsx extends Serializable {
       "xl/sharedStrings.xml")
     val out = Map.newBuilder[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    var total = 0L
     try {
       var e = zin.getNextEntry
       while (e != null) {
         val name = e.getName.stripPrefix("/")
-        if (wanted(name) || name.startsWith("xl/worksheets/"))
-          out += name -> zin.readAllBytes()
+        if (wanted(name) || name.startsWith("xl/worksheets/")) {
+          // readNBytes stops at the cap; one byte past it proves the
+          // entry lies about (or simply exceeds) a sane decompressed
+          // size — refuse, don't buffer
+          val part = zin.readNBytes(MaxPartBytes + 1)
+          if (part.length > MaxPartBytes) throw new IllegalArgumentException(
+            s"xlsx part '$name' exceeds $MaxPartBytes decompressed bytes " +
+              "(zip-bomb guard)")
+          total += part.length
+          if (total > MaxTotalBytes) throw new IllegalArgumentException(
+            s"xlsx workbook exceeds $MaxTotalBytes total decompressed bytes " +
+              "(zip-bomb guard)")
+          out += name -> part
+        }
         e = zin.getNextEntry
       }
     } finally zin.close()
@@ -145,7 +167,20 @@ object Xlsx extends Serializable {
       sheets = descendants(dom(wb).getDocumentElement, "sheet")
       chosen <- sheetName.fold(sheets.headOption)(n =>
         sheets.find(_.getAttribute("name") == n))
-      rid = chosen.getAttribute("r:id")
+      // the relationship id lives in the `r` namespace, but this parse
+      // is namespace-unaware: match the attribute by LOCAL name so a
+      // producer prefixing it differently (ns0:id) still resolves
+      // instead of silently yielding "" and falling back to the wrong
+      // sheet
+      rid <- {
+        val attrs = chosen.getAttributes
+        (0 until attrs.getLength).iterator.map(attrs.item)
+          .find { a =>
+            val n = a.getNodeName
+            n.substring(n.indexOf(':') + 1) == "id"
+          }
+          .map(_.getNodeValue).filter(_.nonEmpty)
+      }
       rel <- descendants(dom(rels).getDocumentElement, "Relationship")
         .find(_.getAttribute("Id") == rid)
       target = rel.getAttribute("Target").stripPrefix("/") match {
@@ -155,10 +190,17 @@ object Xlsx extends Serializable {
       part <- parts.get(target)
     } yield part
     viaDirectory.orElse {
-      // no directory (or no rels): only honor "first sheet" requests
+      // no directory (or no rels): only honor "first sheet" requests.
+      // Order NUMERICALLY on the digits in the part name — lexicographic
+      // order picks sheet10.xml over sheet2.xml in ≥10-sheet workbooks
       if (sheetName.isDefined) None
       else parts.view.filterKeys(_.startsWith("xl/worksheets/"))
-        .toSeq.sortBy(_._1).headOption.map(_._2)
+        .toSeq
+        .sortBy { case (name, _) =>
+          val digits = name.filter(_.isDigit)
+          (if (digits.isEmpty) Long.MaxValue else digits.take(18).toLong, name)
+        }
+        .headOption.map(_._2)
     }
   }
 

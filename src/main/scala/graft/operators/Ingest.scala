@@ -79,13 +79,16 @@ object Ingest {
         .drop("eval_gram_hits")
       case None => gated0.withColumn("contaminated", lit(false))
     }
-    // persisted: survivors feed the dedup stage AND the final fate
-    // join; the caller (or the session's pipeline runner) clears cache
-    // after routing — same convention as every pair operator
+    // NOT persisted: stages 1–3 are pure per-row maps that pipeline
+    // into the batch scan, so the two consumers (the dedup stage's
+    // survivors and the final fate join) just recompute them — two
+    // cheap scans of the batch beats handing the caller an un-owned
+    // pinned cache that quietly eats executor memory in a long-lived
+    // session (the shared intermediates that ARE worth pinning live
+    // inside ShingleIndex.incrementalPairs, which persists its own)
     val triaged0 = gated.withColumn("_gate",
       when(col("n_tokens") < cfg.minTokens, lit("low_quality"))
         .when(col("contaminated"), lit("contaminated")))
-      .persist()
     val survivors = triaged0.filter(col("_gate").isNull)
       .select(col("doc_id"), col("text"))
     val pairs = ShingleIndex.incrementalPairs(survivors, "doc_id", "text",

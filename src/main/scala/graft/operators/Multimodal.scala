@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal (image/audio/video) column handling: media travels as an
   * opaque `binary` column next to typed metadata, and per-item decode /
-  * feature-extraction runs batch-at-a-time inside partitions — the Spark
-  * plumbing (schema, partitioning, batch shape) is real; only the codec
-  * call is stubbed (no image/audio libraries in this container) behind
-  * [[StubCodec]], clearly marked and deterministic so tests and the
-  * DuckDB oracle can verify the pipeline end-to-end.
+  * feature-extraction runs batch-at-a-time inside partitions behind a
+  * pluggable [[Codec]]. IMAGE decode/resize is REAL ([[ImageIoCodec]],
+  * JDK-built-in `javax.imageio`: PNG/BMP/GIF/JPEG — zero extra
+  * dependencies); audio/video stay behind the deterministic
+  * [[StubCodec]] (no PCM/frame codecs ship in a bare JVM), which is
+  * also the default so the DuckDB oracle (p12) can reproduce features
+  * byte-for-byte in SQL.
   *
   * Scale notes: media blobs dominate row size, so the decode stage
   * repartitions by id to spread blobs evenly (no skew from source
@@ -27,21 +29,36 @@ object Multimodal {
       payload: Array[Byte],
       source: String)
 
-  /** Deterministic fake features — stands in for the real decoder.
+  /** Decoded per-item features — one schema across codecs, so swapping
+    * the codec never changes the pipeline shape downstream. */
+  final case class Features(
+      media_id: Long,
+      kind: String,
+      n_bytes: Int,
+      checksum: Long, // perceptual-hash stand-in (pixel sum for images)
+      width: Int,
+      height: Int)
+
+  /** The decode contract: ships to executors inside mapPartitions
+    * closures, so implementations must be Serializable and per-row
+    * deterministic (retried tasks must reproduce bytes exactly). */
+  trait Codec extends Serializable {
+    def decode(row: MediaRow): Features
+
+    /** Re-encode `row`'s payload at targetW×targetH. */
+    def resize(row: MediaRow, targetW: Int, targetH: Int): Array[Byte]
+  }
+
+  /** Deterministic fake features — the non-image stand-in and the
+    * oracle-reproducible default.
     * ======================== STUB ========================
-    * Real deployment swaps decode() for an actual codec (JPEG decode,
-    * PCM resample, frame sampling). Signature and batch shape are the
-    * contract; the body is a deterministic fake over the bytes so the
-    * pipeline is testable without native libs.
+    * Audio/video deployment swaps this for an actual codec (PCM
+    * resample, frame decode) via the [[Codec]] trait — [[ImageIoCodec]]
+    * is the worked example. Signature and batch shape are the contract;
+    * the body is a deterministic fake over the bytes so the pipeline is
+    * testable without native libs and checkable by the SQL oracle.
     * ====================================================== */
-  object StubCodec {
-    final case class Features(
-        media_id: Long,
-        kind: String,
-        n_bytes: Int,
-        checksum: Long, // stand-in for perceptual hash
-        width: Int, // fake "decoded" dims derived from payload
-        height: Int)
+  object StubCodec extends Codec {
 
     def decode(row: MediaRow): Features = {
       val n = row.payload.length
@@ -51,6 +68,78 @@ object Multimodal {
       while (i < n) { sum += (row.payload(i) & 0xff).toLong; i += 1 }
       Features(row.media_id, row.kind, n, sum, 16 + (sum % 64).toInt,
         16 + ((sum / 64) % 64).toInt)
+    }
+
+    /** STUB resize: deterministic stride-sample of the source bytes,
+      * sized targetW·targetH/8 — a real codec decode→scale→encode goes
+      * in its place (see [[ImageIoCodec.resize]]). */
+    def resize(row: MediaRow, targetW: Int, targetH: Int): Array[Byte] = {
+      // long arithmetic: an Int product overflows at 46341^2 and would
+      // silently collapse outBytes to 1 for huge dims
+      val outBytes = math.min(
+        math.max(1L, targetW.toLong * targetH / 8), Int.MaxValue).toInt
+      val n = row.payload.length
+      val out = new Array[Byte](math.min(outBytes, math.max(n, 1)))
+      var i = 0
+      while (i < out.length) {
+        out(i) = if (n == 0) 0 else row.payload((i.toLong * n / out.length).toInt)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** REAL image codec on the JDK's built-in `javax.imageio` readers
+    * (PNG, BMP, GIF, JPEG — no new dependencies). Features carry the
+    * decoded raster's true width/height and a pixel checksum (sum of
+    * 32-bit ARGB values — deterministic for a given image, unlike
+    * encoder bytes, which may differ across JDKs); resize is a real
+    * decode → bilinear scale → PNG re-encode.
+    *
+    * Non-image payloads are a hard error, not a silent fallback: a
+    * corrupt blob in a 100 TB ingest should fail the row loudly (route
+    * around it with a `kind` filter or a quarantine pass, not by
+    * letting fake dimensions contaminate downstream stats). */
+  object ImageIoCodec extends Codec {
+
+    private def read(row: MediaRow): java.awt.image.BufferedImage = {
+      // imageio's default scratch-file cache would do disk I/O per
+      // decode inside executor tasks; in-memory streams don't need it
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.payload))
+      if (img == null) throw new IllegalArgumentException(
+        s"media_id=${row.media_id}: payload is not a decodable image " +
+          "(javax.imageio recognizes PNG/BMP/GIF/JPEG)")
+      img
+    }
+
+    def decode(row: MediaRow): Features = {
+      val img = read(row)
+      val (w, h) = (img.getWidth, img.getHeight)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += img.getRGB(x, y) & 0xffffffffL; x += 1 }
+        y += 1
+      }
+      Features(row.media_id, row.kind, row.payload.length, sum, w, h)
+    }
+
+    def resize(row: MediaRow, targetW: Int, targetH: Int): Array[Byte] = {
+      val src = read(row)
+      val dst = new java.awt.image.BufferedImage(
+        targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = dst.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(src, 0, 0, targetW, targetH, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(dst, "png", bos)
+      bos.toByteArray
     }
   }
 
@@ -70,7 +159,8 @@ object Multimodal {
   /** The decode/feature-extract stage: repartition to spread blobs, then
     * batch-decode per partition (mapPartitions ≈ one Arrow batch per
     * call), returning a narrow features frame with the payload dropped. */
-  def extractFeatures(media: Dataset[MediaRow], partitions: Int = 0): DataFrame = {
+  def extractFeatures(media: Dataset[MediaRow], partitions: Int = 0,
+      codec: Codec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     // the id-keyed repartition is the contract (blobs spread evenly, no
@@ -81,7 +171,7 @@ object Multimodal {
       if (partitions > 0) partitions
       else media.sparkSession.sparkContext.defaultParallelism
     media.repartition(width, col("media_id"))
-      .mapPartitions { it => it.map(StubCodec.decode) }.toDF()
+      .mapPartitions { it => it.map(codec.decode) }.toDF()
   }
 
   /** Frame sampling: expand each video row into `n` evenly-spaced frame
@@ -110,41 +200,24 @@ object Multimodal {
     * replaced by the re-encoded bytes. Runs in the same
     * mapPartitions-batch shape as [[extractFeatures]] (one codec init
     * per partition); the output keeps metadata + resized payload only.
-    * The byte transform is a STUB (deterministic stride-sample of the
-    * source bytes, sized targetW·targetH/8 — a real codec
-    * decode→scale→encode goes in its place); the schema, batch shape,
-    * and size-contraction contract are real.
+    * With [[ImageIoCodec]] the transform is a real decode → bilinear
+    * scale → PNG re-encode; the [[StubCodec]] default keeps the
+    * deterministic stride-sample for oracle-checkable runs.
     *
     * @return (media_id, source, width, height, payload) — width/height
-    *         are the TARGET dims (post-resize truth, not stub output).
+    *         are the TARGET dims.
     */
   def resizeImages(media: Dataset[MediaRow], targetW: Int,
-      targetH: Int): DataFrame = {
+      targetH: Int, codec: Codec = StubCodec): DataFrame = {
     require(targetW > 0 && targetH > 0,
       s"resize dims must be positive, got ${targetW}x$targetH")
     val spark = media.sparkSession
     import spark.implicits._
-    // long arithmetic: an Int product overflows at 46341^2 and would
-    // silently collapse outBytes to 1 for huge dims
-    val outBytes =
-      math.min(math.max(1L, targetW.toLong * targetH / 8), Int.MaxValue).toInt
     media.filter(_.kind == "image")
       .mapPartitions { it =>
-        // ===================== STUB resize ======================
-        // real codec: decode(payload) -> scale to targetW x targetH ->
-        // encode. The fake keeps determinism: stride-sample outBytes
-        // bytes across the source payload.
-        it.map { m =>
-          val n = m.payload.length
-          val out = new Array[Byte](math.min(outBytes, math.max(n, 1)))
-          var i = 0
-          while (i < out.length) {
-            out(i) = if (n == 0) 0 else m.payload((i.toLong * n / out.length).toInt)
-            i += 1
-          }
-          (m.media_id, m.source, targetW, targetH, out)
-        }
-        // ========================================================
+        it.map(m =>
+          (m.media_id, m.source, targetW, targetH,
+            codec.resize(m, targetW, targetH)))
       }
       .toDF("media_id", "source", "width", "height", "payload")
   }

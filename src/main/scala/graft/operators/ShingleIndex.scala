@@ -13,12 +13,26 @@ import org.apache.spark.sql.functions._
   * 8-byte key column:
   *
   *   - `{name}_idx` (s = hash60(shingle), doc_id) — UNCAPPED inverted
-  *     index, bucketed + sorted by `s`: the df count and every
-  *     candidate join over `s` are exchange-free on the stored side,
-  *     and appends are plain bucketed inserts (no rewrite). The df cap
-  *     is applied at QUERY time from the stored counts — that is what
-  *     makes the table append-only: a capped-at-write index would have
-  *     to delete rows whose shingle crosses the cap in a later batch.
+  *     index, PARTITIONED by `p = pmod(s, parts)` and bucketed + sorted
+  *     by `s`: the df count and every candidate join over `s` are
+  *     exchange-free on the stored side, and appends are plain bucketed
+  *     inserts (no rewrite). The df cap is applied at QUERY time from
+  *     the stored counts — that is what makes the table append-only: a
+  *     capped-at-write index would have to delete rows whose shingle
+  *     crosses the cap in a later batch.
+  *
+  *     The partition column exists for FILE pruning: [[incrementalPairs]]
+  *     collects the batch's (≤ `parts`) distinct `p` values — a tiny,
+  *     batch-bounded job — and applies them as a static partition
+  *     filter, so the stored scan touches only directories that can
+  *     hold a batch shingle. Honest scope: `s` is a uniform hash, so a
+  *     batch with k distinct shingles hits ~parts·(1−e^(−k/parts))
+  *     partitions — pruning is decisive for SMALL probes (streaming
+  *     ingest, single-document checks: k ≲ parts) and degrades smoothly
+  *     to a full scan for bulk batches, where the filter is skipped
+  *     entirely (all partitions present ⇒ no isin evaluated per row).
+  *     The semi-join still narrows ROWS in every case; `p` narrows
+  *     FILES in the small-probe case that dominates per-ingest latency.
   *   - `{name}_sh` (doc_id, shingles) — the full string shingle arrays
   *     for exact verification, bucketed by doc_id so the (few,
   *     candidate-bounded) verify lookups join without shuffling the
@@ -45,9 +59,14 @@ import org.apache.spark.sql.functions._
   */
 object ShingleIndex {
 
-  /** Create (overwrite) the index tables for `docs`. */
+  /** Create (overwrite) the index tables for `docs`.
+    *
+    * @param parts partition-directory count for `{name}_idx` (the file-
+    *   pruning granularity). The posting write repartitions by `p` so
+    *   file count stays ~parts·buckets (each task holds ~1 partition
+    *   value), not tasks·parts·buckets. */
   def build(docs: DataFrame, idCol: String, textCol: String, name: String,
-      n: Int = 5, buckets: Int = 32): Unit = {
+      n: Int = 5, buckets: Int = 32, parts: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     spark.sql(s"DROP TABLE IF EXISTS ${name}_idx")
@@ -57,16 +76,23 @@ object ShingleIndex {
     // normalize/tokenize/shingle scan runs twice — once per table
     val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
     try {
-      sh.select(col("doc_id"), explode(transform(col("shingles"),
-          s => hash60(s))).as("s"))
-        .write.bucketBy(buckets, "s").sortBy("s")
+      postings(sh, parts)
+        .write.partitionBy("p").bucketBy(buckets, "s").sortBy("s")
         .mode("overwrite").saveAsTable(s"${name}_idx")
       sh.write.bucketBy(buckets, "doc_id").mode("overwrite")
         .saveAsTable(s"${name}_sh")
-      Seq((n, buckets)).toDF("n", "buckets").write.mode("overwrite")
-        .saveAsTable(s"${name}_meta")
+      Seq((n, buckets, parts)).toDF("n", "buckets", "parts")
+        .write.mode("overwrite").saveAsTable(s"${name}_meta")
     } finally sh.unpersist(blocking = false)
   }
+
+  /** (doc_id, s, p) postings in table-column order (partition col last),
+    * clustered by `p` so each write task emits ~1 partition directory. */
+  private def postings(sh: DataFrame, parts: Int): DataFrame =
+    sh.select(col("doc_id"), explode(transform(col("shingles"),
+        s => hash60(s))).as("s"))
+      .withColumn("p", pmod(col("s"), lit(parts.toLong)))
+      .repartition(parts, col("p"))
 
   /** Append a batch to the index (plain bucketed inserts — the cap is
     * query-time, so no stored row ever needs rewriting). Call AFTER
@@ -75,20 +101,19 @@ object ShingleIndex {
     * batches (same precondition as the in-memory operator). */
   def append(docs: DataFrame, idCol: String, textCol: String,
       name: String): Unit = {
-    val (n, _) = meta(docs.sparkSession, name)
+    val (n, _, parts) = meta(docs.sparkSession, name)
     // persisted for the same two-writes reason as in build
     val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
     try {
-      sh.select(col("doc_id"), explode(transform(col("shingles"),
-          s => hash60(s))).as("s"))
+      postings(sh, parts)
         .write.mode("append").insertInto(s"${name}_idx")
       sh.write.mode("append").insertInto(s"${name}_sh")
     } finally sh.unpersist(blocking = false)
   }
 
-  private def meta(spark: SparkSession, name: String): (Int, Int) = {
+  private def meta(spark: SparkSession, name: String): (Int, Int, Int) = {
     val r = spark.table(s"${name}_meta").head()
-    (r.getInt(0), r.getInt(1))
+    (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
   /** New-batch near-dup pairs against the indexed corpus — row-for-row
@@ -101,11 +126,24 @@ object ShingleIndex {
       name: String, num: Int = 7, den: Int = 10,
       maxDocFreq: Int = 20): DataFrame = {
     val spark = newDocs.sparkSession
-    val (n, _) = meta(spark, name)
-    val idx = spark.table(s"${name}_idx")
+    val (n, _, parts) = meta(spark, name)
     val shNew = Dedup.shingleDocs(newDocs, idCol, textCol, n).persist()
     val newInv = shNew.select(col("doc_id"),
       explode(transform(col("shingles"), s => hash60(s))).as("s"))
+    // FILE pruning: the batch can only match postings whose partition
+    // value pmod(s, parts) appears in the batch — collect those (≤ parts
+    // longs, a batch-bounded job that doubles as shNew's cache warm) and
+    // push them as a STATIC partition filter, so small probes read only
+    // the directories that can hold a batch shingle. When the batch
+    // covers every partition (bulk ingest — uniform hash, so k distinct
+    // shingles hit ~parts·(1−e^(−k/parts)) dirs) the filter is dropped:
+    // an always-true isin would cost a per-row check and prune nothing.
+    val batchP = newInv
+      .select(pmod(col("s"), lit(parts.toLong)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val idx0 = spark.table(s"${name}_idx")
+    val idx = (if (batchP.length < parts)
+      idx0.filter(col("p").isin(batchP: _*)) else idx0).drop("p")
     // ONLY batch-relevant postings ever matter — for candidates AND for
     // the cap check (an old-only over-cap shingle can't produce a
     // candidate: the probe side is batch-only). One semi-join keys the

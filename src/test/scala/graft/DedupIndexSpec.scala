@@ -67,6 +67,62 @@ class DedupIndexSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("small probes prune index FILES via the partition column, not just rows") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // a single short probe doc: few distinct shingles => few pmod(s,parts)
+    // values => most partition directories never open. Text truncated so
+    // the shingle count stays well under parts (pruning is decisive for
+    // small probes and honestly degrades to a full scan for bulk ones).
+    val probe = localize(docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("text"))
+      .limit(1))
+    try {
+      ShingleIndex.build(corpus, "doc_id", "text", "graft_t3", parts = 256)
+      // two batches so the index holds multiple file generations
+      ShingleIndex.append(localize(docs.filter(col("doc_id") % 25 === 3)
+        .select(col("doc_id") + 100000, col("text"))
+        .toDF("doc_id", "text")), "doc_id", "text", "graft_t3")
+      val viaIndex = ShingleIndex.incrementalPairs(
+        probe, "doc_id", "text", "graft_t3")
+      val rows = viaIndex.collect() // execute before reading the plan
+      // semantics unchanged by pruning: equal to the in-memory operator
+      val inMemory = Dedup.incrementalNearDupPairs(
+        corpus.select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") % 25 === 3)
+            .select(col("doc_id") + 100000, col("text"))
+            .toDF("doc_id", "text")),
+        probe, "doc_id", "text")
+      assert(rows.map(_.toSeq).toSet == inMemory.collect().map(_.toSeq).toSet)
+      // the stored scan carries a real partition filter
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*(IN|INSET|in\\()".r
+          .findFirstIn(plan).isDefined,
+        s"expected a partition IN-filter on the stored scan:\n${plan.take(2000)}")
+      // measured: files under the selected p-dirs < all index files
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val idxDir = java.nio.file.Paths.get(warehouse, "graft_t3_idx")
+      def parquetFiles(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(f => f.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+      val total = parquetFiles(idxDir)
+      val batchP = Dedup.shingleDocs(probe, "doc_id", "text", 5)
+        .select(explode(col("shingles")).as("sh"))
+        .select(pmod(graft.functions.TextFns.hash60(col("sh")), lit(256L))
+          .as("p"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val touched = batchP.toSeq.map(p => idxDir.resolve(s"p=$p"))
+        .filter(java.nio.file.Files.isDirectory(_)).map(parquetFiles).sum
+      assert(touched > 0 && touched < total,
+        s"pruning should touch a strict subset of files: $touched of $total")
+      assert(touched.toDouble / total < 0.5,
+        s"a ~40-shingle probe should prune most of 256 partitions: $touched/$total")
+    } finally Seq("graft_t3_idx", "graft_t3_sh", "graft_t3_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("shingle width comes from the stored meta, not a caller default") {
     val old0 = docs.filter(col("doc_id") % 5 =!= 0)
     val batch = docs.filter(col("doc_id") % 5 === 0)

@@ -136,6 +136,45 @@ class EtlSpec extends AnyFunSuite {
     assert(store.list.map(_.state) == Seq("IMPORTED"))
   }
 
+  test("jdbc e2e: stage -> map -> validate -> sinkJdbc -> read back from a real DB") {
+    // Derby embedded (ships with Spark's jars) stands in for the
+    // reference's live Postgres target: a REAL JDBC database, in
+    // memory, no server. Columns are created quoted-lowercase because
+    // Spark's JDBC writer quotes identifiers per dialect.
+    val url = "jdbc:derby:memory:graftetl;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      """CREATE TABLE people("name" VARCHAR(50) NOT NULL, "tag_csv" VARCHAR(100))""")
+    finally conn.close()
+    val dir = Files.createTempDirectory("etl_jdbc").toFile.getAbsolutePath
+    Files.writeString(java.nio.file.Path.of(s"$dir/in.csv"),
+      "raw_name,tags\n  alice  ,\"a,b\"\n  bob ,c\n")
+    val store = new MigrationStore
+    val reg = BidiRegistry.withDefaults
+    val result = Import.runImport(
+      store, MigrationSource.Csv, "people",
+      load = () => Import.stageCsv(spark, s"$dir/in.csv"),
+      mappings = Seq(
+        Import.ColumnMapping("raw_name", "name", reg("trim_str")),
+        Import.ColumnMapping("tags", "tag_csv", reg("identity"))),
+      rules = df => Seq(Import.Rule("not_null", "name", col("name").isNull)),
+      sink = df => Import.sinkJdbc(df, url, "people"))
+    assert(result.state == "IMPORTED")
+    assert(store.list.map(_.state) == Seq("IMPORTED"))
+    // the rows are really in the database: read back over JDBC
+    val back = Import.stageJdbc(spark, url, "people")
+      .collect().map(r => (r.getAs[String]("name"), r.getAs[String]("tag_csv")))
+      .sortBy(_._1)
+    assert(back.toSeq == Seq(("alice", "a,b"), ("bob", "c")))
+    // append semantics: a second import lands MORE rows, never drops
+    Import.sinkJdbc(spark.createDataFrame(
+        java.util.Arrays.asList(Row("zoe", "z")),
+        back.headOption.map(_ => Import.stageJdbc(spark, url, "people").schema)
+          .get),
+      url, "people")
+    assert(Import.stageJdbc(spark, url, "people").count() == 3)
+  }
+
   test("import with violations lands IMPORT_FAILED with summary, sink never runs") {
     import spark.implicits._
     val store = new MigrationStore
@@ -269,6 +308,89 @@ class EtlSpec extends AnyFunSuite {
       zos.write(xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       zos.closeEntry()
     } finally zos.close()
+  }
+
+  /** In-memory SpreadsheetML zip from (partName -> xml) entries. */
+  private def zipBytes(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    try entries.foreach { case (name, bytes) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(bytes)
+      zos.closeEntry()
+    } finally zos.close()
+    bos.toByteArray
+  }
+
+  private def ws(cells: String): Array[Byte] =
+    s"""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$cells</sheetData></worksheet>"""
+      .getBytes("UTF-8")
+
+  private def inlineRow(r: Int, vals: String*): String =
+    s"""<row r="$r">""" + vals.zipWithIndex.map { case (v, i) =>
+      s"""<c r="${('A' + i).toChar}$r" t="inlineStr"><is><t>$v</t></is></c>"""
+    }.mkString + "</row>"
+
+  test("xlsx staging rejects a workbook whose header differs from the stage header") {
+    val dir = Files.createTempDirectory("xlsx_mix").toFile.getAbsolutePath
+    writeTestXlsx(s"$dir/a.xlsx")
+    // same columns, first two swapped — positional staging would load
+    // qty into raw_name; the stage must throw instead
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.xlsx"),
+      zipBytes("xl/worksheets/sheet1.xml" ->
+        ws(inlineRow(1, "qty", "raw_name", "active", "note") +
+          inlineRow(2, "3", "zoe", "true", "n"))))
+    val e = intercept[Exception] {
+      Import.stageXlsx(spark, s"$dir/*.xlsx").collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("does not match the stage header")),
+      msgs(e))
+  }
+
+  test("xlsx sheet directory matches the relationship id by LOCAL name") {
+    // producer uses a different namespace prefix for the rel id: the
+    // named-sheet request must still resolve (not silently fall back)
+    val wb =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:ns1="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="First" sheetId="1" ns1:id="rId1"/><sheet name="Second" sheetId="2" ns1:id="rId2"/></sheets></workbook>"""
+        .stripMargin.getBytes("UTF-8")
+    val rels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin.getBytes("UTF-8")
+    val bytes = zipBytes(
+      "xl/workbook.xml" -> wb,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> ws(inlineRow(1, "a") + inlineRow(2, "1")),
+      "xl/worksheets/sheet2.xml" -> ws(inlineRow(1, "b") + inlineRow(2, "2")))
+    val second = Xlsx.parse(bytes, Some("Second"))
+    assert(second.header == Vector("b") && second.rows == Vector(Vector("2")))
+  }
+
+  test("xlsx first-sheet fallback orders worksheet parts numerically") {
+    // no workbook directory at all: sheet2 must beat sheet10 (a
+    // lexicographic sort picks sheet10.xml first)
+    val bytes = zipBytes(
+      "xl/worksheets/sheet10.xml" -> ws(inlineRow(1, "tenth")),
+      "xl/worksheets/sheet2.xml" -> ws(inlineRow(1, "second")))
+    assert(Xlsx.parse(bytes).header == Vector("second"))
+  }
+
+  test("xlsx zip-bomb guard refuses oversized decompressed parts") {
+    // ~257 MiB of zeros compresses to well under a MiB; the reader must
+    // refuse while reading, not buffer the expansion
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/sharedStrings.xml"))
+    val chunk = new Array[Byte](1 << 20)
+    for (_ <- 0 until 257) zos.write(chunk)
+    zos.closeEntry()
+    zos.close()
+    val e = intercept[IllegalArgumentException] { Xlsx.parse(bos.toByteArray) }
+    assert(e.getMessage.contains("zip-bomb guard"))
   }
 
   test("clustered parquet sink: partition dirs prune, sort key clusters row groups") {
