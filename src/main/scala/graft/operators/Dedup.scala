@@ -310,6 +310,93 @@ object Dedup {
           " ")).as("kept_text_hash"))
   }
 
+  /** Sequence-level (variable-length) repeated-substring removal — the
+    * suffix-array dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (2022), re-expressed in the shape a
+    * distributed engine can afford: a true suffix array is a global
+    * sorted structure, but every repeated substring of length ≥ w is
+    * exactly a maximal run of overlapping repeated w-grams, so fixed-w
+    * SEED detection + per-doc run merging recovers the variable-length
+    * spans without any global ordering. (Repeats shorter than `w` are
+    * deliberately below the threshold — the paper thresholds at 50
+    * tokens for the same reason: short repeats are natural language,
+    * long ones are boilerplate/duplication.)
+    *
+    * A w-gram is a SEED when it occurs ≥ `minCount` times in the whole
+    * corpus — total occurrences, not distinct docs, so a doc's internal
+    * self-repetition is found too, exactly as a suffix array would.
+    * Per doc, seed positions p cover tokens [p, p+w-1]; overlapping or
+    * adjacent coverages (p' − p ≤ w) merge into maximal runs.
+    *
+    * Plan shape: one explode + one groupBy on the 8-byte gram hash
+    * (hash60 — collision semantics shared with the oracle, same
+    * convention as the shingle index), a semi-join back to seed
+    * positions, a per-doc window over seed positions (state bounded by
+    * seeds per doc, not corpus), and one doc-keyed join to reassemble.
+    * Everything is O(total_tokens); nothing is pairwise.
+    *
+    * @return (doc_id, n_tokens, covered_tokens, n_runs, max_run_len,
+    *   kept_text_hash) — kept_text_hash is md5 of the space-joined
+    *   surviving tokens (reassembly verified, not just counted; a doc
+    *   with nothing removed hashes to md5(normText(text))).
+    */
+  def repeatedSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10, minCount: Int = 2): DataFrame = {
+    require(w > 0, s"repeatedSpanDedup span width must be positive, got $w")
+    require(minCount >= 2,
+      s"repeatedSpanDedup minCount must be >= 2 (1 covers everything), got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc_id"),
+        tokens(normText(col(textCol))).as("toks"))
+      // reused by the gram scan AND the final reassembly join — one
+      // tokenizer pass instead of two (Bench/Verify clear cache per
+      // query; long-lived callers own the lifecycle, the convention
+      // documented on every pair operator)
+      .persist()
+    val grams = t.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - w),
+        i => hash60(array_join(slice(col("toks"), i + 1, lit(w)), " ")))))
+      .toDF("doc_id", "pos", "s")
+    val dup = grams.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("s"))
+    val seeds = grams.join(dup, Seq("s"), "left_semi")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = seeds
+      .withColumn("_prev", lag(col("pos"), 1).over(win))
+      // coverage gap iff pos > prev + w (pos = prev + w is ADJACENT
+      // coverage — one continuous repeated region, merged)
+      .withColumn("_new", when(col("_prev").isNull
+        || col("pos") - col("_prev") > w, 1).otherwise(0))
+      .withColumn("run_id", sum(col("_new")).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("run_id"))
+      .agg(min(col("pos")).as("rs"), (max(col("pos")) + w - 1).as("re"))
+    val perDoc = runs.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("rs"), col("re"))).as("runs"),
+        count(lit(1)).as("n_runs"),
+        sum(col("re") - col("rs") + 1).cast("long").as("covered_tokens"),
+        max(col("re") - col("rs") + 1).as("max_run_len"))
+    t.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("_runs",
+        coalesce(col("runs"), expr("CAST(array() AS array<struct<rs:int,re:int>>)")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run_len"), lit(0)).as("max_run_len"),
+        // sequence(0, size-1) counts DOWN for an empty array (phantom
+        // negative indices) — the empty doc takes the literal branch
+        md5(when(size(col("toks")) === 0, lit(""))
+          .otherwise(array_join(expr(
+            "filter(transform(sequence(0, size(toks) - 1), " +
+              "i -> IF(exists(_runs, r -> i >= r.rs AND i <= r.re), " +
+              "CAST(NULL AS STRING), element_at(toks, i + 1))), " +
+              "x -> x IS NOT NULL)"), " "))).as("kept_text_hash"))
+  }
+
   /** MinHash signatures: (doc_id, shingles, sig[k]). The md5 shingle
     * hashes materialize once in their own projection; the k permutations
     * are long arithmetic over that array. */

@@ -69,9 +69,8 @@ object ShingleIndex {
       n: Int = 5, buckets: Int = 32, parts: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_idx")
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_sh")
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_meta")
+    Seq(s"${name}_idx", s"${name}_sh", s"${name}_meta")
+      .foreach(dropTable(spark, _))
     // persisted across the two writes: without it the whole corpus
     // normalize/tokenize/shingle scan runs twice — once per table
     val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
@@ -84,6 +83,20 @@ object ShingleIndex {
       Seq((n, buckets, parts)).toDF("n", "buckets", "parts")
         .write.mode("overwrite").saveAsTable(s"${name}_meta")
     } finally sh.unpersist(blocking = false)
+  }
+
+  /** DROP TABLE plus stale-directory cleanup: an in-memory catalog
+    * forgets tables across JVMs while their warehouse directories
+    * persist, and a leftover directory fails the next saveAsTable with
+    * LOCATION_ALREADY_EXISTS. Goes through the Hadoop FileSystem of the
+    * warehouse path, so any scheme (file/hdfs/s3a) works. Only index
+    * tables named by this object are ever passed here. */
+  private def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val path = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
   }
 
   /** (doc_id, s, p) postings in table-column order (partition col last),

@@ -71,6 +71,8 @@ object Pipeline {
   // chunk-level boilerplate removal: token window + doc-frequency cap
   private val ChunkW = 5
   private val ChunkMaxDf = 3
+  // sequence-level dedup: seed-gram width (minimum removable span)
+  private val SeqW = 10
   // kNN label probe: every KnnHoldMod-th vector is held out as a query
   private val KnnHoldMod = 20
   // KMV distinct sketch size (relative error ~ 1/sqrt(k-2) ~ 13%)
@@ -789,6 +791,69 @@ object Pipeline {
        |FROM f GROUP BY doc_id""".stripMargin
   }
 
+  /** Sequence-level (variable-length) dedup: maximal repeated token
+    * spans ≥ SeqW via seed-gram detection + per-doc run merge
+    * (operators/Dedup.repeatedSpanDedup — the suffix-array-style dedup
+    * of Lee et al. 2022 in distributed form), reassembly hash-verified
+    * like p23. */
+  private def p42(spark: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpanDedup(Tables.df(spark, dir, "documents"),
+      "doc_id", "text", SeqW)
+
+  private val p42Sql = {
+    val toks = toksSql(normSql("text"))
+    val w = SeqW
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, len(toks) - $w)) AS pos
+       |  FROM t WHERE len(toks) >= $w),
+       |g AS (
+       |  SELECT doc_id, pos,
+       |    ('0x' || substr(md5(array_to_string(toks[pos+1 : pos+$w], ' ')),
+       |      1, 15))::BIGINT AS s
+       |  FROM g0),
+       |d AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2),
+       |sd AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (s)),
+       |r AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL
+       |           OR pos - lag(pos) OVER w > $w THEN 1 ELSE 0 END AS nr
+       |  FROM sd WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |rid AS (
+       |  SELECT doc_id, pos, SUM(nr) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS run_id
+       |  FROM r),
+       |runs AS (
+       |  SELECT doc_id, run_id, MIN(pos) AS rs, MAX(pos) + $w - 1 AS re
+       |  FROM rid GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_runs, SUM(re - rs + 1) AS covered,
+       |    MAX(re - rs + 1) AS maxrun
+       |  FROM runs GROUP BY 1),
+       |tok AS (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, len(toks) - 1)) AS i
+       |  FROM t WHERE len(toks) > 0),
+       |keep AS (
+       |  SELECT tok.doc_id, tok.i, tok.toks[tok.i + 1] AS tk
+       |  FROM tok LEFT JOIN runs ON tok.doc_id = runs.doc_id
+       |    AND tok.i BETWEEN runs.rs AND runs.re
+       |  WHERE runs.rs IS NULL),
+       |kt AS (
+       |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS kept
+       |  FROM keep GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(agg.covered, 0) AS BIGINT) AS covered_tokens,
+       |  CAST(COALESCE(agg.n_runs, 0) AS BIGINT) AS n_runs,
+       |  CAST(COALESCE(agg.maxrun, 0) AS INT) AS max_run_len,
+       |  md5(COALESCE(kt.kept, '')) AS kept_text_hash
+       |FROM t
+       |LEFT JOIN agg ON t.doc_id = agg.doc_id
+       |LEFT JOIN kt ON t.doc_id = kt.doc_id""".stripMargin
+  }
+
   /** Per-source token-length distribution audit: exact interpolated
     * quantiles from a value histogram (operators/Corpus.tokenQuantiles —
     * state bounded by distinct lengths, not rows). */
@@ -1461,6 +1526,108 @@ object Pipeline {
        |FROM t LEFT JOIN s ON s.doc_id = t.doc_id""".stripMargin
   }
 
+  // n-gram width / hit floor for the ingest Bloom gate (Config defaults)
+  private val IngestBloomN = 8
+  private val IngestBloomMinHits = 2
+
+  /** The composed production ingest round (operators/Ingest.triage),
+    * driver-gated end to end: docs ≢0 (mod 3) are the INDEXED corpus
+    * (ShingleIndex.build — the persisted path), docs ≡0 (mod 3) are the
+    * ingest batch, docs ≡0 (mod 97) stand in for the eval suite (same
+    * split as p19). Every fate is deterministic and SQL-expressible:
+    * scrub is the p38 regex cascade, the quality gate is p29's token
+    * floor, the Bloom gate resolves to exact distinct-gram overlap (the
+    * sketch is sized so its false-positive mass is ≪ 1 row across all
+    * SFs — any Bloom/oracle divergence FAILS the gate, which is the
+    * point), and the dedup stage is p30's capped incremental pairs
+    * through the persisted index (row-equality pinned by
+    * DedupIndexSpec). */
+  private def p41(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+    graft.operators.ShingleIndex.build(corpus, "doc_id", "text", "graft_p41")
+    val sketch = graft.operators.Decontaminate.gramSketch(
+      graft.operators.Decontaminate
+        .evalGrams(evalDocs, "text", IngestBloomN).select(col("g")),
+      estimatedGrams = 1L << 18)
+    graft.operators.Ingest.triage(batch, "doc_id", "text",
+      graft.operators.Ingest.Config("graft_p41", Some(sketch),
+        bloomN = IngestBloomN, bloomMinHits = IngestBloomMinHits,
+        minTokens = BuildMinTokens,
+        num = JaccardNum, den = JaccardDen, maxDocFreq = JaccardMaxDf))
+  }
+
+  private val p41Sql = {
+    import graft.operators.Corpus.{EmailPat, Ipv4Pat, PhonePat}
+    val toks = toksSql(normSql("text"))
+    val sh5 = shinglesSql(toks, ShingleN)
+    val sh8 = shinglesSql(toks, IngestBloomN)
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$EmailPat', '<EMAIL>', 'g'), '$Ipv4Pat', '<IP>', 'g'),
+       |      '$PhonePat', '<PHONE>', 'g') AS text
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |gt AS (
+       |  SELECT doc_id, text,
+       |    CAST(COALESCE(len($toks), 0) AS BIGINT) AS n_tokens
+       |  FROM base),
+       |ev AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(unnest($sh8)), 1, 15))::BIGINT AS g
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |bg AS (
+       |  SELECT doc_id, ('0x' || substr(md5(unnest($sh8)), 1, 15))::BIGINT AS g
+       |  FROM gt),
+       |-- COUNT(*), not COUNT(DISTINCT g): the probe counts the doc's
+       |-- DISTINCT GRAM STRINGS (one list entry each), so two strings
+       |-- sharing a hash60 value contribute two hits in both engines
+       |hits AS (
+       |  SELECT bg.doc_id, COUNT(*) AS h FROM bg JOIN ev USING (g)
+       |  GROUP BY 1),
+       |gate AS (
+       |  SELECT gt.doc_id, gt.text, gt.n_tokens,
+       |    COALESCE(h.h, 0) >= $IngestBloomMinHits AS contaminated
+       |  FROM gt LEFT JOIN hits h USING (doc_id)),
+       |surv AS (SELECT doc_id, text FROM gate
+       |         WHERE n_tokens >= $BuildMinTokens AND NOT contaminated),
+       |sh AS (
+       |  SELECT doc_id, $sh5 AS shingles, FALSE AS is_new
+       |  FROM documents WHERE doc_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, $sh5 AS shingles, TRUE AS is_new FROM surv),
+       |${cappedIndexCtes(JaccardMaxDf, "is_new")},
+       |cnd AS (
+       |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS match_id,
+       |    b.is_new AS match_is_new
+       |  FROM exf a JOIN exf b ON a.s = b.s AND a.is_new
+       |    AND (a.doc_id < b.doc_id OR NOT b.is_new)
+       |    AND a.doc_id <> b.doc_id),
+       |pr AS (
+       |  SELECT c.new_id, c.match_id, c.match_is_new
+       |  FROM cnd c
+       |  JOIN sh sa ON sa.doc_id = c.new_id
+       |  JOIN sh sb ON sb.doc_id = c.match_id
+       |  WHERE len(list_intersect(sa.shingles, sb.shingles)) * $JaccardDen >=
+       |    (len(sa.shingles) + len(sb.shingles)
+       |      - len(list_intersect(sa.shingles, sb.shingles))) * $JaccardNum),
+       |dr AS (
+       |  SELECT new_id AS doc_id, match_id AS d FROM pr WHERE NOT match_is_new
+       |  UNION ALL
+       |  SELECT match_id AS doc_id, new_id AS d FROM pr WHERE match_is_new),
+       |dup AS (SELECT doc_id, MIN(d) AS dup_of FROM dr GROUP BY 1)
+       |SELECT g.doc_id, g.text, g.n_tokens,
+       |  CASE WHEN g.n_tokens < $BuildMinTokens THEN 'low_quality'
+       |       WHEN g.contaminated THEN 'contaminated'
+       |       WHEN d.dup_of IS NOT NULL THEN 'duplicate'
+       |       ELSE 'accepted' END AS fate,
+       |  CASE WHEN g.n_tokens >= $BuildMinTokens AND NOT g.contaminated
+       |       THEN d.dup_of END AS dup_of
+       |FROM gate g LEFT JOIN dup d USING (doc_id)""".stripMargin
+  }
+
   // ---- corpus statistics --------------------------------------------------
 
   /** TF-IDF top terms per doc — rational idf (tf·N/df in one double
@@ -1636,5 +1803,7 @@ object Pipeline {
     QueryDef("p37_cross_source_dup", p37, Some(p37Sql)),
     QueryDef("p38_pii_redact", p38, Some(p38Sql)),
     QueryDef("p39_semantic_decontaminate", p39, Some(p39Sql)),
-    QueryDef("p40_lm_score", p40, Some(p40Sql)))
+    QueryDef("p40_lm_score", p40, Some(p40Sql)),
+    QueryDef("p41_ingest_triage", p41, Some(p41Sql)),
+    QueryDef("p42_repeated_spans", p42, Some(p42Sql)))
 }
