@@ -32,8 +32,11 @@ object IvfIndex {
   def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
       nCells: Int = 64, buckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
+    // ShingleIndex.dropTable also clears stale warehouse directories —
+    // an in-memory catalog forgets tables across JVMs, and a leftover
+    // dir fails saveAsTable with LOCATION_ALREADY_EXISTS
     Seq(s"${name}_cells", s"${name}_cent")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(ShingleIndex.dropTable(spark, _))
     val c = Similarity
       .withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism,

@@ -89,9 +89,10 @@ object ShingleIndex {
     * forgets tables across JVMs while their warehouse directories
     * persist, and a leftover directory fails the next saveAsTable with
     * LOCATION_ALREADY_EXISTS. Goes through the Hadoop FileSystem of the
-    * warehouse path, so any scheme (file/hdfs/s3a) works. Only index
-    * tables named by this object are ever passed here. */
-  private def dropTable(spark: SparkSession, table: String): Unit = {
+    * warehouse path, so any scheme (file/hdfs/s3a) works. Only
+    * graft-owned table names (this object, [[IvfIndex]], the p41 query
+    * fingerprint) are ever passed here. */
+  private[graft] def dropTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val path = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)

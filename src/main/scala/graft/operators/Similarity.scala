@@ -435,6 +435,16 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bands: Int = 16, bitsPerBand: Int = 4, dim: Int = 64): DataFrame = {
+    // fail fast on a dim/vector-width mismatch: the hyperplane literals
+    // are sized by `dim`, and a narrower actual vector would silently
+    // degrade (zip_with truncates) instead of erroring. One sampled row
+    // per side — a 1-row take, not a scan.
+    for (df <- Seq(queries, corpus);
+        r <- df.select(size(col(vecCol)).as("d")).take(1)) {
+      require(r.getInt(0) == dim,
+        s"lshTopK(dim = $dim) but '$vecCol' vectors have ${r.getInt(0)} " +
+          "elements — pass the actual embedding width")
+    }
     val planes = hyperplanes(bands * bitsPerBand, dim)
     // persisted: each side feeds its sketch AND the re-rank vector
     // lookup; 1 row per vector, so the cache is corpus-sized, not
