@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * opaque `binary` column next to typed metadata, and per-item decode /
   * feature-extraction runs batch-at-a-time inside partitions behind a
   * pluggable [[Codec]]. IMAGE decode/resize is REAL ([[ImageIoCodec]],
-  * JDK-built-in `javax.imageio`: PNG/BMP/GIF/JPEG — zero extra
-  * dependencies); audio/video stay behind the deterministic
-  * [[StubCodec]] (no PCM/frame codecs ship in a bare JVM), which is
-  * also the default so the DuckDB oracle (p12) can reproduce features
-  * byte-for-byte in SQL.
+  * JDK-built-in `javax.imageio`: PNG/BMP/GIF/JPEG) and AUDIO decode is
+  * REAL ([[WavCodec]], JDK-built-in `javax.sound.sampled`: WAV/AIFF/AU
+  * PCM with a deterministic RMS level) — both zero extra dependencies;
+  * only VIDEO frame decode stays behind the deterministic [[StubCodec]]
+  * (no frame codecs ship in a bare JVM). The stub is also the default
+  * so the DuckDB oracle (p12) can reproduce features byte-for-byte in
+  * SQL.
   *
   * Scale notes: media blobs dominate row size, so the decode stage
   * repartitions by id to spread blobs evenly (no skew from source
@@ -141,6 +143,97 @@ object Multimodal {
       javax.imageio.ImageIO.write(dst, "png", bos)
       bos.toByteArray
     }
+  }
+
+  /** Decoded per-item AUDIO features — the audio analog of [[Features]]
+    * (signal metadata + RMS level instead of raster dims + checksum). */
+  final case class AudioFeatures(
+      media_id: Long,
+      n_bytes: Int,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Double,
+      rms: Double) // mean-square level in [0,1] — silence=0, full-scale=1
+
+  /** REAL audio codec on the JDK's built-in `javax.sound.sampled`
+    * readers (WAV/AIFF/AU containers, PCM payloads — no new
+    * dependencies). Features carry the true format header plus an RMS
+    * level computed over every decoded sample in stream order
+    * (deterministic). Supports the PCM encodings a JVM decodes natively:
+    * signed 16-bit (either endianness) and 8-bit signed/unsigned;
+    * anything else (float PCM, 24-bit, compressed) fails loudly — a
+    * silently-wrong level is worse than an error row at 100 TB.
+    * Video remains behind [[StubCodec]]: frame decode needs codecs a
+    * bare JVM does not ship. */
+  object WavCodec extends Serializable {
+
+    def decode(row: MediaRow): AudioFeatures = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"media_id=${row.media_id}: payload is not a decodable audio " +
+                "stream (javax.sound recognizes WAV/AIFF/AU)", e)
+        }
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding._
+        require(
+          (bits == 16 && enc == PCM_SIGNED) ||
+            (bits == 8 && (enc == PCM_SIGNED || enc == PCM_UNSIGNED)),
+          s"media_id=${row.media_id}: unsupported PCM shape " +
+            s"($enc/$bits-bit) — only 16-bit signed and 8-bit PCM decode")
+        val bytes = in.readAllBytes()
+        val big = fmt.isBigEndian
+        var sumSq = 0.0
+        var count = 0L
+        var i = 0
+        if (bits == 16) {
+          while (i + 1 < bytes.length) {
+            val lo = bytes(if (big) i + 1 else i) & 0xff
+            val hi = bytes(if (big) i else i + 1)
+            val s = ((hi << 8) | lo).toShort / 32768.0
+            sumSq += s * s; count += 1; i += 2
+          }
+        } else {
+          val off = if (enc == PCM_UNSIGNED) 128 else 0
+          while (i < bytes.length) {
+            val raw = if (enc == PCM_UNSIGNED) (bytes(i) & 0xff) - off
+              else bytes(i).toInt
+            val s = raw / 128.0
+            sumSq += s * s; count += 1; i += 1
+          }
+        }
+        val frames = if (fmt.getFrameSize > 0) bytes.length / fmt.getFrameSize
+          else count
+        val rate = fmt.getSampleRate.toDouble
+        AudioFeatures(row.media_id, row.payload.length, rate.toInt,
+          fmt.getChannels, bits, frames,
+          if (rate > 0) frames * 1000.0 / rate else 0.0,
+          if (count > 0) math.sqrt(sumSq / count) else 0.0)
+      } finally in.close()
+    }
+  }
+
+  /** The audio decode stage — same contract as [[extractFeatures]]
+    * (id-keyed repartition against blob skew, one decoder per
+    * partition, payload dropped in the output). */
+  def extractAudioFeatures(media: Dataset[MediaRow],
+      partitions: Int = 0): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val width =
+      if (partitions > 0) partitions
+      else media.sparkSession.sparkContext.defaultParallelism
+    media.filter(_.kind == "audio")
+      .repartition(width, col("media_id"))
+      .mapPartitions { it => it.map(WavCodec.decode) }.toDF()
   }
 
   /** Wrap a text table as fake media rows (payload = utf8 bytes). Lets

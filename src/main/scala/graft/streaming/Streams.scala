@@ -263,4 +263,68 @@ object Streams {
       .withColumn("contaminated", col("n_eval_near") > 0)
       .drop("_qv", "_qn0", "_qn")
   }
+
+  // ---- streaming ingest round ---------------------------------------------
+
+  /** One micro-batch of the STREAMING ingest round — the body behind
+    * [[ingestTriage]], exposed so a spec (or a manual re-drive) can
+    * replay a batch id and observe the idempotence guard.
+    *
+    * Per batch: run [[graft.operators.Ingest.triage]] against the
+    * persisted index, hand the fate-annotated frame to `route` (the
+    * caller's policy: corpus sink, quarantine, metrics — same contract
+    * as the batch operator), then append the ACCEPTED docs to the index
+    * so later micro-batches dedup against earlier ones — the
+    * cross-batch memory a stateless per-row gate cannot have.
+    *
+    * Exactly-once: foreachBatch RE-EXECUTES a batch after a failure,
+    * and an index append is not naturally idempotent (re-appended
+    * postings would inflate df counts and re-pair docs with
+    * themselves). The guard is the standard batch-id ledger: ids land
+    * in `{index}_batches` AFTER a successful append, and a replayed id
+    * skips both route and append. Route actions that are not
+    * themselves idempotent should participate in the same ledger
+    * transactionally on their own sink (e.g. Delta txn), which is out
+    * of this library's hands — documented, not hidden. */
+  def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, cfg: graft.operators.Ingest.Config,
+      route: (DataFrame, Long) => Unit): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ledger = s"${cfg.indexName}_batches"
+    val replayed = spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!replayed) {
+      val fates = graft.operators.Ingest.triage(batch, idCol, textCol, cfg)
+        // one computation feeds route AND the accepted-side append
+        .persist()
+      try {
+        route(fates, batchId)
+        graft.operators.ShingleIndex.append(
+          fates.filter(col("fate") === "accepted")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", cfg.indexName)
+        Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
+      } finally fates.unpersist(blocking = false)
+    }
+  }
+
+  /** The streaming production ingest loop: a foreachBatch sink driving
+    * [[ingestBatch]] — scrub → quality → Bloom gate → near-dup against
+    * the PERSISTED, GROWING shingle index, with batch-id idempotence.
+    * The index must exist ([[graft.operators.ShingleIndex.build]] it
+    * over the seed corpus first); `checkpoint` is the stream's normal
+    * recovery location. Stages 1–3 are stateless per-row maps; stage 4
+    * is batch-bounded against the index — no unbounded state store
+    * anywhere, the same 100 TB story as the batch round. */
+  def ingestTriage(docs: DataFrame, idCol: String, textCol: String,
+      cfg: graft.operators.Ingest.Config, checkpoint: String,
+      route: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        ingestBatch(b, id, idCol, textCol, cfg, route))
+      .start()
 }

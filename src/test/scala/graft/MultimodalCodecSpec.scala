@@ -85,6 +85,63 @@ class MultimodalCodecSpec extends AnyFunSuite {
       assert(simg.getRGB(x, y) == 0xff336699)
   }
 
+  /** A `seconds`-long sine at `hz` with peak `amp` (0..1), encoded as a
+    * 16-bit signed little-endian PCM WAV at `rate` Hz mono. */
+  private def sineWav(rate: Int, hz: Double, amp: Double,
+      seconds: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val n = (rate * seconds).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("extractAudioFeatures decodes real WAV: format header + RMS level") {
+    val wav = sineWav(rate = 8000, hz = 440, amp = 0.6, seconds = 0.5)
+    val feats = Multimodal.extractAudioFeatures(
+        media(MediaRow(3L, "audio", wav, "t"),
+          MediaRow(4L, "video", Array[Byte](9, 9), "t")), // filtered out
+        partitions = 2)
+      .collect()
+    assert(feats.length == 1, "only audio rows decode")
+    val r = feats.head
+    assert(r.getAs[Long]("media_id") == 3L)
+    assert(r.getAs[Int]("sample_rate") == 8000)
+    assert(r.getAs[Int]("channels") == 1)
+    assert(r.getAs[Int]("bits") == 16)
+    assert(r.getAs[Long]("n_frames") == 4000L)
+    assert(math.abs(r.getAs[Double]("duration_ms") - 500.0) < 1e-9)
+    // RMS of a sine with peak A is A/sqrt(2)
+    assert(math.abs(r.getAs[Double]("rms") - 0.6 / math.sqrt(2)) < 0.005,
+      r.getAs[Double]("rms").toString)
+    // silence is exactly quiet
+    val silent = sineWav(8000, 440, amp = 0.0, seconds = 0.1)
+    val s = Multimodal.extractAudioFeatures(
+      media(MediaRow(5L, "audio", silent, "t")), partitions = 1).collect().head
+    assert(s.getAs[Double]("rms") == 0.0)
+  }
+
+  test("non-audio payload fails loudly in the audio path") {
+    val e = intercept[Exception] {
+      Multimodal.extractAudioFeatures(
+          media(MediaRow(6L, "audio", Array[Byte](1, 2, 3), "t")),
+          partitions = 1)
+        .collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    assert(messages(e).exists(_.contains("not a decodable audio")), messages(e))
+  }
+
   test("non-image payload fails loudly, not with fake dimensions") {
     val e = intercept[Exception] {
       Multimodal.extractFeatures(

@@ -21,6 +21,49 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     fmt(SparkEntry.queries(name)(spark, sf))
 
+  test("p42: sequence dedup plans no pairwise joins, one gram shuffle") {
+    val p = plan("p42_repeated_spans")
+    // nothing quadratic: the whole operator is explode → count → semi →
+    // window → doc-keyed joins — a cartesian or nested-loop node here
+    // means a candidate-generation regression
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the seed-merge windows run per doc (lag + running sum share one
+    // doc_id sort/exchange — windowspecdefinition keyed on doc_id)
+    assert("windowspecdefinition\\(doc_id#\\d+L, pos#".r
+        .findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
+  test("triage: the gated batch is checkpoint-fenced so gate maps stay off the scan side") {
+    import graft.operators.{Decontaminate, Ingest, ShingleIndex}
+    import spark.implicits._
+    val docs = Tables.df(spark, sf, "documents").select(col("doc_id"), col("text"))
+    try {
+      ShingleIndex.build(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", "graft_plan_t")
+      val sketch = Decontaminate.gramSketch(
+        Decontaminate.evalGrams(docs.limit(3).select(col("text")), "text", 8)
+          .select(col("g")), estimatedGrams = 1L << 12)
+      val out = Ingest.triage(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", Ingest.Config("graft_plan_t", Some(sketch)))
+      val p = fmt(out)
+      // the localCheckpoint boundary must be present: without it,
+      // Catalyst pushes the survivors filter (gate chain inlined) below
+      // the id repartition onto the raw scan — the measured 11s-vs-0.5s
+      // serialization at sf0.1
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        p.take(1200))
+      // and the Bloom probe must NOT appear above any parquet scan of
+      // the batch (it evaluates before the fence, post-repartition)
+      val scanSection = p.linesIterator
+        .dropWhile(l => !l.contains("Scan parquet"))
+        .takeWhile(l => !l.contains("ExistingRDD")).mkString("\n")
+      assert(!scanSection.contains("graft_might_contain"), scanSection.take(600))
+    } finally Seq("graft_plan_t_idx", "graft_plan_t_sh", "graft_plan_t_meta")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("q2: predicate pushes into the parquet scan") {
     val p = plan("q2_filter_pushdown")
     val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p).get.group(1)

@@ -255,4 +255,68 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows(1L) == ((1L, 1L)))
     assert(rows(2L) == ((0L, 0L)))
   }
+
+  test("streaming ingest round: cross-batch dedup via the growing index, batch-id idempotence") {
+    import graft.operators.{Ingest, ShingleIndex}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seedDoc = "the curious archivist catalogued seventeen manuscripts " +
+      "before noon and annotated each margin with meticulous cross references"
+    val novelA = "a genuinely novel composition about tidal estuaries and " +
+      "the migratory herons that patrol them at first light every autumn"
+    val nearDupA = "a genuinely novel composition about tidal estuaries and " +
+      "the migratory herons that patrol them at first light every winter"
+    val novelB = "completely fresh material on basalt columns and the slow " +
+      "geometry of cooling lava fields under a patient northern sky"
+    val novelC = "an unrelated treatise concerning clockwork automata and " +
+      "the patient craft of repairing their worn brass escapements nightly"
+    val cfg = Ingest.Config("graft_sing", minTokens = 5)
+    try {
+      ShingleIndex.build(Seq((1L, seedDoc)).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_sing")
+      val fates = scala.collection.concurrent.TrieMap[Long, (String, Option[Long])]()
+      val batchIds = scala.collection.mutable.ListBuffer[Long]()
+      val route: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+        batchIds += id
+        df.collect().foreach(r => fates(r.getAs[Long]("doc_id")) =
+          (r.getAs[String]("fate"),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+      }
+      val in = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ing_ckpt")
+      val q = Streams.ingestTriage(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", cfg, ckpt.toString, route)
+      in.addData((10L, novelA), (11L, "too short"))
+      q.processAllAvailable()
+      in.addData((20L, nearDupA), (21L, novelB))
+      q.processAllAvailable()
+      q.stop()
+      assert(fates(10L)._1 == "accepted")
+      assert(fates(11L)._1 == "low_quality")
+      // the batch-2 doc near-dups a doc ACCEPTED in batch 1: only the
+      // between-batch index append can know that
+      assert(fates(20L) == (("duplicate", Some(10L))))
+      assert(fates(21L)._1 == "accepted")
+      // idempotence: replaying a committed batch id must do NOTHING —
+      // no route call, no index growth (foreachBatch replays after
+      // failures; a replayed append would inflate df counts)
+      val postings = spark.table("graft_sing_idx").count()
+      val calls = batchIds.size
+      Streams.ingestBatch(Seq((99L, novelC)).toDF("doc_id", "text"),
+        batchIds.head, "doc_id", "text", cfg, route)
+      assert(spark.table("graft_sing_idx").count() == postings)
+      assert(batchIds.size == calls)
+      assert(!fates.contains(99L))
+      // ...while a NEW batch id processes normally
+      Streams.ingestBatch(Seq((99L, novelC)).toDF("doc_id", "text"),
+        batchIds.max + 1, "doc_id", "text", cfg, route)
+      assert(fates(99L)._1 == "accepted")
+      assert(spark.table("graft_sing_idx").count() > postings)
+    } finally {
+      Seq("graft_sing_idx", "graft_sing_sh", "graft_sing_meta",
+        "graft_sing_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
 }
