@@ -191,14 +191,21 @@ object Xlsx extends Serializable {
     } yield part
     viaDirectory.orElse {
       // no directory (or no rels): only honor "first sheet" requests.
-      // Order NUMERICALLY on the digits in the part name — lexicographic
-      // order picks sheet10.xml over sheet2.xml in ≥10-sheet workbooks
+      // Only parts DIRECTLY under xl/worksheets/ ending in .xml count —
+      // xl/worksheets/_rels/sheet1.xml.rels is relationship XML, not a
+      // sheet, and must never win the fallback. Order NUMERICALLY on
+      // the digits in the part name (lexicographic order picks
+      // sheet10.xml over sheet2.xml in ≥10-sheet workbooks); a
+      // digitless name (a lone sheet.xml) sorts first, not last.
       if (sheetName.isDefined) None
-      else parts.view.filterKeys(_.startsWith("xl/worksheets/"))
+      else parts.view.filterKeys { k =>
+        k.startsWith("xl/worksheets/") && k.endsWith(".xml") &&
+          !k.stripPrefix("xl/worksheets/").contains('/')
+      }
         .toSeq
         .sortBy { case (name, _) =>
           val digits = name.filter(_.isDigit)
-          (if (digits.isEmpty) Long.MaxValue else digits.take(18).toLong, name)
+          (if (digits.isEmpty) 0L else digits.take(18).toLong, name)
         }
         .headOption.map(_._2)
     }

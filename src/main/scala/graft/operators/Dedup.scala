@@ -388,8 +388,13 @@ object Dedup {
         coalesce(col("n_runs"), lit(0L)).as("n_runs"),
         coalesce(col("max_run_len"), lit(0)).as("max_run_len"),
         // sequence(0, size-1) counts DOWN for an empty array (phantom
-        // negative indices) — the empty doc takes the literal branch
-        md5(when(size(col("toks")) === 0, lit(""))
+        // negative indices) — the empty doc takes the literal branch.
+        // coalesce: a NULL text yields NULL toks (size NULL under
+        // ANSI), whose when(NULL === 0) would fall through to the
+        // otherwise branch and propagate NULL through md5 — while the
+        // oracle's md5(COALESCE(kept, '')) says md5('') — so the empty
+        // and null docs must BOTH take the literal branch
+        md5(when(coalesce(size(col("toks")), lit(0)) === 0, lit(""))
           .otherwise(array_join(expr(
             "filter(transform(sequence(0, size(toks) - 1), " +
               "i -> IF(exists(_runs, r -> i >= r.rs AND i <= r.re), " +

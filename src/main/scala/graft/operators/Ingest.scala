@@ -20,11 +20,16 @@ import org.apache.spark.sql.functions._
   *      indexed doc is a duplicate; of a new×new pair, the smaller id
   *      is kept (deterministic keeper rule, same as Dedup.exact).
   *
-  * [[triage]] is a pure DataFrame → DataFrame: one row per batch doc
-  * with its redacted text and FATE, no forced actions, no state
-  * mutation — the caller routes rows by fate (accepted → corpus sink +
+  * [[triage]] is a DataFrame → DataFrame with no state mutation: one
+  * row per batch doc with its redacted text and FATE — the caller
+  * routes rows by fate (accepted → corpus sink +
   * [[ShingleIndex.append]]; duplicate/contaminated → quarantine) and
-  * owns when the index mutates. Fates are assigned in pipeline order:
+  * owns when the index mutates. NOT fully lazy: building the frame
+  * runs the gate stages once (the localCheckpoint fence below) plus
+  * the index probe's batch-keyed partition lookup — bounded by the
+  * batch, never the corpus, but real driver-blocking jobs at call
+  * time; construct triage when you mean to run it. Fates are assigned
+  * in pipeline order:
   * a doc failing multiple gates reports the FIRST (cheapest) one, and
   * dedup runs only among gate-survivors — a low-quality doc is never a
   * duplicate's keeper.

@@ -119,11 +119,19 @@ object Multimodal {
     def decode(row: MediaRow): Features = {
       val img = read(row)
       val (w, h) = (img.getWidth, img.getHeight)
+      // bulk row reads, not per-pixel getRGB(x, y): the bulk accessor
+      // amortizes the sRGB conversion + bounds machinery per ROW
+      // (identical ARGB values), which is an order of magnitude on a
+      // multi-megapixel photo in the hot executor decode loop; one
+      // reused w-int buffer keeps the transient footprint a row, not
+      // the image
+      val rowBuf = new Array[Int](w)
       var sum = 0L
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
         var x = 0
-        while (x < w) { sum += img.getRGB(x, y) & 0xffffffffL; x += 1 }
+        while (x < w) { sum += rowBuf(x) & 0xffffffffL; x += 1 }
         y += 1
       }
       Features(row.media_id, row.kind, row.payload.length, sum, w, h)

@@ -440,7 +440,8 @@ object Similarity {
     // degrade (zip_with truncates) instead of erroring. One sampled row
     // per side — a 1-row take, not a scan.
     for (df <- Seq(queries, corpus);
-        r <- df.select(size(col(vecCol)).as("d")).take(1)) {
+        r <- df.select(size(col(vecCol)).as("d")).take(1)
+        if !r.isNullAt(0)) { // a NULL sampled vector: nothing to check
       require(r.getInt(0) == dim,
         s"lshTopK(dim = $dim) but '$vecCol' vectors have ${r.getInt(0)} " +
           "elements — pass the actual embedding width")

@@ -1562,8 +1562,17 @@ object Pipeline {
     // count) is sized to the ≤sf0.1 bench corpora; production sizes it
     // up with the corpus (build's scaladoc).
     import spark.implicits._
+    // the fingerprint must depend on the TEXTS, not just ids: the
+    // driver's SF dirs share id ranges (sf0.001 and sf0.01 both carry
+    // doc_id 0..499 with different texts), so a (count, id-sum) key
+    // collides across SFs and a same-JVM SF switch — Bench warms every
+    // query at the sf0.01 sibling dir — would silently triage against
+    // the wrong corpus' index. hash32 over (id, md5(text)) sums stay
+    // far below Long range at any realistic corpus size (no ANSI
+    // overflow: 2^32 per row ⇒ 2^63 needs ~2^31 rows).
     val fp = corpus.agg(count(lit(1)).cast("long").as("n"),
-      sum(col("doc_id")).cast("long").as("ids")).head()
+      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
+        md5(coalesce(col("text"), lit("")))))).cast("long").as("ids")).head()
     val fpOk = spark.catalog.tableExists("graft_p41_fp") &&
       spark.catalog.tableExists("graft_p41_meta") && {
         val r = spark.table("graft_p41_fp").head()

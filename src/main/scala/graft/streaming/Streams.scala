@@ -277,15 +277,19 @@ object Streams {
     * so later micro-batches dedup against earlier ones — the
     * cross-batch memory a stateless per-row gate cannot have.
     *
-    * Exactly-once: foreachBatch RE-EXECUTES a batch after a failure,
-    * and an index append is not naturally idempotent (re-appended
-    * postings would inflate df counts and re-pair docs with
-    * themselves). The guard is the standard batch-id ledger: ids land
-    * in `{index}_batches` AFTER a successful append, and a replayed id
-    * skips both route and append. Route actions that are not
-    * themselves idempotent should participate in the same ledger
-    * transactionally on their own sink (e.g. Delta txn), which is out
-    * of this library's hands — documented, not hidden. */
+    * Replay guard, honestly scoped: foreachBatch RE-EXECUTES a batch
+    * after a failure, and an index append is not naturally idempotent
+    * (re-appended postings would inflate df counts and re-pair docs
+    * with themselves). The batch-id ledger in `{index}_batches` makes
+    * a replay of any COMMITTED batch a no-op — but the append and the
+    * ledger insert are two writes, so a crash in the window between
+    * them re-appends on replay. This is at-least-once with a
+    * replay-guard, NOT exactly-once: closing the window needs the
+    * postings and the ledger row in one transactional sink
+    * (Delta/Iceberg commit), which plain bucketed parquet tables
+    * cannot express — documented, not hidden. The same applies to
+    * `route`: non-idempotent route actions should key off the batch id
+    * on their own sink. */
   def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, cfg: graft.operators.Ingest.Config,
       route: (DataFrame, Long) => Unit): Unit = {

@@ -377,6 +377,18 @@ class EtlSpec extends AnyFunSuite {
       "xl/worksheets/sheet10.xml" -> ws(inlineRow(1, "tenth")),
       "xl/worksheets/sheet2.xml" -> ws(inlineRow(1, "second")))
     assert(Xlsx.parse(bytes).header == Vector("second"))
+    // relationship XML under xl/worksheets/_rels/ is NOT a sheet and
+    // must never win the fallback despite its low digit sort key
+    val withRels = zipBytes(
+      "xl/worksheets/_rels/sheet1.xml.rels" ->
+        """<?xml version="1.0"?><Relationships/>""".getBytes("UTF-8"),
+      "xl/worksheets/sheet2.xml" -> ws(inlineRow(1, "second")))
+    assert(Xlsx.parse(withRels).header == Vector("second"))
+    // a minimal producer's lone digitless sheet.xml sorts first
+    val digitless = zipBytes(
+      "xl/worksheets/sheet.xml" -> ws(inlineRow(1, "only")),
+      "xl/worksheets/extra7.xml" -> ws(inlineRow(1, "numbered")))
+    assert(Xlsx.parse(digitless).header == Vector("only"))
   }
 
   test("xlsx zip-bomb guard refuses oversized decompressed parts") {

@@ -101,6 +101,23 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(got == brute(docs, W))
   }
 
+  test("NULL text hashes like the empty doc, matching the SQL oracle") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType, false),
+      StructField("text", StringType, true)))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, null), Row(2L, ""), Row(3L, "real words here")), schema)
+    val out = Dedup.repeatedSpanDedup(df, "doc_id", "text", W)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("kept_text_hash")).toMap
+    // the oracle's md5(COALESCE(kept, '')) yields md5('') for both the
+    // NULL and the empty doc — Spark must agree, not produce NULL
+    assert(out(1L) == md5hex(""), out(1L))
+    assert(out(2L) == md5hex(""))
+    assert(out(3L) == md5hex("real words here"))
+  }
+
   test("fixture corpus: planted near-dups yield real spans at default width") {
     val docs = Tables.df(spark, "/root/testdata/sf0.001", "documents")
     val out = Dedup.repeatedSpanDedup(docs, "doc_id", "text")
