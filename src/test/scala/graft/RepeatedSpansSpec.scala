@@ -101,6 +101,29 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(got == brute(docs, W))
   }
 
+  test("property: operator == brute force on random small-vocab corpora") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // a 12-word vocabulary makes repeated trigrams arise NATURALLY in
+    // random text (cross-doc, self-repeats, overlapping merges) rather
+    // than only where a fixture planted them; seeded so CI reproduces
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val vocab = Vector("ash", "birch", "cedar", "dusk", "elm", "fern",
+      "glade", "heath", "iris", "juniper", "kelp", "larch")
+    val doc = Gen.chooseNum(0, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    for (round <- 1 to 4) {
+      val docs = sample(Gen.listOfN(12, doc), 100L + round)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = viaOperator(docs, w = 3)
+      val expect = brute(docs, w = 3)
+      assert(got == expect, s"round $round diverged on corpus: $docs")
+      assert(expect.values.exists(_._2 > 0),
+        s"round $round generated no repeats — vocabulary too wide for the property to bite")
+    }
+  }
+
   test("NULL text hashes like the empty doc, matching the SQL oracle") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
