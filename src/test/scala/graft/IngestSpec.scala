@@ -77,4 +77,45 @@ class IngestSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("p41's Bloom gate is FP-free at the gated SF: sketch verdicts == exact overlap") {
+    // The p41 oracle reproduces the Bloom gate as EXACT distinct-gram
+    // overlap, on the argument that the 1<<18-key sketch's false-
+    // positive mass is far below one row at the driver's SFs. That
+    // argument is load-bearing — this test MEASURES it on the real
+    // sf0.01 corpus with the real p41 split and parameters: every
+    // per-doc verdict (and hit count) from the sketch must equal the
+    // exact-set answer. If data or parameters ever grow past the
+    // sketch, this fails before the driver's gate does.
+    import graft.functions.TextFns._
+    import graft.operators.{Corpus, Decontaminate}
+    val docs = Tables.df(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("text"))
+    val evalDocs = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
+    val evalG = Decontaminate.evalGrams(evalDocs, "text", 8)
+    val sketch = Decontaminate.gramSketch(evalG.select(col("g")),
+      estimatedGrams = 1L << 18)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), Corpus.redactText(col("text")).as("text"))
+    val viaSketch = graft.streaming.Streams
+      .bloomDecontaminated(batch, sketch, "text", 8, 2)
+      .select(col("doc_id"), col("eval_gram_hits"), col("contaminated"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // exact: per-doc DISTINCT GRAM STRINGS whose hash60 is in the eval
+    // hash set — counted per string entry, the probe's own semantics
+    val exact = batch
+      .select(col("doc_id"),
+        explode(wordShingles(tokens(normText(col("text"))), 8)).as("s"))
+      .withColumn("g", hash60(col("s")))
+      .join(evalG.select(col("g")).distinct(), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    val exactMap = exact.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = batch.select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id, exactMap.getOrElse(id, 0L),
+        exactMap.getOrElse(id, 0L) >= 2)).toSet
+    assert(viaSketch == expect)
+    // the planted eval overlap is nonempty — the test has teeth
+    assert(expect.exists(_._3), "no contaminated docs in the fixture split")
+  }
 }
