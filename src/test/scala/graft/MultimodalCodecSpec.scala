@@ -130,6 +130,27 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(s.getAs[Double]("rms") == 0.0)
   }
 
+  test("8-bit PCM WAV decodes through the unsigned branch") {
+    import javax.sound.sampled._
+    // constant half-scale signal: 8-bit UNSIGNED PCM stores 128+64
+    val n = 800
+    val pcm = Array.fill[Byte](n)((128 + 64).toByte)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val r = Multimodal.extractAudioFeatures(
+      media(MediaRow(12L, "audio", bos.toByteArray, "t")), partitions = 1)
+      .collect().head
+    assert(r.getAs[Int]("bits") == 8)
+    assert(r.getAs[Long]("n_frames") == n.toLong)
+    // a constant 64/128 signal has RMS exactly 0.5
+    assert(math.abs(r.getAs[Double]("rms") - 0.5) < 1e-9,
+      r.getAs[Double]("rms").toString)
+  }
+
   test("non-audio payload fails loudly in the audio path") {
     val e = intercept[Exception] {
       Multimodal.extractAudioFeatures(

@@ -312,6 +312,36 @@ class StreamsSpec extends AnyFunSuite {
         batchIds.max + 1, "doc_id", "text", cfg, route)
       assert(fates(99L)._1 == "accepted")
       assert(spark.table("graft_sing_idx").count() > postings)
+      // REAL restart replay: delete the checkpoint's last commit marker
+      // (the crash window — foreachBatch ran, Spark hadn't recorded the
+      // commit) and restart the SAME source from the SAME checkpoint.
+      // Spark re-executes that batch id; the ledger must make it a
+      // no-op — no index growth, no extra route call for that id.
+      val commits = java.nio.file.Paths.get(ckpt.toString, "commits")
+      val lastCommit = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(commits)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .maxBy(_.getFileName.toString.toLong)
+        finally s.close()
+      }
+      java.nio.file.Files.delete(lastCommit)
+      // the local checksum fs keeps a .N.crc sidecar; leaving it makes
+      // the replayed commit's rename fail as a spurious "concurrent
+      // query" — a real crash would lose both files together
+      java.nio.file.Files.deleteIfExists(
+        lastCommit.resolveSibling("." + lastCommit.getFileName + ".crc"))
+      val beforeReplay = spark.table("graft_sing_idx").count()
+      val callsBefore = batchIds.size
+      val q2 = Streams.ingestTriage(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", cfg, ckpt.toString, route)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.table("graft_sing_idx").count() == beforeReplay,
+        "a replayed committed batch must not re-append postings")
+      assert(batchIds.size == callsBefore,
+        "a replayed committed batch must not re-route")
     } finally {
       Seq("graft_sing_idx", "graft_sing_sh", "graft_sing_meta",
         "graft_sing_batches")
