@@ -88,6 +88,41 @@ object Corpus {
           / (col("n_domains") * col("domain_tokens"))).as("mix_weight"))
   }
 
+  /** Token-budget selection — the "take the best N tokens" curation
+    * step (DCLM/FineWeb-style): within each group, rank docs by
+    * (score DESC, id ASC — a total order, so the kept set is unique and
+    * engine-independent) and keep the prefix whose RUNNING token total
+    * stays within `budget`. A doc is kept iff the cumulative tokens
+    * through itself fit; the first over-budget doc and everything below
+    * it drop, so kept token mass never exceeds the budget.
+    *
+    * Input is an already-SCORED frame — scoring (p09 heuristics, the
+    * learned classifier, LM score) is its own concern and any of them
+    * plugs in; this operator owns only ranking + the budget cut.
+    *
+    * Scale note, stated honestly: the window is a per-group total order
+    * — each group's rows sort (externally, spilling) within its
+    * partition, and a single giant group serializes through one task's
+    * sort. That is inherent to EXACT prefix-by-rank selection. The
+    * 100 TB variant trades exactness for two passes: a per-group score
+    * histogram picks the quality cutoff whose cumulative tokens cross
+    * the budget, then a stateless filter keeps score > cutoff
+    * (boundary bin approximated). This operator is the exact form;
+    * groups here are sources (few, bounded), not documents.
+    *
+    * @return scored plus (cum_tokens, kept), one row per input doc
+    */
+  def tokenBudgetSelect(scored: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, scoreCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"tokenBudgetSelect budget must be positive, got $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .withColumn("kept", col("cum_tokens") <= budget)
+  }
+
   /** Per-group EXACT interpolated quantiles of token counts (the
     * length-distribution audit every curation run starts from), computed
     * from a value histogram rather than a per-group sort: state is

@@ -517,6 +517,58 @@ object Pipeline {
        |FROM m""".stripMargin
   }
 
+  // token-budget curation: per-source budget for p43's selection cut
+  private val BudgetTokens = 50000L
+
+  /** Token-budget curation (operators/Corpus.tokenBudgetSelect): rank
+    * each source's docs by the p09 quality score (total order via the
+    * id tie-break) and keep the prefix whose running token total fits
+    * the budget — the "best N tokens per domain" selection step. */
+  private def p43(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val scored = p09(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source").as("grp")), "doc_id")
+    graft.operators.Corpus.tokenBudgetSelect(
+        scored, "doc_id", "grp", "n_tokens", "quality", BudgetTokens)
+      .select(col("doc_id"), col("grp"), col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"), col("cum_tokens"), col("kept"))
+  }
+
+  private val p43Sql = {
+    // p09's score CTEs verbatim (same constants), then the budget window
+    val toks = toksSql(normSql("text"))
+    val en = TextFns.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, source AS grp,
+       |    CAST(length(text) AS INT) AS n_chars_raw,
+       |    $toks AS toks,
+       |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS punct_chars
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, grp, n_chars_raw,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(len(list_filter(toks, tk -> list_contains($en, tk))) AS INT) AS stop_hits,
+       |    punct_chars
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, grp, n_tokens,
+       |    CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) ELSE
+       |      0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |      + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+       |      + 0.2 * (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_raw)
+       |    END AS quality
+       |  FROM m)
+       |SELECT doc_id, grp, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+       |  CAST(SUM(n_tokens) OVER (PARTITION BY grp
+       |    ORDER BY quality DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |  SUM(n_tokens) OVER (PARTITION BY grp
+       |    ORDER BY quality DESC, doc_id
+       |    ROWS UNBOUNDED PRECEDING) <= $BudgetTokens AS kept
+       |FROM q""".stripMargin
+  }
+
   private def p10(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.df(spark, dir, "documents")
     docs.select(col("doc_id"),
@@ -1841,5 +1893,6 @@ object Pipeline {
     QueryDef("p39_semantic_decontaminate", p39, Some(p39Sql)),
     QueryDef("p40_lm_score", p40, Some(p40Sql)),
     QueryDef("p41_ingest_triage", p41, Some(p41Sql)),
-    QueryDef("p42_repeated_spans", p42, Some(p42Sql)))
+    QueryDef("p42_repeated_spans", p42, Some(p42Sql)),
+    QueryDef("p43_token_budget", p43, Some(p43Sql)))
 }

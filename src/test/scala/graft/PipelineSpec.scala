@@ -592,6 +592,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(ns(None) == 1L && ns.values.sum == 2L)
   }
 
+  test("tokenBudgetSelect: prefix by (score desc, id), budget boundary inclusive") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "a", 40L, 0.9), (2L, "a", 40L, 0.8), (3L, "a", 40L, 0.7),
+      (4L, "a", 5L, 0.95), // high-quality small doc ranks first
+      (5L, "b", 200L, 0.5)) // single over-budget doc in its own group
+      .toDF("doc_id", "grp", "n_tokens", "score")
+    val out = Corpus.tokenBudgetSelect(
+        scored, "doc_id", "grp", "n_tokens", "score", 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("kept")))).toMap
+    // group a rank order: 4 (cum 5), 1 (45), 2 (85), 3 (125 > 100 drops)
+    assert(out(4L) == ((5L, true)))
+    assert(out(1L) == ((45L, true)))
+    assert(out(2L) == ((85L, true)))
+    assert(out(3L) == ((125L, false)))
+    // a doc that alone exceeds the budget is dropped, not truncated
+    assert(out(5L) == ((200L, false)))
+    // exact fit is INCLUSIVE: budget 125 keeps the boundary doc
+    val exact = Corpus.tokenBudgetSelect(
+        scored, "doc_id", "grp", "n_tokens", "score", 125L)
+      .filter(col("kept")).count()
+    assert(exact == 4L)
+  }
+
   test("top ngrams: known duplicated trigram ranks first, df exact, distinct-per-doc") {
     import spark.implicits._
     val d = Seq(
