@@ -470,19 +470,24 @@ object Pipeline {
        |FROM sc""".stripMargin
   }
 
-  private def p09(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.df(spark, dir, "documents")
+  /** The p09 quality-score frame, the ONE definition of the heuristic —
+    * p09 gates it directly and p43 composes on it with `extra`
+    * passthrough columns (so budget selection never re-scans documents
+    * to re-attach its group column). */
+  private def qualityFrame(docs: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
     val toks = TextFns.tokens(TextFns.normText(col("text")))
     val en = TextFns.LangProfiles.head._2
-    docs.select(col("doc_id"), length(col("text")).as("n_chars_raw"),
-        toks.as("toks"),
-        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_chars"))
-      .select(col("doc_id"), col("n_chars_raw"),
+    val keep = extra.map(col)
+    docs.select(Seq(col("doc_id")) ++ keep ++ Seq(
+        length(col("text")).as("n_chars_raw"), toks.as("toks"),
+        length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_chars")): _*)
+      .select(Seq(col("doc_id")) ++ keep ++ Seq(col("n_chars_raw"),
         size(col("toks")).as("n_tokens"),
         TextFns.stopwordHits(col("toks"), en).as("stop_hits"),
-        col("punct_chars"))
-      .select(col("doc_id"), col("n_chars_raw"), col("n_tokens"),
-        col("stop_hits"), col("punct_chars"),
+        col("punct_chars")): _*)
+      .select(Seq(col("doc_id")) ++ keep ++ Seq(col("n_chars_raw"),
+        col("n_tokens"), col("stop_hits"), col("punct_chars"),
         // zero-token docs (empty/whitespace/punctuation-only) score 0
         // outright: the ratio terms are 0/0 there, and ANSI mode would
         // kill the whole job on one such row (n_tokens > 0 implies
@@ -491,74 +496,70 @@ object Pipeline {
           lit(0.5) * least(lit(1.0), col("n_tokens").cast("double") / 100.0)
           + lit(0.3) * (col("stop_hits").cast("double") / col("n_tokens"))
           + lit(0.2) * (lit(1.0) - col("punct_chars").cast("double") / col("n_chars_raw")))
-          .as("quality"))
+          .as("quality")): _*)
   }
 
-  private val p09Sql = {
+  private def p09(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(Tables.df(spark, dir, "documents"))
+
+  /** The p09 score CTE chain (t → m → q) — the one SQL definition,
+    * spliced by p09Sql and p43Sql. `extraDef` defines passthrough
+    * columns in the first CTE (", source AS grp"), `extraRef` carries
+    * them through the rest (", grp"). */
+  private def qualityCtes(extraDef: String = "",
+      extraRef: String = ""): String = {
     val toks = toksSql(normSql("text"))
     val en = TextFns.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH t AS (
-       |  SELECT doc_id, CAST(length(text) AS INT) AS n_chars_raw,
+    s"""t AS (
+       |  SELECT doc_id$extraDef, CAST(length(text) AS INT) AS n_chars_raw,
        |    $toks AS toks,
        |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS punct_chars
        |  FROM documents),
        |m AS (
-       |  SELECT doc_id, n_chars_raw,
+       |  SELECT doc_id$extraRef, n_chars_raw,
        |    CAST(len(toks) AS INT) AS n_tokens,
        |    CAST(len(list_filter(toks, tk -> list_contains($en, tk))) AS INT) AS stop_hits,
        |    punct_chars
-       |  FROM t)
-       |SELECT doc_id, n_chars_raw, n_tokens, stop_hits, punct_chars,
-       |  CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) ELSE
-       |    0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-       |    + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
-       |    + 0.2 * (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_raw)
-       |  END AS quality
-       |FROM m""".stripMargin
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id$extraRef, n_chars_raw, n_tokens, stop_hits, punct_chars,
+       |    CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) ELSE
+       |      0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+       |      + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+       |      + 0.2 * (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_raw)
+       |    END AS quality
+       |  FROM m)""".stripMargin
   }
 
-  // token-budget curation: per-source budget for p43's selection cut
-  private val BudgetTokens = 50000L
+  private val p09Sql =
+    s"""WITH ${qualityCtes()}
+       |SELECT doc_id, n_chars_raw, n_tokens, stop_hits, punct_chars, quality
+       |FROM q""".stripMargin
+
+  // token-budget curation: per-source budget for p43's selection cut.
+  // 500 BINDS at every gated SF (measured per-source token mass: ~155
+  // at sf0.001, ~1.5k at sf0.01, ~14k at sf0.1) — a budget the corpus
+  // never reaches would leave the drop branch dead in the oracle gate.
+  private val BudgetTokens = 500L
 
   /** Token-budget curation (operators/Corpus.tokenBudgetSelect): rank
     * each source's docs by the p09 quality score (total order via the
     * id tie-break) and keep the prefix whose running token total fits
-    * the budget — the "best N tokens per domain" selection step. */
+    * the budget — the "best N tokens per domain" selection step. One
+    * documents scan: the group column rides through [[qualityFrame]]. */
   private def p43(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.df(spark, dir, "documents")
-    val scored = p09(spark, dir)
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
-      .join(docs.select(col("doc_id"), col("source").as("grp")), "doc_id")
+    val scored = qualityFrame(Tables.df(spark, dir, "documents"),
+        extra = Seq("source"))
+      .select(col("doc_id"), col("source").as("grp"),
+        col("n_tokens"), col("quality"))
     graft.operators.Corpus.tokenBudgetSelect(
         scored, "doc_id", "grp", "n_tokens", "quality", BudgetTokens)
       .select(col("doc_id"), col("grp"), col("n_tokens").cast("long").as("n_tokens"),
         col("quality"), col("cum_tokens"), col("kept"))
   }
 
-  private val p43Sql = {
-    // p09's score CTEs verbatim (same constants), then the budget window
-    val toks = toksSql(normSql("text"))
-    val en = TextFns.LangProfiles.head._2.map(w => s"'$w'").mkString("[", ",", "]")
-    s"""WITH t AS (
-       |  SELECT doc_id, source AS grp,
-       |    CAST(length(text) AS INT) AS n_chars_raw,
-       |    $toks AS toks,
-       |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS punct_chars
-       |  FROM documents),
-       |m AS (
-       |  SELECT doc_id, grp, n_chars_raw,
-       |    CAST(len(toks) AS INT) AS n_tokens,
-       |    CAST(len(list_filter(toks, tk -> list_contains($en, tk))) AS INT) AS stop_hits,
-       |    punct_chars
-       |  FROM t),
-       |q AS (
-       |  SELECT doc_id, grp, n_tokens,
-       |    CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE) ELSE
-       |      0.5 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
-       |      + 0.3 * (CAST(stop_hits AS DOUBLE) / n_tokens)
-       |      + 0.2 * (1.0 - CAST(punct_chars AS DOUBLE) / n_chars_raw)
-       |    END AS quality
-       |  FROM m)
+  private val p43Sql =
+    s"""WITH ${qualityCtes(", source AS grp", ", grp")}
        |SELECT doc_id, grp, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
        |  CAST(SUM(n_tokens) OVER (PARTITION BY grp
        |    ORDER BY quality DESC, doc_id
@@ -567,7 +568,6 @@ object Pipeline {
        |    ORDER BY quality DESC, doc_id
        |    ROWS UNBOUNDED PRECEDING) <= $BudgetTokens AS kept
        |FROM q""".stripMargin
-  }
 
   private def p10(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.df(spark, dir, "documents")
@@ -1578,9 +1578,12 @@ object Pipeline {
        |FROM t LEFT JOIN s ON s.doc_id = t.doc_id""".stripMargin
   }
 
-  // n-gram width / hit floor for the ingest Bloom gate (Config defaults)
-  private val IngestBloomN = 8
-  private val IngestBloomMinHits = 2
+  // n-gram width / hit floor / sketch size for the ingest Bloom gate —
+  // package-visible so IngestSpec's FP-freedom measurement certifies
+  // THESE parameters, not a re-typed copy that could silently drift
+  private[graft] val IngestBloomN = 8
+  private[graft] val IngestBloomMinHits = 2
+  private[graft] val IngestSketchGrams = 1L << 18
 
   /** The composed production ingest round (operators/Ingest.triage),
     * driver-gated end to end: docs ≢0 (mod 3) are the INDEXED corpus
@@ -1640,7 +1643,7 @@ object Pipeline {
     val sketch = graft.operators.Decontaminate.gramSketch(
       graft.operators.Decontaminate
         .evalGrams(evalDocs, "text", IngestBloomN).select(col("g")),
-      estimatedGrams = 1L << 18)
+      estimatedGrams = IngestSketchGrams)
     graft.operators.Ingest.triage(batch, "doc_id", "text",
       graft.operators.Ingest.Config("graft_p41", Some(sketch),
         bloomN = IngestBloomN, bloomMinHits = IngestBloomMinHits,

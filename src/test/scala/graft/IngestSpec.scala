@@ -89,23 +89,26 @@ class IngestSpec extends AnyFunSuite {
     // sketch, this fails before the driver's gate does.
     import graft.functions.TextFns._
     import graft.operators.{Corpus, Decontaminate}
+    import graft.queries.Pipeline.{IngestBloomMinHits, IngestBloomN, IngestSketchGrams}
     val docs = Tables.df(spark, "/root/testdata/sf0.01", "documents")
       .select(col("doc_id"), col("text"))
     val evalDocs = docs.filter(col("doc_id") % 97 === 0).select(col("text"))
-    val evalG = Decontaminate.evalGrams(evalDocs, "text", 8)
+    val evalG = Decontaminate.evalGrams(evalDocs, "text", IngestBloomN)
     val sketch = Decontaminate.gramSketch(evalG.select(col("g")),
-      estimatedGrams = 1L << 18)
+      estimatedGrams = IngestSketchGrams)
     val batch = docs.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id"), Corpus.redactText(col("text")).as("text"))
     val viaSketch = graft.streaming.Streams
-      .bloomDecontaminated(batch, sketch, "text", 8, 2)
+      .bloomDecontaminated(batch, sketch, "text", IngestBloomN,
+        IngestBloomMinHits)
       .select(col("doc_id"), col("eval_gram_hits"), col("contaminated"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     // exact: per-doc DISTINCT GRAM STRINGS whose hash60 is in the eval
     // hash set — counted per string entry, the probe's own semantics
     val exact = batch
       .select(col("doc_id"),
-        explode(wordShingles(tokens(normText(col("text"))), 8)).as("s"))
+        explode(wordShingles(tokens(normText(col("text"))), IngestBloomN))
+          .as("s"))
       .withColumn("g", hash60(col("s")))
       .join(evalG.select(col("g")).distinct(), Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
@@ -113,7 +116,7 @@ class IngestSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expect = batch.select(col("doc_id")).collect().map(_.getLong(0))
       .map(id => (id, exactMap.getOrElse(id, 0L),
-        exactMap.getOrElse(id, 0L) >= 2)).toSet
+        exactMap.getOrElse(id, 0L) >= IngestBloomMinHits)).toSet
     assert(viaSketch == expect)
     // the planted eval overlap is nonempty — the test has teeth
     assert(expect.exists(_._3), "no contaminated docs in the fixture split")
