@@ -321,7 +321,14 @@ object Streams {
     * over the seed corpus first); `checkpoint` is the stream's normal
     * recovery location. Stages 1–3 are stateless per-row maps; stage 4
     * is batch-bounded against the index — no unbounded state store
-    * anywhere, the same 100 TB story as the batch round. */
+    * anywhere, the same 100 TB story as the batch round.
+    *
+    * Single writer per index: the ledger read/append and the index
+    * append assume one active ingest stream owns `cfg.indexName`
+    * (checkpointed streams already enforce one query per checkpoint;
+    * running a SECOND stream against the same index would interleave
+    * appends outside the ledger's guard). Fan ingest sources into one
+    * stream (union) rather than running parallel writers. */
   def ingestTriage(docs: DataFrame, idCol: String, textCol: String,
       cfg: graft.operators.Ingest.Config, checkpoint: String,
       route: (DataFrame, Long) => Unit)
