@@ -64,11 +64,28 @@ object IvfIndex {
     val spark = queries.sparkSession
     val centroids = spark.table(s"${name}_cent")
     val q = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv")
+    // persisted: feeds the probed-cell collect below AND the probe join
+    // (without it the |Q|·nCells assignment cosines run twice) — same
+    // caller-clears-cache convention as the pair operators
     val probes = Similarity.assignCells(q, "query_id", "qv", centroids,
-      nProbe)
+      nProbe).persist()
+    // FILE pruning — the IVF mirror of ShingleIndex's partition filter:
+    // a batch can only match cells it PROBES, so the (≤ |Q|·nProbe,
+    // tiny) probed list_ids push down as a static filter on the bucket
+    // column, and Spark's bucket pruning skips every unprobed cell's
+    // files at planning. Decisive for small batches (single-query
+    // lookups read nProbe cells' files, not the corpus); self-disabling
+    // when the batch probes every cell, where an always-true isin would
+    // cost a per-row check and prune nothing.
+    val nCells = centroids.count() // O(K) table
+    val probed = probes.select(col("list_id")).distinct()
+      .collect().map(_.get(0))
+    val cells0 = spark.table(s"${name}_cells")
+    val cells = if (probed.length < nCells)
+      cells0.filter(col("list_id").isin(probed: _*)) else cells0
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(spark.table(s"${name}_cells"), Seq("list_id"))
+    probes.join(cells, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (Similarity.dot(col("qv"), col("cv"))

@@ -49,4 +49,38 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally Seq("graft_ivf_cells", "graft_ivf_cent")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("small query batches prune cell-store BUCKETS, results unchanged") {
+    // one query probing 2 of 16 cells: the probed-list_id filter must
+    // surface as bucket pruning on the stored scan (SelectedBucketsCount
+    // below the total), the single-lookup latency path at 100 TB
+    val one = embs.filter(col("vec_id") === 0)
+    try {
+      IvfIndex.build(embs, "vec_id", "embedding", "graft_ivf2",
+        nCells = 16, buckets = 16)
+      val viaIndex = IvfIndex.topK(
+        one, "vec_id", "embedding", "graft_ivf2", k = 5, nProbe = 2)
+      val got = resultSet(viaIndex)
+      assert(got == resultSet(Similarity.ivfTopK(
+        one, embs, "vec_id", "embedding", 5, nCells = 16, nProbe = 2)))
+      assert(got.nonEmpty)
+      val plan = viaIndex.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined,
+        s"expected bucket pruning on the cell store:\n${plan.take(1500)}")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt, sel.get.matched)
+      // a batch probing EVERY cell self-disables the filter: the
+      // bucketed scan reports no bucket ruled out (Spark prints the
+      // count on bucketed scans unconditionally, so assert equality,
+      // not absence)
+      val all = IvfIndex.topK(embs.limit(40), "vec_id", "embedding",
+        "graft_ivf2", k = 3, nProbe = 16)
+      val allSel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(all.queryExecution.executedPlan.toString)
+      allSel.foreach(m => assert(m.group(1) == m.group(2),
+        s"full-probe batches must not prune buckets: ${m.matched}"))
+    } finally Seq("graft_ivf2_cells", "graft_ivf2_cent")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
