@@ -168,18 +168,27 @@ object Xlsx extends Serializable {
       chosen <- sheetName.fold(sheets.headOption)(n =>
         sheets.find(_.getAttribute("name") == n))
       // the relationship id lives in the `r` namespace, but this parse
-      // is namespace-unaware: match the attribute by LOCAL name so a
-      // producer prefixing it differently (ns0:id) still resolves
-      // instead of silently yielding "" and falling back to the wrong
-      // sheet
+      // is namespace-unaware. Prefer the exact node names every
+      // mainstream producer writes ("r:id"; bare "id" for a default-
+      // namespace producer) and only then fall back to a local-name
+      // scan for odd prefixes (ns0:id) — exact-first stops an
+      // unrelated attribute whose local name happens to be "id"
+      // (xmlns:id, foo:id) from winning on attribute-map order and
+      // mis-resolving the sheet. The fallback skips xmlns declarations
+      // for the same reason.
       rid <- {
         val attrs = chosen.getAttributes
-        (0 until attrs.getLength).iterator.map(attrs.item)
-          .find { a =>
-            val n = a.getNodeName
-            n.substring(n.indexOf(':') + 1) == "id"
-          }
-          .map(_.getNodeValue).filter(_.nonEmpty)
+        val exact: Option[org.w3c.dom.Node] =
+          Option(chosen.getAttributeNode("r:id"))
+            .orElse(Option(chosen.getAttributeNode("id")))
+        exact.orElse {
+          (0 until attrs.getLength).iterator.map(attrs.item)
+            .find { a =>
+              val n = a.getNodeName
+              n.substring(n.indexOf(':') + 1) == "id" &&
+                !n.startsWith("xmlns")
+            }
+        }.map(_.getNodeValue).filter(_.nonEmpty)
       }
       rel <- descendants(dom(rels).getDocumentElement, "Relationship")
         .find(_.getAttribute("Id") == rid)

@@ -61,6 +61,14 @@ object ShingleIndex {
 
   /** Create (overwrite) the index tables for `docs`.
     *
+    * Both data tables carry a `batch_id` PARTITION column (build writes
+    * everything as batch -1, the base corpus; [[append]] stamps its
+    * caller's id). It exists for crash repair, not for queries: undoing
+    * a half-committed append ([[pruneBatch]]) is then partition-
+    * directory surgery instead of a table rewrite. Every read path
+    * drops it; the extra directory level per ingest batch is the same
+    * file-growth trajectory the per-batch bucketed appends already had.
+    *
     * @param parts partition-directory count for `{name}_idx` (the file-
     *   pruning granularity). The posting write repartitions by `p` so
     *   file count stays ~parts·buckets (each task holds ~1 partition
@@ -75,54 +83,107 @@ object ShingleIndex {
     // normalize/tokenize/shingle scan runs twice — once per table
     val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
     try {
-      postings(sh, parts)
-        .write.partitionBy("p").bucketBy(buckets, "s").sortBy("s")
+      postings(sh, parts, BaseBatch)
+        .write.partitionBy("p", "batch_id").bucketBy(buckets, "s").sortBy("s")
         .mode("overwrite").saveAsTable(s"${name}_idx")
-      sh.write.bucketBy(buckets, "doc_id").mode("overwrite")
-        .saveAsTable(s"${name}_sh")
+      sh.withColumn("batch_id", lit(BaseBatch))
+        .write.partitionBy("batch_id").bucketBy(buckets, "doc_id")
+        .mode("overwrite").saveAsTable(s"${name}_sh")
       Seq((n, buckets, parts)).toDF("n", "buckets", "parts")
         .write.mode("overwrite").saveAsTable(s"${name}_meta")
     } finally sh.unpersist(blocking = false)
   }
 
+  /** The batch id [[build]] (and id-less [[append]] calls) write under:
+    * base-corpus rows, never prunable. */
+  val BaseBatch: Long = -1L
+
   /** DROP TABLE plus stale-directory cleanup: an in-memory catalog
     * forgets tables across JVMs while their warehouse directories
     * persist, and a leftover directory fails the next saveAsTable with
-    * LOCATION_ALREADY_EXISTS. Goes through the Hadoop FileSystem of the
-    * warehouse path, so any scheme (file/hdfs/s3a) works. Only
-    * graft-owned table names (this object, [[IvfIndex]], the p41 query
-    * fingerprint) are ever passed here. */
+    * LOCATION_ALREADY_EXISTS. When the table IS in the catalog, the
+    * data location is resolved from its metadata — a table created with
+    * a custom LOCATION (or living in a non-default database) does not
+    * sit at `<warehouse>/<name>`, and deleting the convention path
+    * would orphan its real data while killing an unrelated same-named
+    * directory. The warehouse-path convention applies only to the
+    * catalog-forgot-it case, where the convention is all that's left.
+    * Goes through the Hadoop FileSystem of the resolved path, so any
+    * scheme (file/hdfs/s3a) works. Only graft-owned table names (this
+    * object, [[IvfIndex]], the p41 query fingerprint) are ever passed
+    * here. */
   private[graft] def dropTable(spark: SparkSession, table: String): Unit = {
+    val loc: java.net.URI =
+      if (spark.catalog.tableExists(table))
+        spark.sessionState.catalog.getTableMetadata(
+          spark.sessionState.sqlParser.parseTableIdentifier(table)).location
+      else new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase).toUri
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val path = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val path = new org.apache.hadoop.fs.Path(loc)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
   }
 
-  /** (doc_id, s, p) postings in table-column order (partition col last),
-    * clustered by `p` so each write task emits ~1 partition directory. */
-  private def postings(sh: DataFrame, parts: Int): DataFrame =
+  /** (doc_id, s, p, batch_id) postings in table-column order (partition
+    * cols last), clustered by `p` so each write task emits ~1 partition
+    * directory per batch. */
+  private def postings(sh: DataFrame, parts: Int, batchId: Long): DataFrame =
     sh.select(col("doc_id"), explode(transform(col("shingles"),
         s => hash60(s))).as("s"))
       .withColumn("p", pmod(col("s"), lit(parts.toLong)))
+      .withColumn("batch_id", lit(batchId))
       .repartition(parts, col("p"))
 
   /** Append a batch to the index (plain bucketed inserts — the cap is
     * query-time, so no stored row ever needs rewriting). Call AFTER
     * running [[incrementalPairs]] for the batch, or its docs pair with
     * themselves twice. Ids must stay globally unique across all
-    * batches (same precondition as the in-memory operator). */
+    * batches (same precondition as the in-memory operator).
+    *
+    * @param batchId stamps the written partitions so a crash between
+    *   this append and the caller's commit record can be undone by
+    *   [[pruneBatch]] on replay. The default merges into the base
+    *   corpus (batch -1) — fine for one-shot batch ingest where the
+    *   caller has no replay, but a ledger-guarded stream MUST pass its
+    *   real batch id or replay repair has nothing to prune. */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      name: String): Unit = {
+      name: String, batchId: Long = BaseBatch): Unit = {
     val (n, _, parts) = meta(docs.sparkSession, name)
     // persisted for the same two-writes reason as in build
     val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
     try {
-      postings(sh, parts)
+      postings(sh, parts, batchId)
         .write.mode("append").insertInto(s"${name}_idx")
-      sh.write.mode("append").insertInto(s"${name}_sh")
+      sh.withColumn("batch_id", lit(batchId))
+        .write.mode("append").insertInto(s"${name}_sh")
     } finally sh.unpersist(blocking = false)
+  }
+
+  /** Undo every row batch `batchId` wrote to the index — the replay
+    * repair for a crash anywhere in the append→commit window (postings
+    * written but shingles not, or both written but the caller's ledger
+    * row not). Appends land in `batch_id=<id>` partition directories,
+    * so undoing one is DROP PARTITION surgery: no rewrite of any other
+    * batch's data, idempotent, and a batch that never appended is a
+    * no-op. Between the crash and the replay, readers may see the
+    * half-committed batch — the guarantee is convergence on restart,
+    * not isolation in the gap. */
+  def pruneBatch(spark: SparkSession, name: String, batchId: Long): Unit = {
+    require(batchId != BaseBatch, "the base corpus cannot be pruned")
+    Seq(s"${name}_idx", s"${name}_sh").foreach { t =>
+      // enumerate full specs via the partial spec (the _idx table is
+      // also partitioned by p), then drop each one
+      val specs = spark.sql(
+        s"SHOW PARTITIONS $t PARTITION (batch_id=$batchId)").collect()
+      specs.foreach { r =>
+        val spec = r.getString(0).split('/').map { kv =>
+          val Array(k, v) = kv.split("=", 2)
+          s"$k='$v'"
+        }.mkString(", ")
+        spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($spec)")
+      }
+    }
   }
 
   private def meta(spark: SparkSession, name: String): (Int, Int, Int) = {
@@ -157,7 +218,8 @@ object ShingleIndex {
       .distinct().collect().map(_.getLong(0))
     val idx0 = spark.table(s"${name}_idx")
     val idx = (if (batchP.length < parts)
-      idx0.filter(col("p").isin(batchP: _*)) else idx0).drop("p")
+      idx0.filter(col("p").isin(batchP: _*)) else idx0)
+      .drop("p", "batch_id")
     // ONLY batch-relevant postings ever matter — for candidates AND for
     // the cap check (an old-only over-cap shingle can't produce a
     // candidate: the probe side is batch-only). One semi-join keys the

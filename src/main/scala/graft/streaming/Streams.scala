@@ -277,19 +277,21 @@ object Streams {
     * so later micro-batches dedup against earlier ones — the
     * cross-batch memory a stateless per-row gate cannot have.
     *
-    * Replay guard, honestly scoped: foreachBatch RE-EXECUTES a batch
-    * after a failure, and an index append is not naturally idempotent
-    * (re-appended postings would inflate df counts and re-pair docs
-    * with themselves). The batch-id ledger in `{index}_batches` makes
-    * a replay of any COMMITTED batch a no-op — but the append and the
-    * ledger insert are two writes, so a crash in the window between
-    * them re-appends on replay. This is at-least-once with a
-    * replay-guard, NOT exactly-once: closing the window needs the
-    * postings and the ledger row in one transactional sink
-    * (Delta/Iceberg commit), which plain bucketed parquet tables
-    * cannot express — documented, not hidden. The same applies to
-    * `route`: non-idempotent route actions should key off the batch id
-    * on their own sink. */
+    * Replay guard: foreachBatch RE-EXECUTES a batch after a failure,
+    * and an index append is not naturally idempotent (re-appended
+    * postings would inflate df counts and re-pair docs with
+    * themselves). The batch-id ledger in `{index}_batches` makes a
+    * replay of any COMMITTED batch a no-op; for an UNCOMMITTED batch,
+    * the append stamps its rows under a `batch_id` partition and the
+    * replay first [[graft.operators.ShingleIndex.pruneBatch prunes]]
+    * whatever a crashed attempt half-committed (postings without
+    * shingles, or both without the ledger row) before redoing the
+    * work — so the INDEX converges to exactly-once on restart. Two
+    * honest limits remain: between a crash and the restart, index
+    * readers can see the half-committed batch (convergence, not
+    * isolation); and `route` still fires at-least-once — a
+    * non-idempotent route action must key off the batch id on its own
+    * sink. */
   def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, cfg: graft.operators.Ingest.Config,
       route: (DataFrame, Long) => Unit): Unit = {
@@ -300,6 +302,10 @@ object Streams {
       spark.table(ledger).filter(col("batch_id") === batchId)
         .head(1).nonEmpty
     if (!replayed) {
+      // crash repair: drop anything a previous attempt of THIS batch
+      // appended before dying short of the ledger row (no-op on the
+      // normal first run — the partitions don't exist)
+      graft.operators.ShingleIndex.pruneBatch(spark, cfg.indexName, batchId)
       val fates = graft.operators.Ingest.triage(batch, idCol, textCol, cfg)
         // one computation feeds route AND the accepted-side append
         .persist()
@@ -308,7 +314,7 @@ object Streams {
         graft.operators.ShingleIndex.append(
           fates.filter(col("fate") === "accepted")
             .select(col("doc_id"), col("text")),
-          "doc_id", "text", cfg.indexName)
+          "doc_id", "text", cfg.indexName, batchId)
         Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
       } finally fates.unpersist(blocking = false)
     }

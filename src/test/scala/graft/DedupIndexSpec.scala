@@ -138,4 +138,36 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally Seq("graft_t2_idx", "graft_t2_sh", "graft_t2_meta")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("dropTable deletes the table's CATALOG location, not a same-named warehouse dir") {
+    import java.nio.file.{Files, Paths}
+    val loc = Files.createTempDirectory("graft_ext_loc")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val decoy = Paths.get(warehouse, "graft_ext_t")
+    try {
+      // a table whose data lives at a CUSTOM location...
+      spark.sql("CREATE TABLE graft_ext_t (x INT) USING parquet " +
+        s"LOCATION '${loc.toUri}'")
+      spark.sql("INSERT INTO graft_ext_t VALUES (1), (2)")
+      // ...plus an UNRELATED directory sitting at the warehouse path the
+      // old convention would have resolved to
+      Files.createDirectories(decoy)
+      Files.write(decoy.resolve("bystander.txt"), "keep me".getBytes)
+      graft.operators.ShingleIndex.dropTable(spark, "graft_ext_t")
+      assert(!spark.catalog.tableExists("graft_ext_t"))
+      assert(!Files.exists(loc), "the table's real data dir must be cleaned")
+      assert(Files.exists(decoy.resolve("bystander.txt")),
+        "an unrelated same-named warehouse directory must survive")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ext_t")
+      Seq(decoy.resolve("bystander.txt"), decoy).foreach(Files.deleteIfExists)
+      if (Files.exists(loc)) {
+        val s = Files.walk(loc)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally s.close()
+      }
+    }
+  }
 }

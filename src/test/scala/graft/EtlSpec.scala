@@ -370,6 +370,38 @@ class EtlSpec extends AnyFunSuite {
     assert(second.header == Vector("b") && second.rows == Vector(Vector("2")))
   }
 
+  test("xlsx rid resolution: exact r:id beats other *:id attributes; xmlns:id never wins") {
+    val rels =
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin.getBytes("UTF-8")
+    val sheet = ws(inlineRow(1, "real") + inlineRow(2, "42"))
+    // an unrelated foo:id sits BEFORE r:id in document order: a
+    // first-local-name-match scan resolves the bogus value and the
+    // sheet lookup dies — the exact r:id node must win
+    val wbShadow =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships" xmlns:foo="urn:x">
+        |<sheets><sheet name="Only" sheetId="1" foo:id="rIdBOGUS" r:id="rId1"/></sheets></workbook>"""
+        .stripMargin.getBytes("UTF-8")
+    val shadowed = Xlsx.parse(zipBytes(
+      "xl/workbook.xml" -> wbShadow,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> sheet), Some("Only"))
+    assert(shadowed.header == Vector("real"))
+    // no exact r:id/id: the local-name fallback still resolves odd
+    // prefixes, but must skip the xmlns:id NAMESPACE DECLARATION that
+    // also has local name "id"
+    val wbDecl =
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:ns1="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="Only" sheetId="1" xmlns:id="urn:y" ns1:id="rId1"/></sheets></workbook>"""
+        .stripMargin.getBytes("UTF-8")
+    val declared = Xlsx.parse(zipBytes(
+      "xl/workbook.xml" -> wbDecl,
+      "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> sheet), Some("Only"))
+    assert(declared.header == Vector("real"))
+  }
+
   test("xlsx first-sheet fallback orders worksheet parts numerically") {
     // no workbook directory at all: sheet2 must beat sheet10 (a
     // lexicographic sort picks sheet10.xml first)

@@ -349,4 +349,60 @@ class StreamsSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("crash between index append and ledger commit: replay prunes the torn batch and converges") {
+    import graft.operators.{Ingest, ShingleIndex}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val seed = "the steadfast lighthouse keeper logged every passing vessel " +
+      "and polished the great lens at dusk without fail through the storm"
+    val docA = "an original essay on terraced vineyards and the stubborn " +
+      "mules that haul the harvest down switchback paths each october"
+    val docB = "fresh prose describing glassblowers at their furnaces and " +
+      "the patient breath that coaxes molten light into fragile vessels"
+    val cfg = Ingest.Config("graft_crash", minTokens = 5)
+    val noop: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) => {
+      df.count(); ()
+    }
+    try {
+      ShingleIndex.build(Seq((1L, seed)).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_crash")
+      Streams.ingestBatch(Seq((10L, docA)).toDF("doc_id", "text"),
+        0L, "doc_id", "text", cfg, noop)
+      val committed = spark.table("graft_crash_idx").count()
+      // simulate the crash window: batch 1's accepted docs were appended
+      // to the index, the JVM died BEFORE the ledger row — exactly the
+      // torn state ADVICE flagged as silently corrupting df counts
+      ShingleIndex.append(Seq((20L, docB)).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_crash", batchId = 1L)
+      val tornTotal = spark.table("graft_crash_idx").count()
+      assert(tornTotal > committed)
+      // foreachBatch re-executes the uncommitted batch on restart with
+      // the same id and the same data: the replay must prune the torn
+      // append first, so the index converges to exactly one copy
+      Streams.ingestBatch(Seq((20L, docB)).toDF("doc_id", "text"),
+        1L, "doc_id", "text", cfg, noop)
+      val idx = spark.table("graft_crash_idx")
+      assert(idx.count() == tornTotal,
+        "replay must land exactly the postings one clean append writes")
+      assert(idx.count() == idx.dropDuplicates("s", "doc_id").count(),
+        "no (s, doc_id) posting may be duplicated after replay")
+      assert(spark.table("graft_crash_sh")
+        .filter(col("doc_id") === 20L).count() == 1,
+        "the shingle store must hold the replayed doc exactly once")
+      // and the converged index behaves: a later near-dup of the
+      // replayed doc matches it exactly once
+      val nearB = docB.replace("fragile", "delicate")
+      val pairs = ShingleIndex.incrementalPairs(
+        Seq((30L, nearB)).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_crash")
+        .filter(col("match_id") === 20L).count()
+      assert(pairs == 1, "a torn-then-replayed doc must pair once, not twice")
+    } finally {
+      Seq("graft_crash_idx", "graft_crash_sh", "graft_crash_meta",
+        "graft_crash_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
 }
