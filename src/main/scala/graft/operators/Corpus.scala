@@ -104,11 +104,10 @@ object Corpus {
     * — each group's rows sort (externally, spilling) within its
     * partition, and a single giant group serializes through one task's
     * sort. That is inherent to EXACT prefix-by-rank selection. The
-    * 100 TB variant trades exactness for two passes: a per-group score
-    * histogram picks the quality cutoff whose cumulative tokens cross
-    * the budget, then a stateless filter keeps score > cutoff
-    * (boundary bin approximated). This operator is the exact form;
-    * groups here are sources (few, bounded), not documents.
+    * 100 TB variant is [[tokenBudgetHistogram]]: two stateless passes
+    * over the docs with all per-group state bounded by the bin count.
+    * This operator is the exact form; groups here are sources (few,
+    * bounded), not documents.
     *
     * @return scored plus (cum_tokens, kept), one row per input doc
     */
@@ -121,6 +120,64 @@ object Corpus {
     scored
       .withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
       .withColumn("kept", col("cum_tokens") <= budget)
+  }
+
+  /** The 100 TB form of [[tokenBudgetSelect]]: histogram-cutoff budget
+    * selection. No doc row is ever sorted or windowed — a giant domain
+    * streams through partial aggregation instead of serializing through
+    * one task's external sort. Two bounded passes:
+    *
+    *   1. per-group score range (one partial-aggregated shuffle of G
+    *      rows), then per-(group, bin) token mass over `bins` equal-
+    *      width score bins — state G×bins, independent of row count;
+    *   2. walk each group's histogram top-bin-down (a window over the
+    *      TINY G×bins frame) to the highest bin whose cumulative mass
+    *      EXCEEDS the budget; keep = stateless `bin > cutoff` filter
+    *      with the O(G) cutoff set broadcast back onto the docs.
+    *
+    * Approximation contract, stated exactly: bins partition scores, so
+    * every kept doc outranks every dropped one down to bin resolution,
+    * kept token mass never exceeds the budget, and it differs from the
+    * exact prefix cut only within the single boundary bin (the exact
+    * form also keeps the boundary-bin prefix that still fits). A group
+    * whose whole mass fits the budget keeps everything (no cutoff row
+    * → NULL-guarded keep-all, same as exact). Degenerate score range
+    * (one distinct score) collapses to one bin: all-or-nothing, the
+    * honest limit of score-resolution selection. CorpusSpec pins the
+    * subset + boundary-bin-bounded-gap properties against the exact
+    * operator.
+    *
+    * @return scored plus (score_bin, kept), one row per input doc
+    */
+  def tokenBudgetHistogram(scored: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, scoreCol: String, budget: Long,
+      bins: Int = 1024): DataFrame = {
+    require(budget > 0, s"tokenBudgetHistogram budget must be positive, got $budget")
+    require(bins > 1, s"tokenBudgetHistogram needs >1 bins, got $bins")
+    val g = col(groupCol)
+    val range = scored.groupBy(g).agg(
+      min(col(scoreCol)).as("_smin"), max(col(scoreCol)).as("_smax"))
+    // bin arithmetic mirrors the oracle SQL token-for-token: identical
+    // IEEE double ops on identical inputs give identical bins in both
+    // engines (same discipline as the p09/p40 scores)
+    val withBin = scored.join(broadcast(range), Seq(groupCol))
+      .withColumn("score_bin",
+        when(col("_smax") > col("_smin"),
+          least(floor((col(scoreCol) - col("_smin"))
+            / (col("_smax") - col("_smin")) * lit(bins)), lit(bins - 1L)))
+          .otherwise(lit(0L)).cast("int"))
+      .drop("_smin", "_smax")
+    val hist = withBin.groupBy(g, col("score_bin"))
+      .agg(sum(col(tokensCol).cast("long")).as("_btoks"))
+    val wTop = Window.partitionBy(g).orderBy(col("score_bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cut = hist.withColumn("_cum", sum(col("_btoks")).over(wTop))
+      .filter(col("_cum") > budget)
+      .groupBy(g).agg(max(col("score_bin")).as("_cutbin"))
+    withBin.join(broadcast(cut), Seq(groupCol), "left")
+      .withColumn("kept",
+        col("_cutbin").isNull || col("score_bin") > col("_cutbin"))
+      .drop("_cutbin")
   }
 
   /** Per-group EXACT interpolated quantiles of token counts (the

@@ -569,6 +569,58 @@ object Pipeline {
        |    ROWS UNBOUNDED PRECEDING) <= $BudgetTokens AS kept
        |FROM q""".stripMargin
 
+  // p43b bin count: coarse enough that the boundary bin really differs
+  // from the exact cut at the gated SFs (the approximation contract has
+  // a visible gap to pin), fine enough that kept mass lands close
+  private val BudgetBins = 64
+
+  /** Histogram-cutoff token budget (operators/Corpus
+    * .tokenBudgetHistogram) — p43's selection recomputed the way a
+    * 100 TB run must: no per-doc window, per-group state bounded by
+    * the bin count. Same one-scan scoring frame as p43; the oracle
+    * reproduces the bin arithmetic token-for-token, so the gate proves
+    * the approximate path's EXACT semantics (which docs each bin holds
+    * and where the cutoff lands), not just its aggregate mass. */
+  private def p43b(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityFrame(Tables.df(spark, dir, "documents"),
+        extra = Seq("source"))
+      .select(col("doc_id"), col("source").as("grp"),
+        col("n_tokens"), col("quality"))
+    graft.operators.Corpus.tokenBudgetHistogram(
+        scored, "doc_id", "grp", "n_tokens", "quality", BudgetTokens,
+        bins = BudgetBins)
+      .select(col("doc_id"), col("grp"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("quality"), col("score_bin"), col("kept"))
+  }
+
+  private val p43bSql =
+    s"""WITH ${qualityCtes(", source AS grp", ", grp")},
+       |rng AS (
+       |  SELECT grp, min(quality) AS smin, max(quality) AS smax
+       |  FROM q GROUP BY grp),
+       |b AS (
+       |  SELECT q.doc_id, q.grp, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       |    q.quality,
+       |    CASE WHEN r.smax > r.smin THEN CAST(least(floor(
+       |        (q.quality - r.smin) / (r.smax - r.smin) * $BudgetBins),
+       |        ${BudgetBins - 1}) AS INT)
+       |      ELSE 0 END AS score_bin
+       |  FROM q JOIN rng r ON q.grp = r.grp),
+       |h AS (
+       |  SELECT grp, score_bin, SUM(n_tokens) AS btoks
+       |  FROM b GROUP BY grp, score_bin),
+       |c AS (
+       |  SELECT grp, score_bin, SUM(btoks) OVER (PARTITION BY grp
+       |    ORDER BY score_bin DESC ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM h),
+       |cut AS (
+       |  SELECT grp, MAX(score_bin) AS cutbin
+       |  FROM c WHERE cum > $BudgetTokens GROUP BY grp)
+       |SELECT b.doc_id, b.grp, b.n_tokens, b.quality, b.score_bin,
+       |  (cut.cutbin IS NULL OR b.score_bin > cut.cutbin) AS kept
+       |FROM b LEFT JOIN cut ON b.grp = cut.grp""".stripMargin
+
   private def p10(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.df(spark, dir, "documents")
     docs.select(col("doc_id"),
@@ -1628,10 +1680,14 @@ object Pipeline {
     val fp = corpus.agg(count(lit(1)).cast("long").as("n"),
       sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
         md5(coalesce(col("text"), lit("")))))).cast("long").as("ids")).head()
+    // head(1), not head(): a torn write (dropTable ran, the insert
+    // didn't) leaves graft_p41_fp EXISTING but EMPTY — that must read
+    // as "stale, rebuild", not throw NoSuchElementException
     val fpOk = spark.catalog.tableExists("graft_p41_fp") &&
       spark.catalog.tableExists("graft_p41_meta") && {
-        val r = spark.table("graft_p41_fp").head()
-        r.getLong(0) == fp.getLong(0) && r.getLong(1) == fp.getLong(1)
+        val rs = spark.table("graft_p41_fp").head(1)
+        rs.nonEmpty && rs(0).getLong(0) == fp.getLong(0) &&
+          rs(0).getLong(1) == fp.getLong(1)
       }
     if (!fpOk) {
       graft.operators.ShingleIndex.build(corpus, "doc_id", "text",
@@ -1897,5 +1953,6 @@ object Pipeline {
     QueryDef("p40_lm_score", p40, Some(p40Sql)),
     QueryDef("p41_ingest_triage", p41, Some(p41Sql)),
     QueryDef("p42_repeated_spans", p42, Some(p42Sql)),
-    QueryDef("p43_token_budget", p43, Some(p43Sql)))
+    QueryDef("p43_token_budget", p43, Some(p43Sql)),
+    QueryDef("p43b_token_budget_histogram", p43b, Some(p43bSql)))
 }

@@ -121,4 +121,17 @@ class IngestSpec extends AnyFunSuite {
     // the planted eval overlap is nonempty — the test has teeth
     assert(expect.exists(_._3), "no contaminated docs in the fixture split")
   }
+
+  test("p41 self-heals a torn fingerprint write (fp table exists but is empty)") {
+    // p41's memoization writes graft_p41_fp as dropTable + insert; a
+    // crash between them leaves the table EXISTING but EMPTY. That
+    // state must read as "stale → rebuild", not throw on head()
+    val sf = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("p41_ingest_triage")
+    val r1 = q(spark, sf).collect().map(_.toSeq).toSet
+    spark.sql("DROP TABLE IF EXISTS graft_p41_fp")
+    spark.sql("CREATE TABLE graft_p41_fp (n BIGINT, ids BIGINT) USING parquet")
+    val r2 = q(spark, sf).collect().map(_.toSeq).toSet
+    assert(r2 == r1, "the rebuild path must reproduce the memoized answer")
+  }
 }

@@ -617,6 +617,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact == 4L)
   }
 
+  test("tokenBudgetHistogram: kept set within one boundary bin of the exact cut, no doc-row window") {
+    // the scale form's approximation contract, pinned against the exact
+    // operator on the real corpus with a BINDING budget: (a) histogram-
+    // kept ⊆ exact-kept (bins partition scores, so every whole bin above
+    // the cutoff is also an exact-prefix member); (b) the kept-token
+    // gap per group is bounded by that group's boundary-bin mass;
+    // (c) kept mass never exceeds the budget
+    val budget = 100L
+    val scored = // sf0.001: per-source token mass ~155, so 100 binds
+      SparkEntry.queries("p43_token_budget")(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("grp"), col("n_tokens"), col("quality"))
+    val exact = Corpus.tokenBudgetSelect(
+      scored, "doc_id", "grp", "n_tokens", "quality", budget)
+    val hist = Corpus.tokenBudgetHistogram(
+      scored, "doc_id", "grp", "n_tokens", "quality", budget, bins = 64)
+    val exactKept = exact.filter(col("kept"))
+      .select(col("grp"), col("doc_id"), col("n_tokens")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val histRows = hist
+      .select(col("grp"), col("doc_id"), col("n_tokens"),
+        col("score_bin"), col("kept")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getBoolean(4)))
+    val histKeptIds = histRows.filter(_._5).map(t => (t._1, t._2)).toSet
+    val exactKeptIds = exactKept.map(t => (t._1, t._2)).toSet
+    assert(histKeptIds.nonEmpty, "budget must bind with a nonempty keep")
+    assert(histKeptIds.subsetOf(exactKeptIds),
+      "histogram-kept docs must all be exact-kept (subset property)")
+    val groups = histRows.map(_._1).distinct
+    for (g <- groups) {
+      val histMass = histRows.filter(t => t._1 == g && t._5).map(_._3).sum
+      val exactMass = exactKept.filter(_._1 == g).map(_._3).sum
+      assert(histMass <= budget, s"group $g kept mass $histMass > budget")
+      // boundary bin = highest non-kept bin in the group (the cutoff)
+      val boundaryBin = histRows.filter(t => t._1 == g && !t._5)
+        .map(_._4).maxOption
+      val boundaryMass = boundaryBin.map(b =>
+        histRows.filter(t => t._1 == g && t._4 == b).map(_._3).sum)
+        .getOrElse(0L)
+      assert(exactMass - histMass >= 0 && exactMass - histMass <= boundaryMass,
+        s"group $g gap ${exactMass - histMass} exceeds boundary bin $boundaryMass")
+    }
+    // the scale claim itself: no window/sort ever touches doc rows —
+    // every WindowExec in the plan sits above an aggregation (the
+    // G×bins histogram), never above the raw scan
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    val windows = hist.queryExecution.executedPlan.collect {
+      case w: WindowExec => w
+    }
+    windows.foreach { w =>
+      val aggBelow = w.child.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }
+      assert(aggBelow.nonEmpty,
+        s"a WindowExec runs over raw doc rows:\n$w")
+    }
+  }
+
   test("top ngrams: known duplicated trigram ranks first, df exact, distinct-per-doc") {
     import spark.implicits._
     val d = Seq(
