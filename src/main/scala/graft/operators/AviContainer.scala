@@ -1,0 +1,142 @@
+package graft.operators
+
+/** Minimal RIFF/AVI container parser — the REAL video frame path.
+  *
+  * A bare JVM ships no interframe video codecs, but the two AVI shapes
+  * that need none are fully decodable with what it does ship:
+  *
+  *   - MJPEG (`biCompression = 'MJPG'`): every `00dc` chunk is a
+  *     self-contained baseline JPEG → `javax.imageio` decodes it as-is
+  *     (frames relying on OpenDML's implied Huffman tables are rare in
+  *     practice and fail loudly in the downstream decode, never
+  *     silently);
+  *   - uncompressed DIB (`biCompression = 0`): every `00db` chunk is a
+  *     raw bottom-up padded-BGR raster → prepending a 14-byte
+  *     BITMAPFILEHEADER plus the stream's own BITMAPINFOHEADER makes a
+  *     valid BMP that the same imageio path decodes.
+  *
+  * So this object only walks the container (RIFF chunk grammar:
+  * fourcc + LE u32 size + even-padded data; `LIST` chunks nest) and
+  * re-wraps frames as standalone image payloads; all pixel work stays
+  * in [[Multimodal.ImageIoCodec]]. Anything else — a compressed fourcc,
+  * a truncated chunk, a non-AVI payload — is a hard error with the
+  * media id attached by the caller, matching the codec family's
+  * fail-loudly contract (a silently-skipped frame corrupts downstream
+  * frame statistics at 100 TB).
+  *
+  * Scope, stated honestly: frames are taken from stream 0 (`00db` /
+  * `00dc` chunks), the universal layout for the video stream; the
+  * parser verifies via `strh.fccType == "vids"` that stream 0 IS video
+  * and rejects otherwise. Format layout from the public RIFF/AVI and
+  * BITMAPINFOHEADER specifications; the reference engine has no media
+  * surface (this path exists for the LLM-pipeline mandate).
+  */
+object AviContainer extends Multimodal.VideoContainer {
+
+  /** One video frame: byte extent of the chunk data inside the
+    * container (offset is into the ORIGINAL payload — the seek
+    * position a streaming reader would use). */
+  final case class Frame(offset: Int, length: Int)
+
+  /** Parsed container: raster dims, frame compression fourcc ("MJPG"
+    * or "DIB" for BI_RGB), the stream's BITMAPINFOHEADER bytes (reused
+    * verbatim when wrapping DIB frames), and the frame directory. */
+  final case class Parsed(width: Int, height: Int, fourcc: String,
+      strf: Array[Byte], frames: Vector[Frame])
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def i32(b: Array[Byte], off: Int): Int = u32(b, off).toInt
+
+  private def fcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  def parse(b: Array[Byte]): Parsed = {
+    require(b.length >= 12 && fcc(b, 0) == "RIFF" && fcc(b, 8) == "AVI ",
+      "payload is not a RIFF AVI container")
+    var width = 0
+    var height = 0
+    var comp: String = null
+    var strf: Array[Byte] = null
+    var lastStrh: String = ""
+    var vidsSeen = false
+    val frames = Vector.newBuilder[Frame]
+    def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = fcc(b, off)
+        val sz = u32(b, off + 4).toInt
+        val dataOff = off + 8
+        require(sz >= 0 && dataOff + sz <= b.length,
+          s"truncated AVI chunk '$id' at offset $off")
+        id match {
+          case "LIST" if sz >= 4 =>
+            val listType = fcc(b, dataOff)
+            walk(dataOff + 4, dataOff + sz, inMovi || listType == "movi")
+          case "00db" | "00dc" if inMovi =>
+            frames += Frame(dataOff, sz)
+          case "strh" if sz >= 4 =>
+            lastStrh = fcc(b, dataOff)
+            if (lastStrh == "vids") vidsSeen = true
+          case "strf" if lastStrh == "vids" && strf == null =>
+            require(sz >= 40,
+              s"video strf too small for a BITMAPINFOHEADER ($sz bytes)")
+            strf = java.util.Arrays.copyOfRange(b, dataOff, dataOff + sz)
+            width = i32(strf, 4)
+            // negative biHeight = top-down raster; BMP readers handle
+            // the sign, dims report magnitude
+            height = math.abs(i32(strf, 8))
+            val bc = u32(strf, 16)
+            comp = if (bc == 0L) "DIB" else fcc(strf, 16)
+          case _ => // audio strf, idx1, JUNK, INFO, … — skipped
+        }
+        off = dataOff + sz + (sz & 1) // chunks are even-padded
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    require(vidsSeen && strf != null, "AVI has no video ('vids') stream")
+    require(comp == "DIB" || comp == "MJPG",
+      s"unsupported AVI frame compression '$comp' — only MJPG and " +
+        "uncompressed DIB decode without an external codec")
+    Parsed(width, height, comp, strf, frames.result())
+  }
+
+  /** Frame `idx` as a SELF-CONTAINED image payload for
+    * [[Multimodal.ImageIoCodec]]: MJPEG chunks pass through (each is a
+    * JPEG); DIB chunks get a BITMAPFILEHEADER + the stream's own
+    * BITMAPINFOHEADER prepended, which is exactly a BMP file. */
+  def framePayload(b: Array[Byte], p: Parsed, idx: Int): Array[Byte] = {
+    val f = p.frames(idx)
+    if (p.fourcc == "MJPG")
+      java.util.Arrays.copyOfRange(b, f.offset, f.offset + f.length)
+    else {
+      val out = java.nio.ByteBuffer
+        .allocate(14 + p.strf.length + f.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte)
+        .putInt(14 + p.strf.length + f.length) // file size
+        .putInt(0) // reserved
+        .putInt(14 + p.strf.length) // pixel data offset
+        .put(p.strf)
+        .put(b, f.offset, f.length)
+      out.array()
+    }
+  }
+
+  /** `n` evenly spaced frames, parsed once:
+    * (frame_idx 0..n-1, source frame index, byte offset, image payload).
+    * A zero-frame container yields no rows (not an error: an empty
+    * movi list is a valid, if useless, AVI). */
+  def sample(payload: Array[Byte], n: Int)
+      : Iterator[(Int, Int, Int, Array[Byte])] = {
+    val p = parse(payload)
+    val total = p.frames.length
+    if (total == 0) Iterator.empty
+    else (0 until n).iterator.map { i =>
+      val src = (i.toLong * total / n).toInt
+      (i, src, p.frames(src).offset, framePayload(payload, p, src))
+    }
+  }
+}

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` column next to typed metadata, and per-item decode /
   * feature-extraction runs batch-at-a-time inside partitions behind a
   * pluggable [[Codec]]. IMAGE decode/resize is REAL ([[ImageIoCodec]],
-  * JDK-built-in `javax.imageio`: PNG/BMP/GIF/JPEG) and AUDIO decode is
+  * JDK-built-in `javax.imageio`: PNG/BMP/GIF/JPEG), AUDIO decode is
   * REAL ([[WavCodec]], JDK-built-in `javax.sound.sampled`: WAV/AIFF/AU
-  * PCM with a deterministic RMS level) — both zero extra dependencies;
-  * only VIDEO frame decode stays behind the deterministic [[StubCodec]]
-  * (no frame codecs ship in a bare JVM). The stub is also the default
-  * so the DuckDB oracle (p12) can reproduce features byte-for-byte in
-  * SQL.
+  * PCM with a deterministic RMS level), and VIDEO frame extraction is
+  * REAL for the codec-free container shapes ([[AviContainer]]: MJPEG
+  * and uncompressed-DIB AVI, re-wrapped per frame for the same imageio
+  * path via [[sampleFramesDecoded]]) — all zero extra dependencies.
+  * Interframe-compressed video (H.264 etc.) still needs the
+  * deterministic [[StubCodec]], which also stays the default so the
+  * DuckDB oracle (p12) can reproduce features byte-for-byte in SQL.
   *
   * Scale notes: media blobs dominate row size, so the decode stage
   * repartitions by id to spread blobs evenly (no skew from source
@@ -275,13 +277,27 @@ object Multimodal {
       .mapPartitions { it => it.map(codec.decode) }.toDF()
   }
 
+  /** The real-video contract: a container format that can enumerate
+    * frames and re-wrap each as a SELF-CONTAINED image payload the
+    * [[ImageIoCodec]] image path decodes. [[AviContainer]] (MJPEG /
+    * uncompressed-DIB AVI) is the zero-dependency implementation; a
+    * deployment with native codecs plugs its own in here. */
+  trait VideoContainer extends Serializable {
+
+    /** `n` evenly spaced frames, one parse:
+      * (frame_idx 0..n-1, source frame index, container byte offset,
+      * standalone image payload). */
+    def sample(payload: Array[Byte], n: Int)
+        : Iterator[(Int, Int, Int, Array[Byte])]
+  }
+
   /** Frame sampling: expand each video row into `n` evenly-spaced frame
     * rows — the one-to-many media expansion (video → frames, audio →
     * windows) done lazily with a generator, so a 2-hour video never
     * materializes as one row downstream. The frame "decode" slices the
-    * payload deterministically (STUB — a real codec seeks+decodes);
-    * the output shape (media_id, frame_idx, frame_payload, offset) is
-    * the contract. */
+    * payload deterministically (STUB — [[sampleFramesDecoded]] is the
+    * real container-seek path, same output shape); the output shape
+    * (media_id, frame_idx, frame_payload, offset) is the contract. */
   def sampleFrames(media: Dataset[MediaRow], n: Int): DataFrame = {
     // n <= 0 would not error: sequence(0, n-1) counts DOWN (phantom
     // negative frame indices) and length/n seeds NaN offsets — garbage
@@ -295,6 +311,35 @@ object Multimodal {
         (col("frame_idx") * (length(col("payload")) / n)).cast("int").as("offset"),
         expr(s"substring(payload, cast(frame_idx * (length(payload) / $n) as int) + 1, " +
           s"greatest(cast(length(payload) / $n as int), 1))").as("frame_payload"))
+  }
+
+  /** REAL frame sampling: parse each video row's CONTAINER, seek `n`
+    * evenly spaced frames, and emit each as a standalone image payload
+    * ready for [[ImageIoCodec]] (or [[resizeImages]] after relabeling
+    * kind). Same output contract as the [[sampleFrames]] stub —
+    * (media_id, frame_idx, offset, frame_payload) — plus `src_frame`,
+    * the frame's index in the source stream, which the stub's byte
+    * arithmetic cannot know. Runs as a flatMap generator: one container
+    * parse per video, frames stream out row-at-a-time, the container
+    * payload is dropped. A frameless container contributes zero rows;
+    * an undecodable one fails loudly with its media id. */
+  def sampleFramesDecoded(media: Dataset[MediaRow], n: Int,
+      container: VideoContainer = AviContainer): DataFrame = {
+    require(n >= 1, s"sampleFramesDecoded needs n >= 1 frames, got $n")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video")
+      .flatMap { m =>
+        val it =
+          try container.sample(m.payload, n)
+          catch {
+            case e: IllegalArgumentException => throw
+              new IllegalArgumentException(
+                s"media_id=${m.media_id}: ${e.getMessage}", e)
+          }
+        it.map { case (i, src, off, bytes) => (m.media_id, i, src, off, bytes) }
+      }
+      .toDF("media_id", "frame_idx", "src_frame", "offset", "frame_payload")
   }
 
   /** Image resize: per-image transform to `targetW`×`targetH`, payload

@@ -18,14 +18,17 @@ class MultimodalCodecSpec extends AnyFunSuite {
   private lazy val spark = Sessions.local(4)
 
   /** A deterministic w×h gradient, encoded with the given imageio
-    * format ("png" / "bmp"). BMP has no alpha channel, so the raster
-    * type follows the format. */
-  private def encoded(w: Int, h: Int, format: String): Array[Byte] = {
-    val kind = if (format == "bmp") BufferedImage.TYPE_3BYTE_BGR
-      else BufferedImage.TYPE_INT_ARGB
+    * format ("png" / "bmp" / "jpg"). BMP/JPEG have no alpha channel,
+    * so the raster type follows the format. `seed` varies the gradient
+    * so multi-frame fixtures have distinguishable frames. */
+  private def encoded(w: Int, h: Int, format: String,
+      seed: Int = 0): Array[Byte] = {
+    val kind = if (format == "png") BufferedImage.TYPE_INT_ARGB
+      else BufferedImage.TYPE_3BYTE_BGR
     val img = new BufferedImage(w, h, kind)
     for (y <- 0 until h; x <- 0 until w)
-      img.setRGB(x, y, 0xff000000 | (x * 40 % 256) << 16 | (y * 60 % 256) << 8
+      img.setRGB(x, y, 0xff000000
+        | ((x * 40 + seed * 90) % 256) << 16 | (y * 60 % 256) << 8
         | (x + y) * 10 % 256)
     val bos = new ByteArrayOutputStream()
     assert(ImageIO.write(img, format, bos), s"no $format writer in this JDK")
@@ -161,6 +164,145 @@ class MultimodalCodecSpec extends AnyFunSuite {
     def messages(t: Throwable): List[String] =
       if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
     assert(messages(e).exists(_.contains("not a decodable audio")), messages(e))
+  }
+
+  // ---- real AVI fixtures, byte-built with the RIFF chunk grammar ----
+
+  private def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+    .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  private def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+    id.getBytes("ISO-8859-1") ++ le32(data.length) ++ data ++ pad
+  }
+
+  private def riffList(listType: String, items: Array[Byte]*): Array[Byte] =
+    chunk("LIST", listType.getBytes("ISO-8859-1") ++ items.flatten)
+
+  /** A minimal but spec-shaped AVI: RIFF(hdrl(avih, strl(strh, strf)),
+    * movi(frames)). `comp` "DIB" reuses a real BMP's own info header +
+    * bottom-up pixel array per frame; "MJPG" embeds whole JPEGs. */
+  private def avi(w: Int, h: Int, comp: String,
+      frames: Seq[Array[Byte]], strfOverride: Option[Array[Byte]] = None)
+      : Array[Byte] = {
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(33333), 0, avih, 0, 4) // usec/frame
+    System.arraycopy(le32(frames.length), 0, avih, 16, 4) // total frames
+    System.arraycopy(le32(1), 0, avih, 24, 4) // streams
+    System.arraycopy(le32(w), 0, avih, 32, 4)
+    System.arraycopy(le32(h), 0, avih, 36, 4)
+    val strh = new Array[Byte](56)
+    System.arraycopy("vids".getBytes("ISO-8859-1"), 0, strh, 0, 4)
+    val strf = strfOverride.getOrElse {
+      if (comp == "MJPG") {
+        val b = new Array[Byte](40)
+        System.arraycopy(le32(40), 0, b, 0, 4)
+        System.arraycopy(le32(w), 0, b, 4, 4)
+        System.arraycopy(le32(h), 0, b, 8, 4)
+        b(12) = 1; b(14) = 24
+        System.arraycopy("MJPG".getBytes("ISO-8859-1"), 0, b, 16, 4)
+        b
+      } else {
+        // reuse a real BMP's own BITMAPINFOHEADER so the DIB strf and
+        // the frames agree on every field the BMP reader looks at
+        val bmp = encoded(w, h, "bmp")
+        val pixOff = java.nio.ByteBuffer.wrap(bmp, 10, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+        java.util.Arrays.copyOfRange(bmp, 14, pixOff)
+      }
+    }
+    val frameId = if (comp == "MJPG") "00dc" else "00db"
+    val hdrl = riffList("hdrl", chunk("avih", avih),
+      riffList("strl", chunk("strh", strh), chunk("strf", strf)))
+    val movi = riffList("movi", frames.map(chunk(frameId, _)): _*)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  /** The bottom-up padded-BGR pixel array of a freshly encoded BMP —
+    * exactly what an uncompressed AVI stores per frame. */
+  private def dibFrame(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val bmp = encoded(w, h, "bmp", seed)
+    val pixOff = java.nio.ByteBuffer.wrap(bmp, 10, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    java.util.Arrays.copyOfRange(bmp, pixOff, bmp.length)
+  }
+
+  test("uncompressed AVI: sampleFramesDecoded yields real frames imageio decodes") {
+    val (w, h) = (5, 3)
+    val seeds = Seq(0, 1, 2)
+    val payload = avi(w, h, "DIB", seeds.map(dibFrame(w, h, _)))
+    val rows = Multimodal.sampleFramesDecoded(
+        media(MediaRow(30L, "video", payload, "t"),
+          MediaRow(31L, "image", encoded(4, 4, "png"), "t")), // filtered out
+        n = 3)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(rows.length == 3, "3 sampled frames from the video row only")
+    for ((r, seed) <- rows.zip(seeds)) {
+      assert(r.getAs[Long]("media_id") == 30L)
+      assert(r.getAs[Int]("src_frame") == seed) // n == total: identity
+      val frame = r.getAs[Array[Byte]]("frame_payload")
+      // the wrapped frame is a SELF-CONTAINED image: the real image
+      // codec reports true dims and the exact source raster pixels
+      val f = ImageIoCodec.decode(MediaRow(30L, "image", frame, "t"))
+      assert((f.width, f.height) == ((w, h)))
+      assert(f.checksum == pixelSum(encoded(w, h, "bmp", seed)))
+    }
+    // offsets are real container seek positions: strictly increasing
+    val offs = rows.map(_.getAs[Int]("offset"))
+    assert(offs.sameElements(offs.sorted) && offs.distinct.length == 3)
+    // n = 1 samples the FIRST frame (floor spacing), not a byte slice
+    val one = Multimodal.sampleFramesDecoded(
+      media(MediaRow(30L, "video", payload, "t")), n = 1).collect()
+    assert(one.length == 1 && one.head.getAs[Int]("src_frame") == 0)
+  }
+
+  test("MJPEG AVI: 00dc chunks pass through as decodable JPEGs") {
+    val (w, h) = (6, 4)
+    val jpegs = Seq(encoded(w, h, "jpg", 0), encoded(w, h, "jpg", 3))
+    val payload = avi(w, h, "MJPG", jpegs)
+    val rows = Multimodal.sampleFramesDecoded(
+        media(MediaRow(40L, "video", payload, "t")), n = 2)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(rows.length == 2)
+    for ((r, jpeg) <- rows.zip(jpegs)) {
+      val f = ImageIoCodec.decode(
+        MediaRow(40L, "image", r.getAs[Array[Byte]]("frame_payload"), "t"))
+      assert((f.width, f.height) == ((w, h)))
+      // JPEG is lossy but decoding the SAME bytes is deterministic
+      assert(f.checksum == pixelSum(jpeg))
+    }
+  }
+
+  test("AVI parser fails loudly on non-AVI and on codec-compressed streams") {
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    val notAvi = intercept[Exception] {
+      Multimodal.sampleFramesDecoded(
+        media(MediaRow(50L, "video", Array[Byte](1, 2, 3), "t")), n = 2)
+        .collect()
+    }
+    assert(messages(notAvi).exists(_.contains("not a RIFF AVI")),
+      messages(notAvi))
+    // an H.264 fourcc must be rejected, not byte-sliced into garbage
+    val h264Strf = {
+      val b = new Array[Byte](40)
+      System.arraycopy(le32(40), 0, b, 0, 4)
+      System.arraycopy(le32(4), 0, b, 4, 4)
+      System.arraycopy(le32(4), 0, b, 8, 4)
+      b(12) = 1; b(14) = 24
+      System.arraycopy("H264".getBytes("ISO-8859-1"), 0, b, 16, 4)
+      b
+    }
+    val compressed = intercept[Exception] {
+      Multimodal.sampleFramesDecoded(
+        media(MediaRow(51L, "video",
+          avi(4, 4, "MJPG", Seq(Array[Byte](0, 1, 2)),
+            strfOverride = Some(h264Strf)), "t")), n = 1)
+        .collect()
+    }
+    assert(messages(compressed).exists(_.contains("unsupported AVI frame")),
+      messages(compressed))
   }
 
   test("non-image payload fails loudly, not with fake dimensions") {
