@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
   * membership hop, so a grant reaching schemamap_readonly only via
   * schemamap_readonly → intermediate → granted_role would be invisible
   * to it. Postgres, however, DOES inherit privileges transitively, and
-  * the doctor's purpose is to report effective privileges — so we
-  * compute the true transitive closure with an iterative DataFrame
-  * fixpoint (the Spark re-expression of a working recursive CTE) and
-  * treat the reference's single-hop expansion as a bug, not a spec.
-  * With chains of depth ≤1 the two are identical, which is every
+  * the doctor's purpose is to report effective privileges — so the
+  * default computes the true transitive closure with an iterative
+  * DataFrame fixpoint (the Spark re-expression of a working recursive
+  * CTE) and treats the reference's single-hop expansion as a bug, not a
+  * spec. With chains of depth ≤1 the two are identical, which is every
   * configuration the reference's own installer creates
   * (rust/create_schemamap_users.sql:11-22 — a flat 4-role ladder).
+  * For byte-faithful parity against the reference on DEEP hierarchies,
+  * `singleHopQuirk = true` reproduces its one-hop expansion verbatim —
+  * the same selectable-quirk pattern as the concepts'
+  * `indexedSpaceQuirk` (P9).
   *
   * Scale: role graphs are catalog-sized (≤10^4 edges even on busy
   * clusters), so each iteration is a broadcast join; rounds are bounded
@@ -36,12 +40,26 @@ object Doctor {
     "schemamap")
 
   /** (role_name, member_of) pairs: every role the prefix-matched role is
-    * a member of, transitively, plus itself (the CTE's base case). */
-  def roleHierarchy(
-      snap: CatalogSnapshot, prefix: String = "schemamap"): DataFrame = {
+    * a member of, transitively, plus itself (the CTE's base case).
+    *
+    * @param singleHopQuirk true reproduces the reference CTE's
+    *   one-membership-hop expansion (object scaladoc) for golden parity;
+    *   false (default) computes the true transitive closure. */
+  def roleHierarchy(snap: CatalogSnapshot, prefix: String = "schemamap",
+      singleHopQuirk: Boolean = false): DataFrame = {
     val base = snap.roles.filter(col("role_name").startsWith(prefix))
       .select(col("role_name"), col("role_name").as("member_of"))
     val edges = snap.roleMembers // member -> role containing it
+    if (singleHopQuirk) {
+      // the reference's expansion verbatim: base ∪ (base ⋈ edges), no
+      // recursion — exactly what its self-referencing-in-name-only
+      // recursive term produces
+      val oneHop = base
+        .join(edges, base("member_of") === edges("member"))
+        .select(base("role_name"), edges("role"))
+        .toDF("role_name", "member_of")
+      return base.unionByName(oneHop).distinct()
+    }
     // grow-and-distinct fixpoint: closure ∪ (closure ⋈ edges) until the
     // row count stops growing. localCheckpoint each round truncates the
     // self-referential lineage (same discipline as operators/Clusters);
@@ -74,9 +92,9 @@ object Doctor {
     * per-table non-distinct like the reference's COUNT(g.table_name);
     * the engine's own namespace is excluded; roles with no grants keep a
     * NULL privileges map (the jsonb_object_agg FILTER semantics). */
-  def rolePrivileges(
-      snap: CatalogSnapshot, prefix: String = "schemamap"): DataFrame = {
-    val hierarchy = roleHierarchy(snap, prefix)
+  def rolePrivileges(snap: CatalogSnapshot, prefix: String = "schemamap",
+      singleHopQuirk: Boolean = false): DataFrame = {
+    val hierarchy = roleHierarchy(snap, prefix, singleHopQuirk)
     val grants = snap.grants.filter(col("table_schema") =!= "schemamap")
     val counted = hierarchy.alias("h")
       .join(grants.alias("g"), col("h.member_of") === col("g.grantee"), "left")

@@ -235,21 +235,25 @@ class DevtoolsSpec extends AnyFunSuite {
   test("doctor: multi-hop role hierarchy closure and nested privilege rollup") {
     import org.apache.spark.sql.Row
     val spark = Sessions.local(4)
-    // chain: schemamap_readonly ∈ intermediate_grp ∈ reporting — grants
-    // attached to `reporting` must surface on schemamap_readonly (the
-    // reference's single-hop CTE quirk would miss them; scaladoc cites it)
+    // chain: schemamap_readonly ∈ intermediate_grp ∈ reporting ∈ top_grp
+    // — grants attached to `reporting` (2 hops) and `top_grp` (3 hops)
+    // must surface on schemamap_readonly (the reference's single-hop
+    // CTE quirk misses both; scaladoc cites it)
     val snap = graft.catalog.CatalogSnapshot.fromRows(spark,
       relations = Seq.empty, attributes = Seq.empty, constraints = Seq.empty,
       roles = Seq("schemamap", "schemamap_readwrite", "schemamap_readonly",
-        "schemamap_schema_read", "intermediate_grp", "reporting", "app_user")
+        "schemamap_schema_read", "intermediate_grp", "reporting", "top_grp",
+        "app_user")
         .map(Row(_)),
       roleMembers = Seq(
         Row("intermediate_grp", "schemamap_readonly"),
         Row("reporting", "intermediate_grp"),
+        Row("top_grp", "reporting"),
         Row("reporting", "app_user")),
       grants = Seq(
         Row("reporting", "public", "t1", "SELECT"),
         Row("reporting", "public", "t2", "SELECT"),
+        Row("top_grp", "public", "t3", "SELECT"),
         Row("schemamap_readwrite", "app", "orders", "SELECT"),
         Row("schemamap_readwrite", "app", "orders", "INSERT"),
         // engine-namespace grants are excluded from the rollup
@@ -260,19 +264,40 @@ class DevtoolsSpec extends AnyFunSuite {
     assert(h(("schemamap_readonly", "schemamap_readonly"))) // CTE base case
     assert(h(("schemamap_readonly", "intermediate_grp")))   // 1 hop
     assert(h(("schemamap_readonly", "reporting")))          // 2 hops
+    assert(h(("schemamap_readonly", "top_grp")))            // 3 hops
     assert(!h.exists(_._1 == "app_user")) // only schemamap% roles walk
 
     val privs = graft.devtools.Doctor.rolePrivileges(snap).collect()
       .map(r => (r.getString(0),
         Option(r.getMap[String, Map[String, Long]](1)).map(_.toMap))).toMap
     assert(privs("schemamap_readonly").get ==
-      Map("public" -> Map("SELECT" -> 2L)))
+      Map("public" -> Map("SELECT" -> 3L)))
     assert(privs("schemamap_readwrite").get ==
       Map("app" -> Map("SELECT" -> 1L, "INSERT" -> 1L)))
     // schemamap's only grant is in the excluded engine namespace → NULL
     assert(privs("schemamap").isEmpty)
     assert(privs("schemamap_schema_read").isEmpty)
     assert(graft.devtools.Doctor.missingRoles(snap).isEmpty)
+
+    // singleHopQuirk = true reproduces the reference CTE verbatim: the
+    // walk stops one membership hop out, so reporting/top_grp (and
+    // every grant attached there) vanish from schemamap_readonly
+    val hq = graft.devtools.Doctor
+      .roleHierarchy(snap, singleHopQuirk = true).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hq(("schemamap_readonly", "schemamap_readonly")))
+    assert(hq(("schemamap_readonly", "intermediate_grp")))
+    assert(!hq(("schemamap_readonly", "reporting")))
+    assert(!hq(("schemamap_readonly", "top_grp")))
+    val privsQ = graft.devtools.Doctor
+      .rolePrivileges(snap, singleHopQuirk = true).collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, Map[String, Long]](1)).map(_.toMap))).toMap
+    assert(privsQ("schemamap_readonly").isEmpty,
+      "quirk mode must miss the 2- and 3-hop grants, like the reference")
+    // direct grants agree across modes — the flat-ladder configs the
+    // reference installer creates see no behavior difference
+    assert(privsQ("schemamap_readwrite") == privs("schemamap_readwrite"))
 
     val partial = graft.catalog.CatalogSnapshot.fromRows(spark,
       Seq.empty, Seq.empty, Seq.empty,
