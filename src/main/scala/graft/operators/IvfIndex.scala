@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Create (overwrite) the index tables for `corpus`. */
+  /** Create (overwrite) the index tables for `corpus`.
+    *
+    * `{name}_cells` carries the same `batch_id` PARTITION column as the
+    * shingle index (build stamps everything -1, [[append]] stamps its
+    * caller's id) for the same reason: undoing a half-committed append
+    * is partition surgery ([[pruneBatch]]), never a table rewrite.
+    * Bucket pruning on `list_id` operates within each partition, so the
+    * probed-cell file-skipping below is unaffected. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
       nCells: Int = 64, buckets: Int = 32): Unit = {
     val spark = corpus.sparkSession
@@ -48,10 +55,44 @@ object IvfIndex {
     // persisted cells agree with whatever the table holds, bit-for-bit
     Similarity.assignCells(c, "neighbor_id", "cv",
         spark.table(s"${name}_cent"), probe = 1)
-      .write.bucketBy(buckets, "list_id").sortBy("list_id")
+      .withColumn("batch_id", lit(ShingleIndex.BaseBatch))
+      .write.partitionBy("batch_id").bucketBy(buckets, "list_id")
+      .sortBy("list_id")
       .mode("overwrite").saveAsTable(s"${name}_cells")
     c.unpersist(blocking = false)
   }
+
+  /** Append vectors to the stored corpus against the FROZEN centroid
+    * set — the incremental path for embedding ingest, so a growing
+    * corpus never pays a per-batch rebuild. Standard IVF practice:
+    * centroids come from the build-time corpus and stay fixed; each new
+    * vector lands in its nearest existing cell via the same
+    * single-source assignment every consumer uses, so [[topK]] after an
+    * append is row-for-row `Similarity.ivfTopK` over the grown corpus
+    * WITH THE STORED CENTROIDS (IvfIndexSpec pins it). Honest limit:
+    * if the ingest distribution drifts from the build corpus, cells
+    * imbalance and recall decays — frozen-centroid appends buy cheap
+    * ingest between periodic [[build]] refreshes, they do not replace
+    * them. Zero-norm vectors are dropped (no cosine exists), same as
+    * build. Ids must stay globally unique across build + appends.
+    *
+    * @param batchId stamps the written partition so a crash between
+    *   this append and the caller's commit record can be undone by
+    *   [[pruneBatch]] — same contract as the shingle index's append. */
+  def append(vectors: DataFrame, idCol: String, vecCol: String,
+      name: String, batchId: Long = ShingleIndex.BaseBatch): Unit = {
+    val spark = vectors.sparkSession
+    val v = Similarity.withNorm(vectors, idCol, vecCol, "neighbor_id", "cv")
+    Similarity.assignCells(v, "neighbor_id", "cv",
+        spark.table(s"${name}_cent"), probe = 1)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").insertInto(s"${name}_cells")
+  }
+
+  /** Undo one append batch's partition — the IVF mirror of
+    * [[ShingleIndex.pruneBatch]] (same replay-repair contract). */
+  def pruneBatch(spark: SparkSession, name: String, batchId: Long): Unit =
+    ShingleIndex.dropBatchPartitions(spark, Seq(s"${name}_cells"), batchId)
 
   /** ANN top-k for a query batch against the stored corpus —
     * row-for-row `Similarity.ivfTopK(queries, corpus, …, nCells)` with

@@ -160,6 +160,70 @@ object ShingleIndex {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Fold ingest-batch partitions back into the base corpus
+    * (`batch_id = -1`) — the maintenance pass that keeps a long-lived
+    * index's directory count bounded. Every append adds one `batch_id`
+    * partition level; after thousands of micro-batches the listing cost
+    * creeps even though the DATA layout is fine. Compaction rewrites
+    * each table with every batch NOT in `uncommitted` re-stamped as
+    * base; `uncommitted` batches (appended but never ledger-committed —
+    * a crashed stream that has not yet replayed) keep their partitions
+    * verbatim so [[pruneBatch]] can still undo them on replay.
+    *
+    * Crash discipline, stated honestly: the rewrite lands in a
+    * `_cmp` table first, then swaps via two catalog renames (current →
+    * `_old`, `_cmp` → current) and drops `_old`. No step destroys data
+    * before the replacement exists; a crash between the renames leaves
+    * the index under the `_old`/`_cmp` names — loud (readers fail on a
+    * missing table, nothing silently wrong) and manually recoverable by
+    * finishing the renames. A transactional table format would make the
+    * swap atomic; plain catalog tables cannot.
+    *
+    * Caller contract: run only while no writer is active (same
+    * single-writer rule as append — [[graft.streaming.Streams]] exposes
+    * the ledger-aware driver `compactIndex`), and clear any persisted
+    * plans over the index tables first (the same caller-clears-cache
+    * convention as the pair operators: a cached plan pins the
+    * pre-compact file listing and fails on the swapped files). */
+  def compact(spark: SparkSession, name: String,
+      uncommitted: Set[Long] = Set.empty): Unit = {
+    val (_, buckets, parts) = meta(spark, name)
+    val keep = uncommitted - BaseBatch
+    def folded(table: String): DataFrame = {
+      val cur = spark.table(table)
+      val stamp =
+        if (keep.isEmpty) lit(BaseBatch)
+        else when(col("batch_id").isin(keep.toSeq: _*), col("batch_id"))
+          .otherwise(lit(BaseBatch))
+      cur.withColumn("batch_id", stamp)
+    }
+    def swap(table: String, write: DataFrame => Unit): Unit = {
+      val tmp = s"${table}_cmp"
+      val old = s"${table}_old"
+      Seq(tmp, old).foreach(dropTable(spark, _))
+      write(folded(table))
+      spark.sql(s"ALTER TABLE $table RENAME TO $old")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      // RENAME moves a managed table's root directory but leaves its
+      // catalog PARTITION entries pointing at the pre-rename paths —
+      // measured, not theorized: without the recovers, the swapped-in
+      // table reads empty, and dropping the old table purges partition
+      // dirs by their stale paths INSIDE the live table. Re-register
+      // both sides from the filesystem before anything reads or drops.
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+      spark.sql(s"ALTER TABLE $old RECOVER PARTITIONS")
+      spark.sql(s"REFRESH TABLE $table")
+      dropTable(spark, old)
+    }
+    swap(s"${name}_idx", df =>
+      df.repartition(parts, col("p"))
+        .write.partitionBy("p", "batch_id").bucketBy(buckets, "s").sortBy("s")
+        .mode("overwrite").saveAsTable(s"${name}_idx_cmp"))
+    swap(s"${name}_sh", df =>
+      df.write.partitionBy("batch_id").bucketBy(buckets, "doc_id")
+        .mode("overwrite").saveAsTable(s"${name}_sh_cmp"))
+  }
+
   /** Undo every row batch `batchId` wrote to the index — the replay
     * repair for a crash anywhere in the append→commit window (postings
     * written but shingles not, or both written but the caller's ledger
@@ -169,11 +233,17 @@ object ShingleIndex {
     * no-op. Between the crash and the replay, readers may see the
     * half-committed batch — the guarantee is convergence on restart,
     * not isolation in the gap. */
-  def pruneBatch(spark: SparkSession, name: String, batchId: Long): Unit = {
+  def pruneBatch(spark: SparkSession, name: String, batchId: Long): Unit =
+    dropBatchPartitions(spark, Seq(s"${name}_idx", s"${name}_sh"), batchId)
+
+  /** The partition-surgery core of [[pruneBatch]], shared with
+    * [[IvfIndex.pruneBatch]]: drop every `batch_id = batchId` partition
+    * of each table (enumerated via the partial spec, since a table may
+    * carry other partition columns too). */
+  private[operators] def dropBatchPartitions(spark: SparkSession,
+      tables: Seq[String], batchId: Long): Unit = {
     require(batchId != BaseBatch, "the base corpus cannot be pruned")
-    Seq(s"${name}_idx", s"${name}_sh").foreach { t =>
-      // enumerate full specs via the partial spec (the _idx table is
-      // also partitioned by p), then drop each one
+    tables.foreach { t =>
       val specs = spark.sql(
         s"SHOW PARTITIONS $t PARTITION (batch_id=$batchId)").collect()
       specs.foreach { r =>
@@ -183,6 +253,10 @@ object ShingleIndex {
         }.mkString(", ")
         spark.sql(s"ALTER TABLE $t DROP IF EXISTS PARTITION ($spec)")
       }
+      // session FileIndex caches can outlive the partition drop
+      // (observed after a compact's rename/recover churn): make the
+      // removal visible to every later read in this session
+      if (specs.nonEmpty) spark.sql(s"REFRESH TABLE $t")
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -344,4 +344,28 @@ object Streams {
       .foreachBatch((b: DataFrame, id: java.lang.Long) =>
         ingestBatch(b, id, idCol, textCol, cfg, route))
       .start()
+
+  /** Ledger-aware index compaction for a STOPPED ingest stream: folds
+    * every ledger-committed batch partition into the index's base
+    * corpus ([[graft.operators.ShingleIndex.compact]]) while leaving
+    * any appended-but-uncommitted batch (a crash the stream has not
+    * replayed yet) prunable in place. The uncommitted set is computed,
+    * not assumed: distinct stamped batch ids actually present in the
+    * index (a partition-column read — file listing, no data scan)
+    * minus the ledger's committed ids. Run between stream restarts —
+    * compaction is a writer, and the index has a single-writer rule. */
+  def compactIndex(spark: SparkSession,
+      cfg: graft.operators.Ingest.Config): Unit = {
+    val ledger = s"${cfg.indexName}_batches"
+    val appended = spark.table(s"${cfg.indexName}_idx")
+      .select(col("batch_id")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val committed =
+      if (spark.catalog.tableExists(ledger))
+        spark.table(ledger).select(col("batch_id")).collect()
+          .map(_.getLong(0)).toSet
+      else Set.empty[Long]
+    graft.operators.ShingleIndex.compact(spark, cfg.indexName,
+      uncommitted = appended -- committed - graft.operators.ShingleIndex.BaseBatch)
+  }
 }

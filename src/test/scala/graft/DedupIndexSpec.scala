@@ -139,6 +139,69 @@ class DedupIndexSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("compact folds committed batches into base, preserves torn batches, changes no answer") {
+    import java.nio.file.{Files, Paths}
+    val old0 = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch1 = localize(docs.filter(col("doc_id") % 14 === 0))
+    val batch2 = localize(docs.filter(col("doc_id") % 14 === 7
+      && col("doc_id") % 28 =!= 7))
+    val probe = localize(docs.filter(col("doc_id") % 28 === 7))
+    try {
+      ShingleIndex.build(old0, "doc_id", "text", "graft_c")
+      ShingleIndex.append(batch1, "doc_id", "text", "graft_c", batchId = 1L)
+      ShingleIndex.append(batch2, "doc_id", "text", "graft_c", batchId = 2L)
+      val before = pairSet(ShingleIndex.incrementalPairs(
+        probe, "doc_id", "text", "graft_c"))
+      val totalBefore = spark.table("graft_c_idx").count()
+      // the pair operators persist intermediates over the index tables
+      // (caller-clears-cache convention): drop them before mutating the
+      // tables underneath, here and after each prune below
+      spark.catalog.clearCache()
+      // batch 2 is "torn" (appended, never committed): compact must fold
+      // batch 1 into base but leave batch 2's partitions prunable
+      ShingleIndex.compact(spark, "graft_c", uncommitted = Set(2L))
+      assert(spark.table("graft_c_idx").count() == totalBefore,
+        "compaction must not add or drop a single posting")
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      def batchDirs(table: String): Set[String] = {
+        val s = Files.walk(Paths.get(warehouse, table))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("batch_id=")).toSet
+        } finally s.close()
+      }
+      assert(batchDirs("graft_c_idx") == Set("batch_id=-1", "batch_id=2"),
+        batchDirs("graft_c_idx").toString)
+      assert(batchDirs("graft_c_sh") == Set("batch_id=-1", "batch_id=2"))
+      // answers are layout-independent
+      val after = pairSet(ShingleIndex.incrementalPairs(
+        probe, "doc_id", "text", "graft_c"))
+      assert(after == before)
+      // the torn batch is still undoable post-compact: after the prune,
+      // the index answers as if batch 2 never appended
+      spark.catalog.clearCache()
+      ShingleIndex.pruneBatch(spark, "graft_c", 2L)
+      val pruned = pairSet(ShingleIndex.incrementalPairs(
+        probe, "doc_id", "text", "graft_c"))
+      val expected = pairSet(Dedup.incrementalNearDupPairs(
+        old0.unionByName(batch1), probe, "doc_id", "text"))
+      assert(pruned == expected)
+      // ...while a committed-and-folded batch is out of pruning's reach
+      spark.catalog.clearCache()
+      ShingleIndex.pruneBatch(spark, "graft_c", 1L) // no-op: folded
+      assert(pairSet(ShingleIndex.incrementalPairs(
+        probe, "doc_id", "text", "graft_c")) == expected)
+    } finally {
+      Seq("graft_c_idx", "graft_c_sh", "graft_c_meta",
+        "graft_c_idx_cmp", "graft_c_sh_cmp", "graft_c_idx_old",
+        "graft_c_sh_old")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("dropTable deletes the table's CATALOG location, not a same-named warehouse dir") {
     import java.nio.file.{Files, Paths}
     val loc = Files.createTempDirectory("graft_ext_loc")

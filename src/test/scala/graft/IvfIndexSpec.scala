@@ -83,4 +83,40 @@ class IvfIndexSpec extends AnyFunSuite {
     } finally Seq("graft_ivf2_cells", "graft_ivf2_cent")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("append: frozen-centroid ingest == ivfTopK over the grown corpus; batch prunable") {
+    val seed = embs.filter(col("vec_id") % 3 =!= 0)
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    try {
+      IvfIndex.build(seed, "vec_id", "embedding", "graft_ivf3", nCells = 8)
+      val preAppend = resultSet(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_ivf3", k = 5, nProbe = 3))
+      spark.catalog.clearCache() // caller-clears-cache before mutating
+      IvfIndex.append(batch, "vec_id", "embedding", "graft_ivf3",
+        batchId = 5L)
+      // the semantic contract: topK over the grown store is row-for-row
+      // the in-memory operator over the FULL corpus with the STORED
+      // (frozen, seed-derived) centroid set
+      val got = resultSet(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_ivf3", k = 5, nProbe = 3))
+      val expected = resultSet(Similarity.ivfTopK(
+        queries, embs, "vec_id", "embedding", 5, nCells = 8, nProbe = 3,
+        centroidsOverride = Some(spark.table("graft_ivf3_cent"))))
+      assert(got == expected)
+      assert(got != preAppend,
+        "appended vectors must actually become findable neighbors")
+      // the append landed in its own partition, so a crashed caller's
+      // replay can undo it: pruning restores the pre-append answers
+      spark.catalog.clearCache()
+      IvfIndex.pruneBatch(spark, "graft_ivf3", 5L)
+      assert(resultSet(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_ivf3", k = 5, nProbe = 3))
+        == preAppend)
+    } finally {
+      Seq("graft_ivf3_cells", "graft_ivf3_cent")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
 }

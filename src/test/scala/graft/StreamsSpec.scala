@@ -398,6 +398,28 @@ class StreamsSpec extends AnyFunSuite {
         "doc_id", "text", "graft_crash")
         .filter(col("match_id") === 20L).count()
       assert(pairs == 1, "a torn-then-replayed doc must pair once, not twice")
+      // ledger-aware compaction between restarts: every committed batch
+      // folds into base (the ledger knows 0 and 1 committed; nothing is
+      // torn now), directory growth resets, answers unchanged
+      spark.catalog.clearCache()
+      Streams.compactIndex(spark, cfg)
+      val dirs = {
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val s = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(warehouse, "graft_crash_idx"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("batch_id=")).toSet
+        } finally s.close()
+      }
+      assert(dirs == Set("batch_id=-1"), dirs.toString)
+      val pairsAfter = ShingleIndex.incrementalPairs(
+        Seq((31L, nearB)).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_crash")
+        .filter(col("match_id") === 20L).count()
+      assert(pairsAfter == 1, "compaction must not change any answer")
     } finally {
       Seq("graft_crash_idx", "graft_crash_sh", "graft_crash_meta",
         "graft_crash_batches")
