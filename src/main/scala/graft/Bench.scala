@@ -61,7 +61,7 @@ object Bench {
     "p05_embed_neardup" -> 0.58, "p06_cosine_topk" -> 0.48,
     "p07_lsh_ann" -> 1.67, "p08_langid" -> 0.11,
     "p09_quality" -> 0.10, "p10_token_count" -> 0.10,
-    "p11_fingerprint" -> 0.11, "p12_multimodal" -> 0.17,
+    "p11_fingerprint" -> 0.11, "p12_multimodal" -> 0.21,
     "p13_dedup_clusters" -> 1.90, "p14_ivf_ann" -> 0.75,
     "p15_curation" -> 3.02, "p16_gopher_rules" -> 0.15,
     "p17_repetition" -> 0.44, "p18_stratified_sample" -> 0.13,
@@ -78,7 +78,7 @@ object Bench {
     "p37_cross_source_dup" -> 1.51, "p38_pii_redact" -> 0.10,
     "p39_semantic_decontaminate" -> 0.28, "p40_lm_score" -> 0.24,
     "p41_ingest_triage" -> 5.61, "p42_repeated_spans" -> 0.47,
-    "p43_token_budget" -> 0.12)
+    "p43_token_budget" -> 0.12, "p43b_token_budget_histogram" -> 0.26)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

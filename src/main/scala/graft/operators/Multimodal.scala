@@ -17,12 +17,19 @@ import org.apache.spark.sql.functions._
   * deterministic [[StubCodec]], which also stays the default so the
   * DuckDB oracle (p12) can reproduce features byte-for-byte in SQL.
   *
-  * Scale notes: media blobs dominate row size, so the decode stage
-  * repartitions by id to spread blobs evenly (no skew from source
-  * file-ordering), runs mapPartitions (one codec init per partition, the
-  * same shape a Pandas-UDF/Arrow batch would have), and projects features
-  * only — the binary column is dropped as early as possible so downstream
-  * shuffles move kilobytes, not media.
+  * Scale notes: media blobs dominate row size, so the decode stage is
+  * MAP-ONLY by default — it runs on the source's own partitions (a
+  * splittable scan is already byte-bounded by
+  * `spark.sql.files.maxPartitionBytes`, so "skew from file ordering"
+  * is capped at one partition's budget), runs mapPartitions (one codec
+  * init per partition, the same shape a Pandas-UDF/Arrow batch would
+  * have), and projects features only — the binary column is dropped as
+  * early as possible so downstream shuffles move kilobytes, not media.
+  * Shuffling the blobs BEFORE decoding would write+read the whole
+  * corpus once more (at 100 TB, a 100 TB shuffle) to fix a skew the
+  * scan already bounds; the `partitions > 0` override exists for the
+  * one case that genuinely needs it, a non-splittable source (one huge
+  * container file per task) whose layout the scan cannot subdivide.
   */
 object Multimodal {
 
@@ -232,18 +239,18 @@ object Multimodal {
   }
 
   /** The audio decode stage — same contract as [[extractFeatures]]
-    * (id-keyed repartition against blob skew, one decoder per
-    * partition, payload dropped in the output). */
+    * (map-only decode on the source layout, one decoder per partition,
+    * payload dropped in the output; `partitions > 0` opts into the
+    * spreading shuffle for non-splittable sources). */
   def extractAudioFeatures(media: Dataset[MediaRow],
       partitions: Int = 0): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val width =
-      if (partitions > 0) partitions
-      else media.sparkSession.sparkContext.defaultParallelism
-    media.filter(_.kind == "audio")
-      .repartition(width, col("media_id"))
-      .mapPartitions { it => it.map(WavCodec.decode) }.toDF()
+    val spread =
+      if (partitions > 0)
+        media.filter(_.kind == "audio").repartition(partitions, col("media_id"))
+      else media.filter(_.kind == "audio")
+    spread.mapPartitions { it => it.map(WavCodec.decode) }.toDF()
   }
 
   /** Wrap a text table as fake media rows (payload = utf8 bytes). Lets
@@ -259,22 +266,21 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** The decode/feature-extract stage: repartition to spread blobs, then
-    * batch-decode per partition (mapPartitions ≈ one Arrow batch per
-    * call), returning a narrow features frame with the payload dropped. */
+  /** The decode/feature-extract stage: batch-decode per source
+    * partition (mapPartitions ≈ one Arrow batch per call), returning a
+    * narrow features frame with the payload dropped. Map-only by
+    * default — see the object scaladoc's scale notes for why shuffling
+    * blobs before decoding them is the wrong plan at corpus scale;
+    * `partitions > 0` opts a non-splittable skewed source into one
+    * id-keyed spreading shuffle. */
   def extractFeatures(media: Dataset[MediaRow], partitions: Int = 0,
       codec: Codec = StubCodec): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    // the id-keyed repartition is the contract (blobs spread evenly, no
-    // skew from source file-ordering), so the default applies it at
-    // defaultParallelism rather than silently inheriting the source
-    // layout; partitions > 0 overrides the width
-    val width =
-      if (partitions > 0) partitions
-      else media.sparkSession.sparkContext.defaultParallelism
-    media.repartition(width, col("media_id"))
-      .mapPartitions { it => it.map(codec.decode) }.toDF()
+    val spread =
+      if (partitions > 0) media.repartition(partitions, col("media_id"))
+      else media
+    spread.mapPartitions { it => it.map(codec.decode) }.toDF()
   }
 
   /** The real-video contract: a container format that can enumerate

@@ -205,6 +205,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(400))
   }
 
+  test("p12 multimodal decode is map-only: payloads never shuffle") {
+    val p = plan("p12_multimodal")
+    // exactly two exchanges, both ABOVE the decode where rows are narrow
+    // features: the kind-rollup hash exchange and the final sort's range
+    // exchange. A third means blobs are being shuffled before decode —
+    // at corpus scale that is a whole-corpus write+read for nothing.
+    assert("(?m)^\\(\\d+\\) Exchange\\b".r.findAllIn(p).size == 2,
+      s"only the post-decode rollup/sort may shuffle:\n$p")
+    // and both sit above the object-decode boundary: formatted-mode node
+    // ids are assigned leaves-first, so every exchange id must exceed
+    // the DeserializeToObject id that feeds the codec mapPartitions
+    def ids(node: String): List[Int] =
+      s"(?m)^\\((\\d+)\\) $node\\b".r.findAllMatchIn(p)
+        .map(_.group(1).toInt).toList
+    val deser = ids("DeserializeToObject")
+    val exch = ids("Exchange")
+    assert(deser.size == 1, p.take(600))
+    assert(exch.forall(_ > deser.head),
+      s"an exchange sits below the decode:\n$p")
+  }
+
   test("p33 quantize audit is a pure map: zero exchanges") {
     val p = plan("p33_quantize")
     assert(!"(?m)^\\(\\d+\\) Exchange\\b".r.findAllIn(p).hasNext,
