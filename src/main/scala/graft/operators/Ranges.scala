@@ -104,11 +104,14 @@ object Ranges {
       toleranceSec match {
         case None => matched
         case Some(tol) =>
-          import org.apache.spark.sql.types.{NumericType, TimestampType}
+          import org.apache.spark.sql.types.{NumericType, TimestampNTZType, TimestampType}
           val (a, b) = (col(tsCol), col("_m._ts"))
           def secs(c: org.apache.spark.sql.Column) =
             left.schema(tsCol).dataType match {
-              case TimestampType => unix_timestamp(c)
+              // NTZ reads the same wall-clock through unix_timestamp
+              // under the session's UTC default — tz-less parquet
+              // sources (the regenerated testdata) surface ts as NTZ
+              case TimestampType | TimestampNTZType => unix_timestamp(c)
               // numeric ts: compare IN ORIGINAL UNITS, no cast — a
               // long-cast would truncate fractional ts and mis-decide
               // gaps by up to ~2 units around the tolerance boundary

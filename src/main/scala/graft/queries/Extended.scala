@@ -695,8 +695,13 @@ object Extended {
     val ev = Tables.df(spark, dir, "events")
     val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
       .rangeBetween(-3600, Window.currentRow)
+    // unix_timestamp, not cast-to-double: it floors to whole epoch
+    // seconds like the oracle's floor(epoch(ts)) AND resolves for both
+    // TIMESTAMP and TIMESTAMP_NTZ — a tz-less parquet writer (the
+    // regenerated testdata) surfaces ts as NTZ, which no double cast
+    // accepts
     ev.select(col("event_id"), col("user_id"),
-        floor(col("ts").cast("double")).cast("long").as("es"),
+        unix_timestamp(col("ts")).as("es"),
         round(col("value") * 100).cast("long").as("cents"))
       .select(col("event_id"), col("user_id"), col("es"),
         count(lit(1)).over(w).as("n_1h"),

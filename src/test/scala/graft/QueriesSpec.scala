@@ -172,6 +172,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("asof join tolerance on TIMESTAMP_NTZ ts (tz-less parquet shape)") {
+    // a tz-less parquet writer (the regenerated testdata) surfaces ts
+    // as TIMESTAMP_NTZ — the tolerance path must resolve it like
+    // TIMESTAMP, not throw the unsupported-type error
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    def ntz(df: org.apache.spark.sql.DataFrame) = df.withColumn("ts",
+      timestamp_seconds(col("ts")).cast("timestamp_ntz"))
+    val left = ntz(Seq((1L, "u", 20L), (2L, "u", 16L)).toDF("id", "k", "ts"))
+    val right = ntz(Seq(("u", 15L, "a")).toDF("k", "ts", "pay"))
+    assert(left.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = graft.operators.Ranges
+      .asofJoin(left, right, "k", "ts", Seq("pay"), toleranceSec = Some(4L))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("asof_pay"))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("a"))) // gaps 5 and 1
+  }
+
   test("resample LOCF: slot alignment, carried payloads total, slotless span empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
