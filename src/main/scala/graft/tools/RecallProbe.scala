@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.Sessions
+import graft.operators.{IvfIndex, ShingleIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Measured ANN recall@k vs the exact brute-force top-k — the quality
+  * half of the ANN story (tools/IndexProbe measures the latency half).
+  * Specs pin recall FLOORS on tiny fixtures; this probe puts numbers
+  * on the real embedding table at a real SF so SCALE.md can state the
+  * recall/latency tradeoff as measurements, not assertions. Not
+  * driver-gated; numbers land in SCALE.md.
+  *
+  * Recall@k = |approx ∩ exact| / (|Q| · k), the standard ANN-benchmarks
+  * definition (set overlap with the true top-k; rank agreement inside
+  * the top-k is not required). The truth set is computed once and
+  * parked in a temp parquet so the per-variant cache clears (the pair
+  * operators persist intermediates — caller-clears-cache convention)
+  * never recompute the brute force.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(32)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(10)
+    val embs = graft.Tables.df(spark, dir, "embeddings")
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val nQ = queries.count()
+    val nC = embs.count()
+    println(s"PROBE corpus=$nC queries=$nQ k=$k")
+
+    val truthPath = java.nio.file.Files
+      .createTempDirectory("graft_recall_truth").resolve("exact").toString
+    Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", k)
+      .select(col("query_id"), col("neighbor_id"))
+      .write.mode("overwrite").parquet(truthPath)
+    spark.catalog.clearCache()
+    def exact = spark.read.parquet(truthPath)
+
+    def recall(name: String)(approx: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"PROBE recall@$k $name = ${hits.toDouble / (nQ * k)}%.3f " +
+        f"(t=$t%.2fs)")
+      spark.catalog.clearCache()
+    }
+
+    for (np <- Seq(1, 3, 8))
+      recall(s"ivf_hash_nProbe$np")(Similarity.ivfTopK(
+        queries, embs, "vec_id", "embedding", k, nProbe = np))
+    val km = Similarity.kmeansCentroids(embs, "embedding", 64)
+    recall("ivf_kmeans_nProbe3")(Similarity.ivfTopK(
+      queries, embs, "vec_id", "embedding", k,
+      centroidsOverride = Some(km)))
+    for (b <- Seq(8, 16, 32))
+      recall(s"lsh_bands${b}_bits4")(Similarity.lshTopK(
+        queries, embs, "vec_id", "embedding", k, bands = b))
+    try {
+      IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall")
+      recall("ivf_index_nProbe3")(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_probe_recall", k))
+    } finally Seq("graft_probe_recall_cells", "graft_probe_recall_cent")
+      .foreach(ShingleIndex.dropTable(spark, _))
+    spark.stop()
+  }
+}
