@@ -24,10 +24,11 @@ package graft.operators
   * fail-loudly contract (a silently-skipped frame corrupts downstream
   * frame statistics at 100 TB).
   *
-  * Scope, stated honestly: frames are taken from stream 0 (`00db` /
-  * `00dc` chunks), the universal layout for the video stream; the
-  * parser verifies via `strh.fccType == "vids"` that stream 0 IS video
-  * and rejects otherwise. Format layout from the public RIFF/AVI and
+  * Scope, stated honestly: frames are taken from the FIRST `vids`
+  * stream — its index is read from `strh` order, so an AVI muxed with
+  * audio as stream 0 and video as stream 1 (`01db`/`01dc` chunks)
+  * still yields its frames; a container with no `vids` stream at all
+  * rejects. Format layout from the public RIFF/AVI and
   * BITMAPINFOHEADER specifications; the reference engine has no media
   * surface (this path exists for the LLM-pipeline mandate).
   */
@@ -61,7 +62,12 @@ object AviContainer extends Multimodal.VideoContainer {
     var comp: String = null
     var strf: Array[Byte] = null
     var lastStrh: String = ""
-    var vidsSeen = false
+    var strhCount = 0
+    // the FIRST vids stream's chunk-id prefix ("00".."99"): stream N's
+    // frame chunks are 'NNdb'/'NNdc', so an AVI whose video stream is
+    // not stream 0 (audio first is a common mux order) still yields its
+    // frames instead of silently collecting none
+    var vidPrefix: String = null
     val frames = Vector.newBuilder[Frame]
     def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
       var off = start
@@ -75,11 +81,14 @@ object AviContainer extends Multimodal.VideoContainer {
           case "LIST" if sz >= 4 =>
             val listType = fcc(b, dataOff)
             walk(dataOff + 4, dataOff + sz, inMovi || listType == "movi")
-          case "00db" | "00dc" if inMovi =>
+          case _ if inMovi && vidPrefix != null && id.startsWith(vidPrefix)
+              && (id.endsWith("db") || id.endsWith("dc")) =>
             frames += Frame(dataOff, sz)
           case "strh" if sz >= 4 =>
             lastStrh = fcc(b, dataOff)
-            if (lastStrh == "vids") vidsSeen = true
+            if (lastStrh == "vids" && vidPrefix == null)
+              vidPrefix = f"$strhCount%02d"
+            strhCount += 1
           case "strf" if lastStrh == "vids" && strf == null =>
             require(sz >= 40,
               s"video strf too small for a BITMAPINFOHEADER ($sz bytes)")
@@ -96,7 +105,8 @@ object AviContainer extends Multimodal.VideoContainer {
       }
     }
     walk(12, b.length, inMovi = false)
-    require(vidsSeen && strf != null, "AVI has no video ('vids') stream")
+    require(vidPrefix != null && strf != null,
+      "AVI has no video ('vids') stream")
     require(comp == "DIB" || comp == "MJPG",
       s"unsupported AVI frame compression '$comp' — only MJPG and " +
         "uncompressed DIB decode without an external codec")

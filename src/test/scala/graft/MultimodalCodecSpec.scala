@@ -183,12 +183,13 @@ class MultimodalCodecSpec extends AnyFunSuite {
     * movi(frames)). `comp` "DIB" reuses a real BMP's own info header +
     * bottom-up pixel array per frame; "MJPG" embeds whole JPEGs. */
   private def avi(w: Int, h: Int, comp: String,
-      frames: Seq[Array[Byte]], strfOverride: Option[Array[Byte]] = None)
-      : Array[Byte] = {
+      frames: Seq[Array[Byte]], strfOverride: Option[Array[Byte]] = None,
+      audioFirst: Boolean = false): Array[Byte] = {
+    val nStreams = if (audioFirst) 2 else 1
     val avih = new Array[Byte](56)
     System.arraycopy(le32(33333), 0, avih, 0, 4) // usec/frame
     System.arraycopy(le32(frames.length), 0, avih, 16, 4) // total frames
-    System.arraycopy(le32(1), 0, avih, 24, 4) // streams
+    System.arraycopy(le32(nStreams), 0, avih, 24, 4) // streams
     System.arraycopy(le32(w), 0, avih, 32, 4)
     System.arraycopy(le32(h), 0, avih, 36, 4)
     val strh = new Array[Byte](56)
@@ -211,10 +212,23 @@ class MultimodalCodecSpec extends AnyFunSuite {
         java.util.Arrays.copyOfRange(bmp, 14, pixOff)
       }
     }
-    val frameId = if (comp == "MJPG") "00dc" else "00db"
-    val hdrl = riffList("hdrl", chunk("avih", avih),
-      riffList("strl", chunk("strh", strh), chunk("strf", strf)))
-    val movi = riffList("movi", frames.map(chunk(frameId, _)): _*)
+    // audio-first mux: stream 0 is 'auds', the video stream is 1 and
+    // its movi chunks carry the '01' prefix — the layout that used to
+    // silently yield zero frames
+    val vidIdx = if (audioFirst) "01" else "00"
+    val frameId = vidIdx + (if (comp == "MJPG") "dc" else "db")
+    val audioStrl = if (!audioFirst) Array.empty[Byte] else {
+      val ah = new Array[Byte](56)
+      System.arraycopy("auds".getBytes("ISO-8859-1"), 0, ah, 0, 4)
+      riffList("strl", chunk("strh", ah), chunk("strf", new Array[Byte](16)))
+    }
+    val hdrl = riffList("hdrl", Seq(chunk("avih", avih)) ++
+      (if (audioFirst) Seq(audioStrl) else Nil) :+
+      riffList("strl", chunk("strh", strh), chunk("strf", strf)): _*)
+    val audioChunks = if (audioFirst)
+      frames.map(_ => chunk("00wb", new Array[Byte](8))) else Nil
+    val movi = riffList("movi",
+      frames.map(chunk(frameId, _)) ++ audioChunks: _*)
     val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
     "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
   }
@@ -255,6 +269,27 @@ class MultimodalCodecSpec extends AnyFunSuite {
     val one = Multimodal.sampleFramesDecoded(
       media(MediaRow(30L, "video", payload, "t")), n = 1).collect()
     assert(one.length == 1 && one.head.getAs[Int]("src_frame") == 0)
+  }
+
+  test("audio-first AVI: video at stream 1 still yields its frames") {
+    // common mux order — stream 0 'auds' (chunks 00wb), video at
+    // stream 1 (chunks 01db). The frame walk keys on the vids stream's
+    // strh INDEX, so this must decode identically to the 00-prefix
+    // layout, not silently return zero frames.
+    val (w, h) = (5, 3)
+    val seeds = Seq(0, 1)
+    val payload = avi(w, h, "DIB", seeds.map(dibFrame(w, h, _)),
+      audioFirst = true)
+    val rows = Multimodal.sampleFramesDecoded(
+        media(MediaRow(50L, "video", payload, "t")), n = 2)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(rows.length == 2, "both video frames found behind the audio stream")
+    for ((r, seed) <- rows.zip(seeds)) {
+      val f = ImageIoCodec.decode(MediaRow(50L, "image",
+        r.getAs[Array[Byte]]("frame_payload"), "t"))
+      assert((f.width, f.height) == ((w, h)))
+      assert(f.checksum == pixelSum(encoded(w, h, "bmp", seed)))
+    }
   }
 
   test("MJPEG AVI: 00dc chunks pass through as decodable JPEGs") {
