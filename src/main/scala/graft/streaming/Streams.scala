@@ -350,16 +350,19 @@ object Streams {
     * corpus ([[graft.operators.ShingleIndex.compact]]) while leaving
     * any appended-but-uncommitted batch (a crash the stream has not
     * replayed yet) prunable in place. The uncommitted set is computed,
-    * not assumed: distinct stamped batch ids actually present in the
-    * index (a partition-column read — file listing, no data scan)
-    * minus the ledger's committed ids. Run between stream restarts —
+    * not assumed: batch ids stamped in the index's REGISTERED
+    * partitions (SHOW PARTITIONS — catalog metadata only; a
+    * `select(batch_id).distinct()` would scan the postings, Spark's
+    * metadata-only rewrite being off by default) minus the ledger's
+    * committed ids. Run between stream restarts —
     * compaction is a writer, and the index has a single-writer rule. */
   def compactIndex(spark: SparkSession,
       cfg: graft.operators.Ingest.Config): Unit = {
     val ledger = s"${cfg.indexName}_batches"
-    val appended = spark.table(s"${cfg.indexName}_idx")
-      .select(col("batch_id")).distinct().collect()
-      .map(_.getLong(0)).toSet
+    val appended = spark.sql(s"SHOW PARTITIONS ${cfg.indexName}_idx")
+      .collect()
+      .flatMap(_.getString(0).split('/').find(_.startsWith("batch_id=")))
+      .map(_.stripPrefix("batch_id=").toLong).toSet
     val committed =
       if (spark.catalog.tableExists(ledger))
         spark.table(ledger).select(col("batch_id")).collect()
