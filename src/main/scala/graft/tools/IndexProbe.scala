@@ -45,16 +45,27 @@ object IndexProbe {
       for (i <- 1 to 2) time(s"ingest_inmemory_$i") {
         Dedup.incrementalNearDupPairs(old, batch, "doc_id", "text").count()
       }
-      val queries = embs.filter(col("vec_id") % 50 === 0)
+      // optional 3rd arg: replace the (post-regeneration: 2000-row)
+      // embeddings table with a synthetic clustered corpus of this
+      // size, so the store-vs-recompute gap is measurable at a scale
+      // where there is a corpus-side term to amortize. Queries stay a
+      // fixed 200 either way — the per-batch shape under test.
+      val ivfCorpus = args.lift(2).map(_.toInt).filter(_ > 0)
+        .map(n => SyntheticVectors.clustered(spark, n)
+          .persist())
+        .getOrElse(embs)
+      val qMod = math.max(1L, ivfCorpus.count() / 200L)
+      val queries = ivfCorpus.filter(col("vec_id") % qMod === 0)
       time("ivf_index_build") {
-        IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_ivf"); 0L
+        IvfIndex.build(ivfCorpus, "vec_id", "embedding", "graft_probe_ivf"); 0L
       }
       for (i <- 1 to 2) time(s"ann_indexed_$i") {
         IvfIndex.topK(queries, "vec_id", "embedding", "graft_probe_ivf",
           k = 5).count()
       }
       for (i <- 1 to 2) time(s"ann_inmemory_$i") {
-        Similarity.ivfTopK(queries, embs, "vec_id", "embedding", 5).count()
+        Similarity.ivfTopK(queries, ivfCorpus, "vec_id", "embedding", 5)
+          .count()
       }
     } finally Seq("graft_probe_idx", "graft_probe_sh", "graft_probe_meta",
       "graft_probe_ivf_cells", "graft_probe_ivf_cent")

@@ -21,35 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object RecallProbe {
 
-  /** Deterministic CLUSTERED corpus: `n` 64-dim vectors around
-    * `centers` hash-derived anchor points with hash-derived per-vector
-    * noise — a Gaussian-mixture stand-in with zero RNG (same
-    * hash-everything discipline as the operators, so runs reproduce).
-    * The driver's synthetic embeddings are uniform random, which is
-    * IVF's worst case; this corpus measures the operators where IVF's
-    * assumption (neighbors concentrate in cells) actually holds.
-    * `spread` scales noise relative to the anchor grid: small spread =
-    * tight clusters. */
-  private def clustered(spark: org.apache.spark.sql.SparkSession,
-      n: Int, centers: Int, spread: Double): DataFrame = {
-    import graft.functions.TextFns.hash32
-    val u = (s: org.apache.spark.sql.Column) =>
-      hash32(s).cast("double") / lit(4294967296.0) - lit(0.5) // [-0.5,0.5)
-    spark.range(n.toLong).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(63)), d =>
-        (u(concat(lit("c"), pmod(col("id"), lit(centers)), lit("_"), d))
-          + u(concat(lit("v"), col("id"), lit("_"), d)) * lit(spread))
-          .cast("float")).as("embedding"))
-  }
-
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local(32)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val k = args.lift(1).map(_.toInt).getOrElse(10)
     val embs =
       if (dir == "clustered")
-        clustered(spark, n = args.lift(2).map(_.toInt).getOrElse(20000),
-          centers = 20, spread = 0.25)
+        SyntheticVectors.clustered(spark,
+          n = args.lift(2).map(_.toInt).getOrElse(20000))
       else graft.Tables.df(spark, dir, "embeddings")
     val queries = embs.filter(col("vec_id") % 50 === 0)
     val nQ = queries.count()
