@@ -678,6 +678,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetHistogram edges: one-score group all-or-nothing, fitting group kept whole") {
+    import spark.implicits._
+    val scored = Seq(
+      // group "flat": one distinct score — one bin, the honest limit of
+      // score-resolution selection: either everything fits or nothing keeps
+      (1L, "flat", 40L, 0.5), (2L, "flat", 40L, 0.5), (3L, "flat", 40L, 0.5),
+      // group "fits": total mass 30 ≤ budget — no cutoff row, keep all
+      (4L, "fits", 10L, 0.9), (5L, "fits", 20L, 0.1))
+      .toDF("doc_id", "grp", "n_tokens", "score")
+    def kept(budget: Long) = Corpus.tokenBudgetHistogram(
+        scored, "doc_id", "grp", "n_tokens", "score", budget, bins = 8)
+      .filter(col("kept")).select(col("grp"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // budget 120: flat's 120 fits entirely; fits' 30 fits entirely
+    assert(kept(120L) ==
+      Set("flat" -> 1L, "flat" -> 2L, "flat" -> 3L, "fits" -> 4L, "fits" -> 5L))
+    // budget 100: flat's single bin (mass 120) exceeds it -> NOTHING
+    // keeps (all-or-nothing at one-bin resolution); fits is untouched
+    assert(kept(100L) == Set("fits" -> 4L, "fits" -> 5L))
+  }
+
   test("top ngrams: known duplicated trigram ranks first, df exact, distinct-per-doc") {
     import spark.implicits._
     val d = Seq(
