@@ -67,8 +67,16 @@ object RecallProbe {
       IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall")
       recall("ivf_index_nProbe3")(IvfIndex.topK(
         queries, "vec_id", "embedding", "graft_probe_recall", k))
-    } finally Seq("graft_probe_recall_cells", "graft_probe_recall_cent")
-      .foreach(ShingleIndex.dropTable(spark, _))
+    } finally {
+      Seq("graft_probe_recall_cells", "graft_probe_recall_cent")
+        .foreach(ShingleIndex.dropTable(spark, _))
+      val root = java.nio.file.Paths.get(truthPath).getParent
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
     spark.stop()
   }
 }
