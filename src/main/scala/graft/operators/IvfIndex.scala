@@ -35,9 +35,19 @@ object IvfIndex {
     * caller's id) for the same reason: undoing a half-committed append
     * is partition surgery ([[pruneBatch]]), never a table rewrite.
     * Bucket pruning on `list_id` operates within each partition, so the
-    * probed-cell file-skipping below is unaffected. */
+    * probed-cell file-skipping below is unaffected.
+    *
+    * @param centroids optional LEARNED centroid set — any
+    *   (list_id, centroid, centroid_n) frame, canonically
+    *   [[Similarity.kmeansCentroids]] output, which the measured recall
+    *   probes (SCALE.md) show is worth a full nProbe tier over the
+    *   hash-sampled default on clustered data. When given, `nCells` is
+    *   ignored (the frame's row count IS the cell count) and every
+    *   consumer — [[topK]], [[append]], [[incrementalNearDups]] — uses
+    *   the stored set transparently. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
-      nCells: Int = 64, buckets: Int = 32): Unit = {
+      nCells: Int = 64, buckets: Int = 32,
+      centroids: Option[DataFrame] = None): Unit = {
     val spark = corpus.sparkSession
     // ShingleIndex.dropTable also clears stale warehouse directories —
     // an in-memory catalog forgets tables across JVMs, and a leftover
@@ -49,7 +59,14 @@ object IvfIndex {
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
         col("neighbor_id"))
       .persist()
-    Similarity.topKByHashCentroids(c, "neighbor_id", "cv", nCells)
+    // the cast normalizes a caller's float centroids to the exact
+    // column types assignment arithmetic runs on, so the stored table
+    // is type-identical whichever path produced it
+    centroids
+      .map(_.select(col("list_id").cast("long"),
+        col("centroid").cast("array<double>"),
+        col("centroid_n").cast("double")))
+      .getOrElse(Similarity.topKByHashCentroids(c, "neighbor_id", "cv", nCells))
       .write.mode("overwrite").saveAsTable(s"${name}_cent")
     // assignment uses the centroids READ BACK from the store, so the
     // persisted cells agree with whatever the table holds, bit-for-bit
@@ -83,16 +100,122 @@ object IvfIndex {
       name: String, batchId: Long = ShingleIndex.BaseBatch): Unit = {
     val spark = vectors.sparkSession
     val v = Similarity.withNorm(vectors, idCol, vecCol, "neighbor_id", "cv")
-    Similarity.assignCells(v, "neighbor_id", "cv",
-        spark.table(s"${name}_cent"), probe = 1)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").insertInto(s"${name}_cells")
+    ShingleIndex.insertByName(
+      Similarity.assignCells(v, "neighbor_id", "cv",
+          spark.table(s"${name}_cent"), probe = 1)
+        .withColumn("batch_id", lit(batchId)),
+      s"${name}_cells")
   }
 
   /** Undo one append batch's partition — the IVF mirror of
     * [[ShingleIndex.pruneBatch]] (same replay-repair contract). */
   def pruneBatch(spark: SparkSession, name: String, batchId: Long): Unit =
     ShingleIndex.dropBatchPartitions(spark, Seq(s"${name}_cells"), batchId)
+
+  /** Fold ingest-batch partitions of `{name}_cells` back into the base
+    * corpus — the IVF face of [[ShingleIndex.compact]], completing the
+    * index lifecycle to the same standard: thousands of streamed
+    * [[append]]s accumulate one `batch_id` directory each, and without
+    * this pass the listing cost of the cell store creeps without bound
+    * even though the data layout stays sound. Same shared fold-and-swap
+    * core ([[ShingleIndex.compactTable]]): batches in `uncommitted`
+    * (appended but never ledger-committed — a crashed stream that has
+    * not replayed yet) keep their partitions verbatim so [[pruneBatch]]
+    * can still undo them; everything else re-stamps as base. The
+    * centroid table never compacts — it is O(nCells) and unpartitioned.
+    * Same caller contract as the shingle side: single writer, run
+    * between stream restarts, clear persisted plans over the index
+    * first. */
+  def compact(spark: SparkSession, name: String,
+      uncommitted: Set[Long] = Set.empty): Unit = {
+    // the rewrite must reproduce build's bucket layout; read the count
+    // from the live table's own metadata instead of trusting a caller
+    // to repeat the build-time argument
+    val buckets = spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(s"${name}_cells"))
+      .bucketSpec.map(_.numBuckets).getOrElse(32)
+    ShingleIndex.compactTable(spark, s"${name}_cells", uncommitted,
+      (df, tmp) =>
+        df.write.partitionBy("batch_id").bucketBy(buckets, "list_id")
+          .sortBy("list_id")
+          .mode("overwrite").saveAsTable(tmp))
+  }
+
+  /** Near-dup matches of an ingest batch against the stored corpus AND
+    * earlier rows of the same batch — the vector mirror of
+    * [[ShingleIndex.incrementalPairs]], with the same cost contract:
+    * old×old never pairs, and every stage is bounded by the batch
+    * except bucket-pruned reads of the probed cells. Candidates are
+    * cell co-occupants under `assignProbe`-way multi-assignment of the
+    * BATCH side (the store holds probe=1 assignments; multi-probing the
+    * batch recovers boundary-straddling pairs — same recall geometry as
+    * [[Similarity.ivfNearDupPairs]]), deduped as bare id pairs BEFORE
+    * vectors re-attach, then exact-cosine verified. New×new pairs emit
+    * once with `vec_id < match_id` (the caller's keeper rule drops the
+    * larger id — [[graft.streaming.Streams.vectorIngestBatch]]).
+    * Determinism: candidate sets and cosines are exact functions of the
+    * stored centroid geometry — no RNG anywhere. Zero-norm batch
+    * vectors are excluded (cosine undefined; the streaming caller gives
+    * them their own fate).
+    *
+    * Persists the batch-side assignment and batch vectors (both
+    * batch-bounded) — same caller-clears-cache convention as the pair
+    * operators.
+    *
+    * @return (vec_id, match_id, cos, match_is_new) — one row per
+    *         near-dup pair with cosine > `threshold` */
+  def incrementalNearDups(batch: DataFrame, idCol: String, vecCol: String,
+      name: String, threshold: Double, assignProbe: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val centroids = spark.table(s"${name}_cent")
+    val v = Similarity.withNorm(batch, idCol, vecCol, "vec_id", "v")
+      .persist()
+    val assigned = Similarity.assignCells(v, "vec_id", "v", centroids,
+      assignProbe).persist()
+    // FILE pruning, same shape as [[topK]]: the batch can only match
+    // cells it probes, so the (batch-bounded) probed list_ids push down
+    // as a static filter the bucketed store prunes files on;
+    // self-disabling when the batch probes every cell.
+    val nCells = centroids.count() // O(K) table
+    val probed = assigned.select(col("list_id")).distinct()
+      .collect().map(_.get(0))
+    val cells0 = spark.table(s"${name}_cells")
+    val cells = if (probed.length < nCells)
+      cells0.filter(col("list_id").isin(probed: _*)) else cells0
+    // id-only candidates, deduped before vectors re-attach (the same
+    // shuffle-payload saving as ivfNearDupPairs' slim stage)
+    val slim = assigned.select(col("list_id"), col("vec_id"))
+    val candOld = slim
+      .join(cells.select(col("list_id"), col("neighbor_id")), Seq("list_id"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id").as("match_id"),
+        lit(false).as("match_is_new"))
+      .distinct()
+    val candNew = slim.as("a")
+      .join(slim.as("b"),
+        col("a.list_id") === col("b.list_id")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("match_id"),
+        lit(true).as("match_is_new"))
+      .distinct()
+    // exact verify: batch vectors from the cached batch frame; stored
+    // match vectors from the (bucket-pruned) cell store, one row per
+    // vector (probe=1 storage assignment — no duplicates to dedup)
+    val batchVecs = v.select(col("vec_id"), col("v"), col("v_n"))
+    val storeVecs = cells.select(col("neighbor_id").as("match_id"),
+      col("cv").as("vb"), col("cv_n").as("nb"))
+    val withA = candOld.unionByName(candNew)
+      .join(batchVecs.select(col("vec_id"), col("v").as("va"),
+        col("v_n").as("na")), "vec_id")
+    withA.filter(!col("match_is_new")).join(storeVecs, "match_id")
+      .unionByName(withA.filter(col("match_is_new"))
+        .join(batchVecs.select(col("vec_id").as("match_id"),
+          col("v").as("vb"), col("v_n").as("nb")), "match_id"))
+      .select(col("vec_id"), col("match_id"),
+        (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("cos"), col("match_is_new"))
+      .filter(col("cos") > threshold)
+  }
 
   /** ANN top-k for a query batch against the stored corpus —
     * row-for-row `Similarity.ivfTopK(queries, corpus, …, nCells)` with

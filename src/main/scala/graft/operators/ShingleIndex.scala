@@ -153,10 +153,8 @@ object ShingleIndex {
     // persisted for the same two-writes reason as in build
     val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
     try {
-      postings(sh, parts, batchId)
-        .write.mode("append").insertInto(s"${name}_idx")
-      sh.withColumn("batch_id", lit(batchId))
-        .write.mode("append").insertInto(s"${name}_sh")
+      insertByName(postings(sh, parts, batchId), s"${name}_idx")
+      insertByName(sh.withColumn("batch_id", lit(batchId)), s"${name}_sh")
     } finally sh.unpersist(blocking = false)
   }
 
@@ -188,41 +186,55 @@ object ShingleIndex {
   def compact(spark: SparkSession, name: String,
       uncommitted: Set[Long] = Set.empty): Unit = {
     val (_, buckets, parts) = meta(spark, name)
-    val keep = uncommitted - BaseBatch
-    def folded(table: String): DataFrame = {
-      val cur = spark.table(table)
-      val stamp =
-        if (keep.isEmpty) lit(BaseBatch)
-        else when(col("batch_id").isin(keep.toSeq: _*), col("batch_id"))
-          .otherwise(lit(BaseBatch))
-      cur.withColumn("batch_id", stamp)
-    }
-    def swap(table: String, write: DataFrame => Unit): Unit = {
-      val tmp = s"${table}_cmp"
-      val old = s"${table}_old"
-      Seq(tmp, old).foreach(dropTable(spark, _))
-      write(folded(table))
-      spark.sql(s"ALTER TABLE $table RENAME TO $old")
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      // RENAME moves a managed table's root directory but leaves its
-      // catalog PARTITION entries pointing at the pre-rename paths —
-      // measured, not theorized: without the recovers, the swapped-in
-      // table reads empty, and dropping the old table purges partition
-      // dirs by their stale paths INSIDE the live table. Re-register
-      // both sides from the filesystem before anything reads or drops.
-      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
-      spark.sql(s"ALTER TABLE $old RECOVER PARTITIONS")
-      spark.sql(s"REFRESH TABLE $table")
-      dropTable(spark, old)
-    }
-    swap(s"${name}_idx", df =>
+    compactTable(spark, s"${name}_idx", uncommitted, (df, tmp) =>
       df.repartition(parts, col("p"))
         .write.partitionBy("p", "batch_id").bucketBy(buckets, "s").sortBy("s")
-        .mode("overwrite").saveAsTable(s"${name}_idx_cmp"))
-    swap(s"${name}_sh", df =>
+        .mode("overwrite").saveAsTable(tmp))
+    compactTable(spark, s"${name}_sh", uncommitted, (df, tmp) =>
       df.write.partitionBy("batch_id").bucketBy(buckets, "doc_id")
-        .mode("overwrite").saveAsTable(s"${name}_sh_cmp"))
+        .mode("overwrite").saveAsTable(tmp))
   }
+
+  /** The fold-and-swap core of [[compact]], shared with
+    * [[IvfIndex.compact]]: re-stamp every batch NOT in `uncommitted` as
+    * base, write the result to a `_cmp` staging table via `write`
+    * (which owns the table-specific partition/bucket layout), then swap
+    * it in with the two-rename dance and drop the old generation. See
+    * [[compact]]'s scaladoc for the crash discipline the swap
+    * provides. */
+  private[operators] def compactTable(spark: SparkSession, table: String,
+      uncommitted: Set[Long], write: (DataFrame, String) => Unit): Unit = {
+    val keep = uncommitted - BaseBatch
+    val stamp =
+      if (keep.isEmpty) lit(BaseBatch)
+      else when(col("batch_id").isin(keep.toSeq: _*), col("batch_id"))
+        .otherwise(lit(BaseBatch))
+    val tmp = s"${table}_cmp"
+    val old = s"${table}_old"
+    Seq(tmp, old).foreach(dropTable(spark, _))
+    write(spark.table(table).withColumn("batch_id", stamp), tmp)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // RENAME moves a managed table's root directory but leaves its
+    // catalog PARTITION entries pointing at the pre-rename paths —
+    // measured, not theorized: without the recovers, the swapped-in
+    // table reads empty, and dropping the old table purges partition
+    // dirs by their stale paths INSIDE the live table. Re-register
+    // both sides from the filesystem before anything reads or drops.
+    spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+    spark.sql(s"ALTER TABLE $old RECOVER PARTITIONS")
+    spark.sql(s"REFRESH TABLE $table")
+    dropTable(spark, old)
+  }
+
+  /** Column-name-safe append: `insertInto` matches by POSITION, so a
+    * producer whose projection order drifts from the table's would
+    * silently scramble the store — reorder to the table's own column
+    * list first, making the append structurally immune to upstream
+    * reorders (a genuinely missing column still fails, loudly). */
+  private[operators] def insertByName(df: DataFrame, table: String): Unit =
+    df.select(df.sparkSession.table(table).columns.map(col): _*)
+      .write.mode("append").insertInto(table)
 
   /** Undo every row batch `batchId` wrote to the index — the replay
     * repair for a crash anywhere in the append→commit window (postings

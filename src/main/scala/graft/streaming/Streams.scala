@@ -294,7 +294,8 @@ object Streams {
     * sink. */
   def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, cfg: graft.operators.Ingest.Config,
-      route: (DataFrame, Long) => Unit): Unit = {
+      route: (DataFrame, Long) => Unit,
+      lease: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val ledger = s"${cfg.indexName}_batches"
@@ -302,6 +303,10 @@ object Streams {
       spark.table(ledger).filter(col("batch_id") === batchId)
         .head(1).nonEmpty
     if (!replayed) {
+      // single-writer guard, checked BEFORE any mutation: if another
+      // writer (second stream, concurrent compaction) took the lease
+      // since this loop started, fail loudly instead of interleaving
+      lease.foreach(graft.operators.WriterLease.check(spark, cfg.indexName, _))
       // crash repair: drop anything a previous attempt of THIS batch
       // appended before dying short of the ledger row (no-op on the
       // normal first run — the partitions don't exist)
@@ -338,28 +343,147 @@ object Streams {
   def ingestTriage(docs: DataFrame, idCol: String, textCol: String,
       cfg: graft.operators.Ingest.Config, checkpoint: String,
       route: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // claim the writer lease once per stream start (takeover semantics
+    // — a restart after a crash just re-takes it); every batch
+    // re-checks, so a second writer turns this stream loud within one
+    // batch instead of silently interleaving appends
+    val lease = graft.operators.WriterLease.take(
+      docs.sparkSession, cfg.indexName)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch((b: DataFrame, id: java.lang.Long) =>
-        ingestBatch(b, id, idCol, textCol, cfg, route))
+        ingestBatch(b, id, idCol, textCol, cfg, route, Some(lease)))
       .start()
+  }
+
+  // ---- streaming embedding ingest -----------------------------------------
+
+  /** Config for the EMBEDDING ingest round — the vector face of
+    * [[graft.operators.Ingest.Config]].
+    *
+    * @param indexName [[graft.operators.IvfIndex]] table-name prefix
+    * @param threshold cosine above which a batch vector is a near-dup
+    * @param assignProbe batch-side multi-assignment width (recall knob,
+    *   same geometry as `Similarity.ivfNearDupPairs`) */
+  final case class VectorIngestConfig(
+      indexName: String, threshold: Double = 0.95, assignProbe: Int = 3)
+
+  /** One micro-batch of the streaming EMBEDDING ingest round — the
+    * vector mirror of [[ingestBatch]], with the identical
+    * convergent-exactly-once contract: the `{index}_batches` ledger
+    * makes a replay of a committed batch a no-op; an uncommitted
+    * replay first [[graft.operators.IvfIndex.pruneBatch prunes]]
+    * whatever a crashed attempt half-appended to the cell store before
+    * redoing the work. Same honest limits as the text loop: readers
+    * may see a torn batch between crash and restart (convergence, not
+    * isolation), and `route` fires at-least-once.
+    *
+    * Per batch: near-dup triage against the stored corpus and earlier
+    * rows of the same batch ([[graft.operators.IvfIndex
+    * .incrementalNearDups]] — old×old never pairs, batch-bounded),
+    * fates routed (`accepted` | `duplicate` with min-id `dup_of` |
+    * `zero_norm` for vectors cosine cannot compare), then the accepted
+    * vectors append to the index under this batch's partition so later
+    * micro-batches dedup against earlier ones. */
+  def vectorIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, cfg: VectorIngestConfig,
+      route: (DataFrame, Long) => Unit,
+      lease: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ledger = s"${cfg.indexName}_batches"
+    val replayed = spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!replayed) {
+      lease.foreach(graft.operators.WriterLease.check(spark, cfg.indexName, _))
+      graft.operators.IvfIndex.pruneBatch(spark, cfg.indexName, batchId)
+      val dups = graft.operators.IvfIndex.incrementalNearDups(
+        batch, idCol, vecCol, cfg.indexName, cfg.threshold, cfg.assignProbe)
+      // keeper rule, same as the text loop: a new×old pair drops the
+      // new vector; a new×new pair (emitted once, vec_id < match_id)
+      // drops the LARGER id; min(dup_of) makes the report deterministic
+      val dropped = dups.filter(!col("match_is_new"))
+        .select(col("vec_id"), col("match_id").as("_dup"))
+        .unionByName(dups.filter(col("match_is_new"))
+          .select(col("match_id").as("vec_id"), col("vec_id").as("_dup")))
+        .groupBy(col("vec_id")).agg(min(col("_dup")).as("dup_of"))
+      val fates = batch
+        .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+        .withColumn("_n", sqrt(graft.operators.Similarity.dot(
+          col("vec"), col("vec"))))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("vec"),
+          when(coalesce(col("_n"), lit(0.0)) <= 0, lit("zero_norm"))
+            .when(col("dup_of").isNotNull, lit("duplicate"))
+            .otherwise(lit("accepted")).as("fate"),
+          when(coalesce(col("_n"), lit(0.0)) > 0, col("dup_of")).as("dup_of"))
+        .persist()
+      try {
+        route(fates, batchId)
+        graft.operators.IvfIndex.append(
+          fates.filter(col("fate") === "accepted")
+            .select(col("vec_id"), col("vec")),
+          "vec_id", "vec", cfg.indexName, batchId)
+        Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
+      } finally fates.unpersist(blocking = false)
+    }
+  }
+
+  /** The streaming embedding ingest loop: a foreachBatch sink driving
+    * [[vectorIngestBatch]] — near-dup triage against the PERSISTED,
+    * GROWING IVF index with batch-id idempotence. The index must exist
+    * ([[graft.operators.IvfIndex.build]] it over the seed corpus
+    * first — centroids stay frozen across appends; schedule periodic
+    * rebuilds if the ingest distribution drifts). Same single-writer
+    * rule and lease guard as [[ingestTriage]]. */
+  def vectorIngest(vectors: DataFrame, idCol: String, vecCol: String,
+      cfg: VectorIngestConfig, checkpoint: String,
+      route: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.operators.WriterLease.take(
+      vectors.sparkSession, cfg.indexName)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        vectorIngestBatch(b, id, idCol, vecCol, cfg, route, Some(lease)))
+      .start()
+  }
 
   /** Ledger-aware index compaction for a STOPPED ingest stream: folds
     * every ledger-committed batch partition into the index's base
-    * corpus ([[graft.operators.ShingleIndex.compact]]) while leaving
-    * any appended-but-uncommitted batch (a crash the stream has not
-    * replayed yet) prunable in place. The uncommitted set is computed,
-    * not assumed: batch ids stamped in the index's REGISTERED
-    * partitions (SHOW PARTITIONS — catalog metadata only; a
-    * `select(batch_id).distinct()` would scan the postings, Spark's
-    * metadata-only rewrite being off by default) minus the ledger's
-    * committed ids. Run between stream restarts —
-    * compaction is a writer, and the index has a single-writer rule. */
-  def compactIndex(spark: SparkSession,
-      cfg: graft.operators.Ingest.Config): Unit = {
-    val ledger = s"${cfg.indexName}_batches"
-    val appended = spark.sql(s"SHOW PARTITIONS ${cfg.indexName}_idx")
+    * corpus while leaving any appended-but-uncommitted batch (a crash
+    * the stream has not replayed yet) prunable in place. Handles BOTH
+    * index families — the table layout names the family: a shingle
+    * index has `{name}_idx` ([[graft.operators.ShingleIndex.compact]]),
+    * an IVF index has `{name}_cells`
+    * ([[graft.operators.IvfIndex.compact]]) — so one maintenance
+    * entry point serves text and embedding ingest alike. The
+    * uncommitted set is computed, not assumed: batch ids stamped in the
+    * index's REGISTERED partitions (SHOW PARTITIONS — catalog metadata
+    * only; a `select(batch_id).distinct()` would scan the postings,
+    * Spark's metadata-only rewrite being off by default) minus the
+    * ledger's committed ids. Run between stream restarts — compaction
+    * is a writer, and it TAKES the writer lease, so an ingest stream
+    * mistakenly left running fails loudly at its next batch instead of
+    * interleaving with the rewrite. */
+  def compactIndex(spark: SparkSession, indexName: String): Unit = {
+    val ledger = s"${indexName}_batches"
+    val (partTable, runCompact) =
+      if (spark.catalog.tableExists(s"${indexName}_idx"))
+        (s"${indexName}_idx",
+          (u: Set[Long]) => graft.operators.ShingleIndex.compact(
+            spark, indexName, u))
+      else if (spark.catalog.tableExists(s"${indexName}_cells"))
+        (s"${indexName}_cells",
+          (u: Set[Long]) => graft.operators.IvfIndex.compact(
+            spark, indexName, u))
+      else throw new IllegalArgumentException(
+        s"no persisted index named '$indexName' — neither " +
+          s"${indexName}_idx (shingle) nor ${indexName}_cells (IVF) exists")
+    graft.operators.WriterLease.take(spark, indexName)
+    val appended = spark.sql(s"SHOW PARTITIONS $partTable")
       .collect()
       .flatMap(_.getString(0).split('/').find(_.startsWith("batch_id=")))
       .map(_.stripPrefix("batch_id=").toLong).toSet
@@ -368,7 +492,11 @@ object Streams {
         spark.table(ledger).select(col("batch_id")).collect()
           .map(_.getLong(0)).toSet
       else Set.empty[Long]
-    graft.operators.ShingleIndex.compact(spark, cfg.indexName,
-      uncommitted = appended -- committed - graft.operators.ShingleIndex.BaseBatch)
+    runCompact(
+      appended -- committed - graft.operators.ShingleIndex.BaseBatch)
   }
+
+  def compactIndex(spark: SparkSession,
+      cfg: graft.operators.Ingest.Config): Unit =
+    compactIndex(spark, cfg.indexName)
 }

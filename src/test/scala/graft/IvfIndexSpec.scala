@@ -84,6 +84,131 @@ class IvfIndexSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("learned-centroid build: store topK == ivfTopK with the kmeans centroid set") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    try {
+      val km = Similarity.kmeansCentroids(embs, "embedding", nCells = 8)
+      IvfIndex.build(embs, "vec_id", "embedding", "graft_ivfkm",
+        centroids = Some(km))
+      // the store must answer row-for-row what the in-memory operator
+      // answers with the SAME learned centroids — the storage layer
+      // stays a pure optimization under the centroids override too
+      val got = resultSet(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_ivfkm", k = 5, nProbe = 3))
+      val inMemory = resultSet(Similarity.ivfTopK(
+        queries, embs, "vec_id", "embedding", 5, nProbe = 3,
+        centroidsOverride = Some(spark.table("graft_ivfkm_cent"))))
+      assert(got == inMemory)
+      assert(got.nonEmpty)
+      // the stored centroid table IS the learned set (cast to the
+      // canonical types), not a hash-sampled substitute
+      assert(spark.table("graft_ivfkm_cent").count() == 8)
+      val storedIds = spark.table("graft_ivfkm_cent")
+        .select("list_id").collect().map(_.getLong(0)).toSet
+      assert(storedIds == km.select("list_id").collect()
+        .map(_.getLong(0)).toSet)
+      // full probe through the learned store degenerates to exact
+      val full = resultSet(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_ivfkm", k = 5, nProbe = 8))
+      assert(full == resultSet(Similarity.bruteForceTopK(
+        queries, embs, "vec_id", "embedding", 5)))
+    } finally {
+      Seq("graft_ivfkm_cells", "graft_ivfkm_cent")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("compact folds committed batches into base, keeps uncommitted prunable, answers unchanged") {
+    val seed = embs.filter(col("vec_id") % 3 === 0)
+    val b1 = embs.filter(col("vec_id") % 3 === 1)
+    val b2 = embs.filter(col("vec_id") % 3 === 2)
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    def batchDirs: Set[String] = {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val s = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(warehouse, "graft_ivfc_cells"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch_id=")).toSet
+      } finally s.close()
+    }
+    try {
+      IvfIndex.build(seed, "vec_id", "embedding", "graft_ivfc", nCells = 8)
+      IvfIndex.append(b1, "vec_id", "embedding", "graft_ivfc", batchId = 1L)
+      IvfIndex.append(b2, "vec_id", "embedding", "graft_ivfc", batchId = 2L)
+      assert(batchDirs == Set("batch_id=-1", "batch_id=1", "batch_id=2"))
+      val before = resultSet(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_ivfc", k = 5, nProbe = 3))
+      spark.catalog.clearCache() // caller-clears-cache before compacting
+      // batch 2 is "appended but never ledger-committed": it must keep
+      // its partition verbatim so replay repair can still prune it
+      IvfIndex.compact(spark, "graft_ivfc", uncommitted = Set(2L))
+      assert(batchDirs == Set("batch_id=-1", "batch_id=2"))
+      assert(resultSet(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_ivfc", k = 5, nProbe = 3))
+        == before, "compaction must not change any answer")
+      // the swapped-in store keeps the bucketed layout (bucket pruning
+      // still works after the rename dance)
+      val one = embs.filter(col("vec_id") === 0)
+      val plan = IvfIndex.topK(one, "vec_id", "embedding", "graft_ivfc",
+        k = 5, nProbe = 2).queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan).exists(m =>
+          m.group(1).toInt < m.group(2).toInt),
+        s"compacted cell store must still bucket-prune:\n${plan.take(1200)}")
+      // the torn batch is still undoable after compaction
+      spark.catalog.clearCache()
+      IvfIndex.pruneBatch(spark, "graft_ivfc", 2L)
+      assert(batchDirs == Set("batch_id=-1"))
+      // and a second compact with nothing uncommitted is a no-op fold
+      spark.catalog.clearCache()
+      IvfIndex.compact(spark, "graft_ivfc")
+      assert(batchDirs == Set("batch_id=-1"))
+      val afterPrune = resultSet(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_ivfc", k = 5, nProbe = 3))
+      assert(afterPrune == resultSet(Similarity.ivfTopK(
+        queries, seed.unionByName(b1), "vec_id", "embedding", 5, nProbe = 3,
+        centroidsOverride = Some(spark.table("graft_ivfc_cent")))))
+    } finally {
+      Seq("graft_ivfc_cells", "graft_ivfc_cent")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("incrementalNearDups: batch pairs against store and smaller-id batch rows only") {
+    import spark.implicits._
+    // store: two orthogonal unit vectors; batch: a near-dup of stored 1,
+    // a new×new near-dup pair (20 ~ 21), an orthogonal novel vector,
+    // and nothing pairing old×old
+    val store = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, Seq(0.99f, 0.1f, 0f, 0f)),  // ~stored 1
+      (20L, Seq(0f, 0f, 0.7f, 0.7f)),   // ~21 (new×new)
+      (21L, Seq(0f, 0f, 0.71f, 0.69f)),
+      (30L, Seq(0f, 0f, 0f, 1f)))       // novel... cos(30, 20/21) ≈ 0.7
+      .toDF("vec_id", "embedding")
+    try {
+      IvfIndex.build(store, "vec_id", "embedding", "graft_ivfd", nCells = 2)
+      val pairs = IvfIndex.incrementalNearDups(
+        batch, "vec_id", "embedding", "graft_ivfd", threshold = 0.9,
+        assignProbe = 2)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("match_id"),
+          r.getAs[Boolean]("match_is_new"))).toSet
+      assert(pairs == Set((10L, 1L, false), (20L, 21L, true)))
+    } finally {
+      Seq("graft_ivfd_cells", "graft_ivfd_cent")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("append: frozen-centroid ingest == ivfTopK over the grown corpus; batch prunable") {
     val seed = embs.filter(col("vec_id") % 3 =!= 0)
     val batch = embs.filter(col("vec_id") % 3 === 0)

@@ -350,6 +350,175 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming vector ingest: cross-batch dedup via the growing IVF index, batch-id idempotence") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = Streams.VectorIngestConfig("graft_ving", threshold = 0.9)
+    try {
+      IvfIndex.build(Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_ving", nCells = 2)
+      val fates = scala.collection.concurrent.TrieMap[Long, (String, Option[Long])]()
+      val batchIds = scala.collection.mutable.ListBuffer[Long]()
+      val route: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, id) => {
+        batchIds += id
+        df.collect().foreach(r => fates(r.getAs[Long]("vec_id")) =
+          (r.getAs[String]("fate"),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))
+      }
+      val in = MemoryStream[(Long, Seq[Float])]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ving_ckpt")
+      val q = Streams.vectorIngest(in.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cfg, ckpt.toString, route)
+      in.addData(
+        (10L, Seq(0f, 1f, 0f, 0f)),      // novel
+        (11L, Seq(0f, 0f, 0f, 0f)))      // zero-norm: own fate, not appended
+      q.processAllAvailable()
+      in.addData(
+        (20L, Seq(0f, 0.99f, 0.1f, 0f)), // ~10, accepted in batch 1
+        (21L, Seq(0f, 0f, 1f, 0f)))      // novel
+      q.processAllAvailable()
+      q.stop()
+      assert(fates(10L)._1 == "accepted")
+      assert(fates(11L) == (("zero_norm", None)))
+      // the batch-2 vector near-dups one ACCEPTED in batch 1: only the
+      // between-batch index append can know that
+      assert(fates(20L) == (("duplicate", Some(10L))))
+      assert(fates(21L)._1 == "accepted")
+      // idempotence: replaying a committed batch id is a no-op
+      val cells = spark.table("graft_ving_cells").count()
+      val calls = batchIds.size
+      Streams.vectorIngestBatch(
+        Seq((99L, Seq(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        batchIds.head, "vec_id", "embedding", cfg, route)
+      assert(spark.table("graft_ving_cells").count() == cells)
+      assert(batchIds.size == calls)
+      assert(!fates.contains(99L))
+      // ...while a NEW batch id processes normally and grows the store
+      Streams.vectorIngestBatch(
+        Seq((99L, Seq(1f, 1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        batchIds.max + 1, "vec_id", "embedding", cfg, route)
+      assert(fates(99L)._1 == "accepted")
+      assert(spark.table("graft_ving_cells").count() > cells)
+    } finally {
+      Seq("graft_ving_cells", "graft_ving_cent", "graft_ving_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("crash between cell append and ledger commit: vector replay prunes the torn batch and converges") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cfg = Streams.VectorIngestConfig("graft_vcrash", threshold = 0.9)
+    val noop: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) => {
+      df.count(); ()
+    }
+    try {
+      IvfIndex.build(
+        Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_vcrash", nCells = 2)
+      Streams.vectorIngestBatch(
+        Seq((10L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        0L, "vec_id", "embedding", cfg, noop)
+      val committed = spark.table("graft_vcrash_cells").count()
+      // simulate the crash window: batch 1's accepted vectors were
+      // appended to the cell store, the JVM died BEFORE the ledger row
+      IvfIndex.append(
+        Seq((20L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_vcrash", batchId = 1L)
+      val tornTotal = spark.table("graft_vcrash_cells").count()
+      assert(tornTotal > committed)
+      // foreachBatch re-executes the uncommitted batch on restart with
+      // the same id and data: the replay must prune the torn append
+      // first, so the cell store converges to exactly one copy
+      Streams.vectorIngestBatch(
+        Seq((20L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+        1L, "vec_id", "embedding", cfg, noop)
+      val cells = spark.table("graft_vcrash_cells")
+      assert(cells.count() == tornTotal,
+        "replay must land exactly the rows one clean append writes")
+      assert(cells.filter(col("neighbor_id") === 20L).count() == 1,
+        "the torn-then-replayed vector must be stored exactly once")
+      // and the converged store behaves: the replayed vector is a
+      // findable neighbor exactly once
+      val nn = IvfIndex.topK(
+        Seq((100L, Seq(0f, 0f, 0.99f, 0.1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_vcrash", k = 3, nProbe = 2)
+        .filter(col("neighbor_id") === 20L).count()
+      assert(nn == 1, "a torn-then-replayed vector must match once, not twice")
+      // ledger-aware compaction dispatches to the IVF family: every
+      // committed batch folds into base, directory growth resets,
+      // answers unchanged
+      spark.catalog.clearCache()
+      Streams.compactIndex(spark, cfg.indexName)
+      val dirs = {
+        val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val s = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(warehouse, "graft_vcrash_cells"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("batch_id=")).toSet
+        } finally s.close()
+      }
+      assert(dirs == Set("batch_id=-1"), dirs.toString)
+      val nnAfter = IvfIndex.topK(
+        Seq((100L, Seq(0f, 0f, 0.99f, 0.1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_vcrash", k = 3, nProbe = 2)
+        .filter(col("neighbor_id") === 20L).count()
+      assert(nnAfter == 1, "compaction must not change any answer")
+    } finally {
+      Seq("graft_vcrash_cells", "graft_vcrash_cent", "graft_vcrash_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("writer lease: a takeover turns the first writer's next batch loud") {
+    import graft.operators.{IvfIndex, WriterLease}
+    import spark.implicits._
+    val cfg = Streams.VectorIngestConfig("graft_vlease", threshold = 0.9)
+    try {
+      IvfIndex.build(
+        Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_vlease", nCells = 2)
+      val noop: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (df, _) => { df.count(); () }
+      val mine = WriterLease.take(spark, "graft_vlease")
+      // holding the current lease: the batch processes normally
+      Streams.vectorIngestBatch(
+        Seq((10L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        0L, "vec_id", "embedding", cfg, noop, lease = Some(mine))
+      val cells = spark.table("graft_vlease_cells").count()
+      // a second writer takes over (e.g. a concurrent compaction or a
+      // second stream): the first writer's NEXT batch must fail loudly
+      // and mutate nothing
+      WriterLease.take(spark, "graft_vlease")
+      val e = intercept[IllegalArgumentException] {
+        Streams.vectorIngestBatch(
+          Seq((20L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+          1L, "vec_id", "embedding", cfg, noop, lease = Some(mine))
+      }
+      assert(e.getMessage.contains("single-writer"))
+      assert(spark.table("graft_vlease_cells").count() == cells,
+        "a lease-rejected batch must not touch the store")
+      // replay of the COMMITTED batch stays a no-op even lease-less
+      // (the ledger check runs first — replays after a handover don't
+      // spuriously fail)
+      Streams.vectorIngestBatch(
+        Seq((10L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        0L, "vec_id", "embedding", cfg, noop, lease = Some(mine))
+    } finally {
+      Seq("graft_vlease_cells", "graft_vlease_cent", "graft_vlease_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      WriterLease.release(spark, "graft_vlease")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("crash between index append and ledger commit: replay prunes the torn batch and converges") {
     import graft.operators.{Ingest, ShingleIndex}
     import org.apache.spark.sql.functions.col
