@@ -86,8 +86,16 @@ object AviContainer extends Multimodal.VideoContainer {
             frames += Frame(dataOff, sz)
           case "strh" if sz >= 4 =>
             lastStrh = fcc(b, dataOff)
-            if (lastStrh == "vids" && vidPrefix == null)
+            if (lastStrh == "vids" && vidPrefix == null) {
+              // chunk ids are exactly 2 decimal digits ('NNdb'/'NNdc');
+              // a stream index past 99 would format to 3 chars, match
+              // no chunk, and silently collect zero frames — fail loud
+              // instead (AVI caps at 100 streams anyway)
+              require(strhCount < 100,
+                s"vids stream at strh index $strhCount — AVI chunk ids " +
+                  "carry 2-digit stream numbers, no frame could match")
               vidPrefix = f"$strhCount%02d"
+            }
             strhCount += 1
           case "strf" if lastStrh == "vids" && strf == null =>
             require(sz >= 40,

@@ -50,7 +50,12 @@ object Ranges {
     *   carried payload further than this many seconds from the left
     *   row's ts is nulled (post-window mask — plan shape unchanged).
     *   Timestamp ts columns compare at seconds granularity; numeric ts
-    *   columns compare in their own units.
+    *   columns compare in their own units. Constraint: a TIMESTAMP_NTZ
+    *   ts column is zone-less, so its seconds come from interpreting
+    *   the wall-clock in the SESSION time zone — wall-clock-faithful
+    *   only under the UTC session [[graft.Sessions]] pins (asserted
+    *   below; under a non-UTC session an NTZ side mixed with a TZ side
+    *   would skew by the zone offset).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valCols: Seq[String],
@@ -110,7 +115,17 @@ object Ranges {
             left.schema(tsCol).dataType match {
               // NTZ reads the same wall-clock through unix_timestamp
               // under the session's UTC default — tz-less parquet
-              // sources (the regenerated testdata) surface ts as NTZ
+              // sources (the regenerated testdata) surface ts as NTZ.
+              // Zone-dependence makes that faithful ONLY under UTC, so
+              // assert the session rather than silently skewing.
+              case TimestampNTZType
+                  if left.sparkSession.conf
+                    .get("spark.sql.session.timeZone") != "UTC" =>
+                throw new IllegalArgumentException(
+                  "asofJoin tolerance over a TIMESTAMP_NTZ ts column " +
+                    "requires spark.sql.session.timeZone=UTC (NTZ has no " +
+                    "zone; unix_timestamp would interpret it in the " +
+                    "session zone and skew vs zoned timestamps)")
               case TimestampType | TimestampNTZType => unix_timestamp(c)
               // numeric ts: compare IN ORIGINAL UNITS, no cast — a
               // long-cast would truncate fractional ts and mis-decide

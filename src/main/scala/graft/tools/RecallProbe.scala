@@ -32,6 +32,10 @@ object RecallProbe {
       else graft.Tables.df(spark, dir, "embeddings")
     val queries = embs.filter(col("vec_id") % 50 === 0)
     val nQ = queries.count()
+    // vec_id % 50 on a non-dense id space can select nothing; a silent
+    // zero here would make every recall below NaN — fail loudly instead
+    require(nQ > 0,
+      s"no probe queries: vec_id % 50 == 0 matched nothing in $dir")
     val nC = embs.count()
     println(s"PROBE corpus=$nC queries=$nQ k=$k")
 
@@ -42,13 +46,22 @@ object RecallProbe {
       .write.mode("overwrite").parquet(truthPath)
     spark.catalog.clearCache()
     def exact = spark.read.parquet(truthPath)
+    // recall's denominator is the TRUE neighbor count, not nQ*k — a
+    // query near the corpus edge (or a tiny corpus) has fewer than k
+    // exact neighbors, and assuming k would understate recall
+    val nExact = exact.count()
 
     def recall(name: String)(approx: => DataFrame): Unit = {
+      // time ONLY the approx query's materialization; the truth-set
+      // semi-join is measurement bookkeeping, not part of the latency
+      // being reported
       val t0 = System.nanoTime()
-      val hits = approx.select(col("query_id"), col("neighbor_id"))
-        .join(exact, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val a = approx.select(col("query_id"), col("neighbor_id")).persist()
+      a.count()
       val t = (System.nanoTime() - t0) / 1e9
-      println(f"PROBE recall@$k $name = ${hits.toDouble / (nQ * k)}%.3f " +
+      val hits = a.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      println(f"PROBE recall@$k $name = ${hits.toDouble / nExact}%.3f " +
         f"(t=$t%.2fs)")
       spark.catalog.clearCache()
     }
@@ -67,8 +80,15 @@ object RecallProbe {
       IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall")
       recall("ivf_index_nProbe3")(IvfIndex.topK(
         queries, "vec_id", "embedding", "graft_probe_recall", k))
+      // the persisted store with LEARNED centroids — the production
+      // shape round 9 added (build(centroids = kmeans))
+      IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall_km",
+        centroids = Some(km))
+      recall("ivf_index_kmeans_nProbe3")(IvfIndex.topK(
+        queries, "vec_id", "embedding", "graft_probe_recall_km", k))
     } finally {
-      Seq("graft_probe_recall_cells", "graft_probe_recall_cent")
+      Seq("graft_probe_recall_cells", "graft_probe_recall_cent",
+        "graft_probe_recall_km_cells", "graft_probe_recall_km_cent")
         .foreach(ShingleIndex.dropTable(spark, _))
       val root = java.nio.file.Paths.get(truthPath).getParent
       import scala.jdk.CollectionConverters._
