@@ -33,52 +33,34 @@ import org.apache.spark.sql.SparkSession
   *     artifact, not a plan regression.
   */
 object Bench {
-  /** Per-query floors from BASELINE.md (round-6 table + round-7 additions),
-    * sf0.1 local[32] idle-machine best-of-two. Used ONLY to decide whether
-    * a query earned the gc+retry third attempt — never to alter a timing.
-    * A query absent here (new this round) never retries; its first
-    * recorded floor lands in BASELINE.md next round.
-    */
-  private val floors: Map[String, Double] = Map(
-    "q1_agg_pricing" -> 0.20, "q2_filter_pushdown" -> 0.16,
-    "q3_join_revenue" -> 0.88, "q4_leftjoin_fkcount" -> 0.26,
-    "q5_theta_array_join" -> 0.96, "q6_minmax_score" -> 0.53,
-    "q7_status_rollup" -> 0.13, "q8_union_distinct" -> 0.41,
-    "q9_unionall_counts" -> 0.54, "q10_regex_predicate" -> 0.17,
-    "q11_exists_packed" -> 0.80, "q12_window_topk" -> 0.33,
-    "q13_string_fns" -> 0.11, "q14_datetime_bucket" -> 0.19,
-    "q15_case_coalesce" -> 0.16, "q16_anti_join" -> 0.27,
-    "q17_group_ranking" -> 0.17, "q18_json_extract" -> 0.16,
-    "q19_sessionize" -> 0.40, "q20_rollup" -> 0.24,
-    "q21_funnel" -> 0.13, "q22_asof_join" -> 0.14,
-    "q23_band_join" -> 0.52, "q24_daily_anomaly" -> 0.45,
-    "q25_asof_next" -> 0.17, "q26_pivot" -> 0.14,
-    "q27_resample" -> 0.22, "q28_correlated_subquery" -> 0.17,
-    "q29_range_frame" -> 0.12, "q30_cube" -> 0.17,
-    "q31_intersect_except" -> 0.29, "p01_exact_dedup" -> 0.33,
-    "p02_ngram_jaccard" -> 0.78, "p02b_ngram_jaccard_capped" -> 1.47,
-    "p03_minhash_lsh" -> 1.01, "p04_simhash" -> 0.80,
-    "p05_embed_neardup" -> 0.58, "p06_cosine_topk" -> 0.48,
-    "p07_lsh_ann" -> 1.67, "p08_langid" -> 0.11,
-    "p09_quality" -> 0.10, "p10_token_count" -> 0.10,
-    "p11_fingerprint" -> 0.11, "p12_multimodal" -> 0.21,
-    "p13_dedup_clusters" -> 1.90, "p14_ivf_ann" -> 0.75,
-    "p15_curation" -> 3.02, "p16_gopher_rules" -> 0.15,
-    "p17_repetition" -> 0.44, "p18_stratified_sample" -> 0.13,
-    "p19_decontaminate" -> 0.18, "p20_tfidf" -> 0.96,
-    "p21_domain_mix" -> 0.16, "p22_seq_pack" -> 0.35,
-    "p23_chunk_dedup" -> 0.42, "p24_token_quantiles" -> 0.42,
-    "p25_knn_label" -> 0.69, "p25b_knn_label_ivf" -> 0.90,
-    "p26_kmv_distinct" -> 0.37, "p27_temperature_mix" -> 0.50,
-    "p28_containment" -> 1.31, "p29_dataset_build" -> 0.33,
-    "p30_incremental_dedup" -> 1.34, "p31_split" -> 0.14,
-    "p32_boilerplate_ngrams" -> 0.81, "p33_quantize" -> 0.12,
-    "p34_bloom_decontaminate" -> 0.64, "p35_compression" -> 0.18,
-    "p35b_compression_bytes" -> 0.17, "p36_source_centroids" -> 0.24,
-    "p37_cross_source_dup" -> 1.51, "p38_pii_redact" -> 0.10,
-    "p39_semantic_decontaminate" -> 0.28, "p40_lm_score" -> 0.24,
-    "p41_ingest_triage" -> 5.61, "p42_repeated_spans" -> 0.47,
-    "p43_token_budget" -> 0.12, "p43b_token_budget_histogram" -> 0.26)
+  /** Per-query floors, sf0.1 local[32] idle-machine best-of-two. Used
+    * ONLY to decide whether a query earned the gc+retry third attempt —
+    * never to alter a timing. A query absent never retries; its first
+    * recorded floor lands at the next re-record.
+    *
+    * Loaded from `bench_floors.json` (cwd — the same place the harness
+    * writes `bench_results.json`), NOT hard-coded: floors are
+    * measurements of a specific machine + data generation, and the r8
+    * testdata regeneration showed that baking them into source goes
+    * stale silently (three entries misfired the 2× adjudication).
+    * Re-recording is now a data-file update — one clean idle run's
+    * `queries` object pasted over — with no source edit to drift.
+    * A missing/unreadable file degrades to "no floors": every query
+    * runs best-of-two, nothing retries — same behavior a new query
+    * always had. The parse is a deliberately tiny regex over the flat
+    * {"name":sec,...} shape (no JSON dependency for four lines of
+    * data). */
+  private val floors: Map[String, Double] = {
+    val p = java.nio.file.Paths.get("bench_floors.json")
+    if (!java.nio.file.Files.isReadable(p)) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+        .findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
