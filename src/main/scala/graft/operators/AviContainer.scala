@@ -6,10 +6,14 @@ package graft.operators
   * that need none are fully decodable with what it does ship:
   *
   *   - MJPEG (`biCompression = 'MJPG'`): every `00dc` chunk is a
-  *     self-contained baseline JPEG → `javax.imageio` decodes it as-is
-  *     (frames relying on OpenDML's implied Huffman tables are rare in
-  *     practice and fail loudly in the downstream decode, never
-  *     silently);
+  *     baseline JPEG → `javax.imageio` decodes it. OpenDML permits
+  *     MJPEG frames to OMIT their DHT segments (the tables are
+  *     "implied" — ITU-T T.81 Annex K standard tables); such frames
+  *     get the standard tables spliced in before the SOS marker
+  *     ([[framePayload]]), so the common abbreviated-stream case
+  *     decodes with zero dependencies. A frame abbreviated some OTHER
+  *     way (custom tables carried out-of-band) still fails loudly in
+  *     the downstream decode, never silently;
   *   - uncompressed DIB (`biCompression = 0`): every `00db` chunk is a
   *     raw bottom-up padded-BGR raster → prepending a 14-byte
   *     BITMAPFILEHEADER plus the stream's own BITMAPINFOHEADER makes a
@@ -121,15 +125,87 @@ object AviContainer extends Multimodal.VideoContainer {
     Parsed(width, height, comp, strf, frames.result())
   }
 
+  /** The ITU-T T.81 Annex K standard Huffman tables as ready-to-splice
+    * DHT segments, EXTRACTED from the JVM's own JPEG encoder output
+    * rather than transcribed: a default (non-optimizing) ImageIO encode
+    * of any RGB image writes exactly the Annex K tables, so harvesting
+    * its DHT segments yields the standard 420-ish bytes with no
+    * hand-typed constant to mistype — and guaranteed agreement with
+    * the decoder on the same JVM. Extracted once per JVM (lazy). */
+  private lazy val standardDhtSegments: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040) // non-degenerate pixel; tables don't depend on it
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val j = bos.toByteArray
+    val (sawDht, sos) = scanToSos(j)
+    require(sawDht, "JVM JPEG encoder emitted no DHT segments")
+    val out = new java.io.ByteArrayOutputStream()
+    var off = 2
+    while (off < sos) {
+      val m = j(off + 1) & 0xff
+      val len = ((j(off + 2) & 0xff) << 8) | (j(off + 3) & 0xff)
+      if (m == 0xc4) out.write(j, off, 2 + len)
+      off += 2 + len
+    }
+    out.toByteArray
+  }
+
+  /** Walk a baseline JPEG's marker segments from SOI to SOS: returns
+    * (a DHT segment was seen, byte offset of the SOS marker). Fails
+    * loudly on a payload that is not a JPEG or has no scan — the
+    * caller's media id is attached upstream, matching the codec
+    * family's contract. */
+  private def scanToSos(j: Array[Byte]): (Boolean, Int) = {
+    require(j.length >= 4 && (j(0) & 0xff) == 0xff && (j(1) & 0xff) == 0xd8,
+      "MJPEG frame chunk is not a JPEG (missing SOI marker)")
+    var off = 2
+    var sawDht = false
+    var sos = -1
+    while (sos < 0) {
+      require(off + 2 <= j.length, "MJPEG frame has no SOS marker")
+      require((j(off) & 0xff) == 0xff,
+        s"MJPEG frame: JPEG marker expected at byte $off")
+      (j(off + 1) & 0xff) match {
+        case 0xff => off += 1 // fill byte before the marker
+        case 0xda => sos = off
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) =>
+          off += 2 // standalone markers carry no length
+        case m =>
+          require(off + 4 <= j.length, "truncated JPEG segment header")
+          val len = ((j(off + 2) & 0xff) << 8) | (j(off + 3) & 0xff)
+          require(len >= 2 && off + 2 + len <= j.length,
+            s"truncated JPEG segment (marker ${m.toHexString} at $off)")
+          if (m == 0xc4) sawDht = true
+          off += 2 + len
+      }
+    }
+    (sawDht, sos)
+  }
+
   /** Frame `idx` as a SELF-CONTAINED image payload for
     * [[Multimodal.ImageIoCodec]]: MJPEG chunks pass through (each is a
-    * JPEG); DIB chunks get a BITMAPFILEHEADER + the stream's own
-    * BITMAPINFOHEADER prepended, which is exactly a BMP file. */
+    * JPEG), with the Annex K standard Huffman tables spliced in before
+    * SOS when the frame omits its DHT segments (OpenDML's implied-
+    * tables abbreviation); DIB chunks get a BITMAPFILEHEADER + the
+    * stream's own BITMAPINFOHEADER prepended, which is exactly a BMP
+    * file. */
   def framePayload(b: Array[Byte], p: Parsed, idx: Int): Array[Byte] = {
     val f = p.frames(idx)
-    if (p.fourcc == "MJPG")
-      java.util.Arrays.copyOfRange(b, f.offset, f.offset + f.length)
-    else {
+    if (p.fourcc == "MJPG") {
+      val jpeg = java.util.Arrays.copyOfRange(b, f.offset, f.offset + f.length)
+      val (sawDht, sos) = scanToSos(jpeg)
+      if (sawDht) jpeg
+      else {
+        val dht = standardDhtSegments
+        val out = new Array[Byte](jpeg.length + dht.length)
+        System.arraycopy(jpeg, 0, out, 0, sos)
+        System.arraycopy(dht, 0, out, sos, dht.length)
+        System.arraycopy(jpeg, sos, out, sos + dht.length, jpeg.length - sos)
+        out
+      }
+    } else {
       val out = java.nio.ByteBuffer
         .allocate(14 + p.strf.length + f.length)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)

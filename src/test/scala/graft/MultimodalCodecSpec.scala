@@ -309,6 +309,77 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("OpenDML MJPEG: frames omitting DHT decode via injected standard tables") {
+    val (w, h) = (6, 4)
+    // OpenDML's implied-tables abbreviation: the DHT segments are
+    // simply absent; decoders are expected to supply the Annex K
+    // standard tables. Build such frames by stripping DHT from real
+    // encoder output.
+    def stripDht(j: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(j, 0, 2)
+      var off = 2
+      var done = false
+      while (!done) {
+        val m = j(off + 1) & 0xff
+        if (m == 0xda) { out.write(j, off, j.length - off); done = true }
+        else {
+          val len = ((j(off + 2) & 0xff) << 8) | (j(off + 3) & 0xff)
+          if (m != 0xc4) out.write(j, off, 2 + len)
+          off += 2 + len
+        }
+      }
+      out.toByteArray
+    }
+    val full = Seq(encoded(w, h, "jpg", 0), encoded(w, h, "jpg", 3))
+    val stripped = full.map(stripDht)
+    assert(stripped.zip(full).forall { case (s, f) => s.length < f.length },
+      "fixture must actually remove DHT segments")
+    // the JDK's own decoder happens to supply default tables for
+    // abbreviated JPEGs, so decodability alone can't prove the
+    // injection — pin SELF-CONTAINMENT structurally: the emitted
+    // payload must carry DHT segments the stored chunk lacks (the
+    // contract is "self-contained image payload" for ANY downstream
+    // decoder, not just this JVM's lenient one)
+    def hasDhtMarker(j: Array[Byte]): Boolean = {
+      var off = 2
+      var saw = false
+      var done = false
+      while (!done) {
+        val m = j(off + 1) & 0xff
+        if (m == 0xda) done = true
+        else {
+          if (m == 0xc4) saw = true
+          off += 2 + (((j(off + 2) & 0xff) << 8) | (j(off + 3) & 0xff))
+        }
+      }
+      saw
+    }
+    assert(stripped.forall(!hasDhtMarker(_)))
+    val payload = avi(w, h, "MJPG", stripped)
+    val rows = Multimodal.sampleFramesDecoded(
+        media(MediaRow(41L, "video", payload, "t")), n = 2)
+      .collect().sortBy(_.getAs[Int]("frame_idx"))
+    assert(rows.length == 2)
+    for ((r, jpeg) <- rows.zip(full)) {
+      val frame = r.getAs[Array[Byte]]("frame_payload")
+      assert(hasDhtMarker(frame),
+        "emitted frame payload must carry the injected standard tables")
+      val f = ImageIoCodec.decode(MediaRow(41L, "image", frame, "t"))
+      assert((f.width, f.height) == ((w, h)))
+      // the injected tables ARE the standard tables the encoder wrote,
+      // so pixels decode identically to the unabbreviated original
+      assert(f.checksum == pixelSum(jpeg))
+    }
+    // frames that DO carry their tables pass through untouched — the
+    // original MJPEG test covers it; here pin the byte-identity
+    val parsed = graft.operators.AviContainer.parse(
+      avi(w, h, "MJPG", full))
+    assert(graft.operators.AviContainer
+      .framePayload(avi(w, h, "MJPG", full), parsed, 0)
+      .sameElements(full.head))
+  }
+
   test("AVI parser fails loudly on non-AVI and on codec-compressed streams") {
     def messages(t: Throwable): List[String] =
       if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
