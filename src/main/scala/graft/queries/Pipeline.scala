@@ -1907,6 +1907,121 @@ object Pipeline {
        |    AS max_abs_err
        |FROM s""".stripMargin
 
+  /** The streaming EMBEDDING-ingest round's batch body, driver-gated —
+    * the vector twin of p41 and the oracle gate for the round-9 IVF
+    * lifecycle: vec_id ≢0 (mod 3) is the INDEXED corpus
+    * (operators/IvfIndex.build — the persisted path, memoized behind a
+    * vector fingerprint exactly like p41's corpus index), vec_id ≡0
+    * (mod 3) the ingest batch. Near-dup triage runs through
+    * IvfIndex.incrementalNearDups (candidates share a probed cell with
+    * a stored vector or a same-batch vector; exact cosine verify;
+    * old×old never pairs) and fates follow
+    * Streams.vectorIngestBatch's keeper rule: a batch vector matching
+    * any stored vector — or a SMALLER-id batch vector — is a duplicate
+    * with min-id dup_of; vectors cosine cannot compare are zero_norm;
+    * the rest accept. Every stage (hash-seeded centroids, probe=1
+    * store assignment, IvfProbe batch multi-assignment, cosines, the
+    * keeper min) is deterministic with id tie-breaks, so the persisted
+    * path's verdicts are exactly reproducible in SQL — the same CTE
+    * skeleton as p14's, split store/batch. */
+  private def p44(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.df(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val store = embs.filter(col("vec_id") % 3 =!= 0)
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+    import spark.implicits._
+    // memoized build, p41's discipline: the fingerprint depends on the
+    // VECTORS, not just ids (the SF dirs share vec_id ranges — an
+    // id-only key would reuse the wrong corpus' index after a same-JVM
+    // SF switch). String-rendered arrays are deterministic and this
+    // key never crosses engines.
+    val fp = store.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
+        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    val fpOk = spark.catalog.tableExists("graft_p44_fp") &&
+      spark.catalog.tableExists("graft_p44_cells") &&
+      spark.catalog.tableExists("graft_p44_cent") && {
+        val rs = spark.table("graft_p44_fp").head(1)
+        rs.nonEmpty && rs(0).getLong(0) == fp.getLong(0) &&
+          rs(0).getLong(1) == fp.getLong(1)
+      }
+    if (!fpOk) {
+      graft.operators.IvfIndex.build(store, "vec_id", "embedding",
+        "graft_p44", nCells = IvfCells)
+      graft.operators.ShingleIndex.dropTable(spark, "graft_p44_fp")
+      Seq((fp.getLong(0), fp.getLong(1))).toDF("n", "ids")
+        .write.saveAsTable("graft_p44_fp")
+    }
+    val dups = graft.operators.IvfIndex.incrementalNearDups(
+      batch, "vec_id", "embedding", "graft_p44", NearDupCos, IvfProbe)
+    val dropped = dups.filter(!col("match_is_new"))
+      .select(col("vec_id"), col("match_id").as("_dup"))
+      .unionByName(dups.filter(col("match_is_new"))
+        .select(col("match_id").as("vec_id"), col("vec_id").as("_dup")))
+      .groupBy(col("vec_id")).agg(min(col("_dup")).as("dup_of"))
+    batch
+      .withColumn("_n2", Similarity.dot(col("embedding"), col("embedding")))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(coalesce(col("_n2"), lit(0.0)) <= 0, lit("zero_norm"))
+          .when(col("dup_of").isNotNull, lit("duplicate"))
+          .otherwise(lit("accepted")).as("fate"),
+        when(coalesce(col("_n2"), lit(0.0)) > 0, col("dup_of")).as("dup_of"))
+  }
+
+  private val p44Sql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE ${dotSql("embedding", "embedding")} > 0),
+       |st AS (SELECT vec_id, embedding FROM v WHERE vec_id % 3 <> 0),
+       |bt AS (SELECT vec_id, embedding FROM v WHERE vec_id % 3 = 0),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM st
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |sa AS (
+       |  SELECT list_id, vec_id, embedding FROM (
+       |    SELECT c.list_id, s.vec_id, s.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${cosSql("s.embedding", "c.centroid")} DESC, c.list_id) AS r
+       |    FROM st s, cent c)
+       |  WHERE r = 1),
+       |ba AS (
+       |  SELECT list_id, vec_id, embedding FROM (
+       |    SELECT c.list_id, b.vec_id, b.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY b.vec_id
+       |        ORDER BY ${cosSql("b.embedding", "c.centroid")} DESC, c.list_id) AS r
+       |    FROM bt b, cent c)
+       |  WHERE r <= $IvfProbe),
+       |cnd AS (
+       |  SELECT DISTINCT a.vec_id, s.vec_id AS match_id, FALSE AS match_is_new
+       |  FROM ba a JOIN sa s USING (list_id)
+       |  WHERE a.vec_id <> s.vec_id
+       |  UNION ALL
+       |  SELECT DISTINCT a.vec_id, b.vec_id AS match_id, TRUE AS match_is_new
+       |  FROM ba a JOIN ba b USING (list_id)
+       |  WHERE a.vec_id < b.vec_id),
+       |vr AS (
+       |  SELECT c.vec_id, c.match_id, c.match_is_new
+       |  FROM cnd c
+       |  JOIN v va ON va.vec_id = c.vec_id
+       |  JOIN v vb ON vb.vec_id = c.match_id
+       |  WHERE ${cosSql("va.embedding", "vb.embedding")} > $NearDupCos),
+       |dp AS (
+       |  SELECT vec_id, MIN(d) AS dup_of FROM (
+       |    SELECT vec_id, match_id AS d FROM vr WHERE NOT match_is_new
+       |    UNION ALL
+       |    SELECT match_id AS vec_id, vec_id AS d FROM vr WHERE match_is_new)
+       |  GROUP BY 1)
+       |SELECT b.vec_id,
+       |  CASE WHEN COALESCE(${dotSql("b.embedding", "b.embedding")}, 0) <= 0
+       |         THEN 'zero_norm'
+       |       WHEN dp.dup_of IS NOT NULL THEN 'duplicate'
+       |       ELSE 'accepted' END AS fate,
+       |  CASE WHEN COALESCE(${dotSql("b.embedding", "b.embedding")}, 0) > 0
+       |       THEN dp.dup_of END AS dup_of
+       |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0) b
+       |LEFT JOIN dp USING (vec_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -1954,5 +2069,6 @@ object Pipeline {
     QueryDef("p41_ingest_triage", p41, Some(p41Sql)),
     QueryDef("p42_repeated_spans", p42, Some(p42Sql)),
     QueryDef("p43_token_budget", p43, Some(p43Sql)),
-    QueryDef("p43b_token_budget_histogram", p43b, Some(p43bSql)))
+    QueryDef("p43b_token_budget_histogram", p43b, Some(p43bSql)),
+    QueryDef("p44_vector_ingest", p44, Some(p44Sql)))
 }
