@@ -217,6 +217,30 @@ object IvfIndex {
       .filter(col("cos") > threshold)
   }
 
+  /** Centroid-drift report for a stored index: per `batch_id`, the
+    * exact mean cosine of the stored vectors to their assigned (frozen)
+    * centroid — the operational face of [[Similarity.assignmentDrift]],
+    * and the number behind [[append]]'s honest limit ("frozen-centroid
+    * appends buy cheap ingest between periodic [[build]] refreshes,
+    * they do not replace them"). The store already holds the probe=1
+    * assignment AND the precomputed norms, so this is ONE scan of the
+    * cell table joined to the broadcast O(nCells) centroid set and a
+    * |batches|-row aggregate — no window, no re-assignment, safe to run
+    * on every compaction cycle. An append batch whose `mean_cos` falls
+    * materially below the base partition's (-1) means the ingest
+    * distribution has left the build-time cell geometry: schedule a
+    * rebuild. Exact-decimal mean ⇒ order-independent, run-reproducible.
+    *
+    * @return (batch_id, n_vecs, mean_cos), one row per stored batch */
+  def driftReport(spark: SparkSession, name: String): DataFrame = {
+    val joined = spark.table(s"${name}_cells")
+      .join(broadcast(spark.table(s"${name}_cent")), Seq("list_id"))
+      .select(col("batch_id"),
+        (Similarity.dot(col("cv"), col("centroid"))
+          / (col("cv_n") * col("centroid_n"))).as("c_cos"))
+    Similarity.exactMean(joined, Seq("batch_id"), "c_cos", "mean_cos")
+  }
+
   /** ANN top-k for a query batch against the stored corpus —
     * row-for-row `Similarity.ivfTopK(queries, corpus, …, nCells)` with
     * the corpus-side work (norms, assignment, the list_id shuffle)

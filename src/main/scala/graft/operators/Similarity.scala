@@ -519,6 +519,194 @@ object Similarity {
         (col("_units").cast("double")
           / (col("n_vecs").cast("double") * lit(1e12))).as("mean_val"))
 
+  /** Order-independent exact mean of a double column (grouped): rows
+    * become integer picounits (float→double, ·1e12, round-away-from-
+    * zero, long), the group sums them EXACTLY in DECIMAL(38,0), and one
+    * final correctly-rounded cast yields the double mean — the same
+    * arithmetic contract as [[dimensionMeans]], shared so every
+    * cross-engine-exact mean in the engine states it once. Requires
+    * |value| < ~10⁶ per row (picounits fit a long). */
+  private[graft] def exactMean(grouped: DataFrame, groupCols: Seq[String],
+      valCol: String, outCol: String): DataFrame =
+    grouped.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col(valCol) * lit(1e12))
+          .cast("long").cast("decimal(38,0)")).as("_units"))
+      .select(groupCols.map(col) ++ Seq(col("n_vecs"),
+        (col("_units").cast("double")
+          / (col("n_vecs").cast("double") * lit(1e12))).as(outCol)): _*)
+
+  /** Assignment-quality drift monitor: per group, the exact mean cosine
+    * of each vector to its NEAREST centroid in a FROZEN centroid set —
+    * the measurement behind [[IvfIndex.append]]'s documented tradeoff
+    * ("if the ingest distribution drifts from the build corpus, cells
+    * imbalance and recall decays"). Group the corpus as base-vs-batch
+    * (or per ingest day) and a batch whose mean assignment cosine falls
+    * materially below the base's is drifting away from the build-time
+    * cell geometry: rebuild when recall matters more than ingest cost —
+    * now a number, not a judgment call.
+    *
+    * Scale shape: one broadcast of the O(K) centroid set, one per-row
+    * argmax window, one G-row aggregate — no corpus self-join, state
+    * bounded by |groups|. The mean is exact-decimal ([[exactMean]]), so
+    * the result is order-independent and bit-reproducible by the p46
+    * oracle. Zero-norm vectors are excluded ([[withNorm]]'s contract);
+    * ids must be unique across the whole frame (the argmax window keys
+    * on them).
+    *
+    * @return (grp, n_vecs, mean_cos) one row per group */
+  def assignmentDrift(corpus: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, centroids: DataFrame): DataFrame = {
+    val v = corpus.select(col(groupCol).as("grp"), col(idCol).as("vec_id"),
+        col(vecCol).cast("array<double>").as("v"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("v_n"))
+      .filter(col("v_n") > 0)
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("list_id"))
+    val assigned = v.join(broadcast(centroids))
+      .select(col("grp"), col("vec_id"), col("list_id"),
+        (dot(col("v"), col("centroid")) / (col("v_n") * col("centroid_n")))
+          .as("c_cos"))
+      .withColumn("_r", row_number().over(byVec))
+      .filter(col("_r") === 1)
+    exactMean(assigned, Seq("grp"), "c_cos", "mean_cos")
+  }
+
+  // ---- product quantization ---------------------------------------------
+
+  /** Deterministic product-quantization codebooks (Jégou/Douze/Schmid,
+    * TPAMI 2011: split the space into `m` orthogonal subspaces, quantize
+    * each independently): the `nCodes` hash-sampled corpus vectors (the
+    * SAME `ORDER BY (hash32(id), id) LIMIT n` sample rule as
+    * [[topKByHashCentroids]], so the oracle replays it verbatim),
+    * L2-normalized and sliced into `m` subvectors. The code id of a
+    * codebook entry is its position in the hash order.
+    *
+    * Collected to the driver: m·nCodes·(d/m) = nCodes·d doubles —
+    * O(K), corpus-size-INDEPENDENT, the same class of bounded driver
+    * materialization as the LSH hyperplanes and the semantic-gate
+    * literals. At 100 TB the codebooks are still a few KB; they ride to
+    * executors as plan literals, so encoding needs no join at all.
+    *
+    * Sampled codebooks trade reconstruction quality for cross-engine
+    * determinism exactly as [[topKByHashCentroids]] does vs
+    * [[kmeansCentroids]]; a per-subspace k-means upgrade slots in here
+    * without touching encode/ADC (they only see the arrays).
+    *
+    * @return codebooks(j)(c) = subvector c of subspace j */
+  private[graft] def pqCodebooks(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, nCodes: Int): Array[Array[Array[Double]]] = {
+    val c = withNorm(corpus, idCol, vecCol, "cid", "cv")
+    // Sort+limit plans as TakeOrderedAndProject: collect() returns rows
+    // in (hash, id) order, which IS the code-id order the oracle's
+    // ROW_NUMBER replays
+    val sample = c
+      .select(transform(col("cv"), x => x / col("cv_n")).as("nv"),
+        graft.functions.TextFns.hash32(col("cid").cast("string")).as("_h"),
+        col("cid"))
+      .orderBy(col("_h"), col("cid"))
+      .limit(nCodes)
+      .select(col("nv"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks: corpus has no non-zero vectors")
+    val d = sample.head.length
+    require(d % m == 0, s"pqCodebooks: dim $d not divisible by m=$m")
+    val ds = d / m
+    Array.tabulate(m)(j => sample.map(v =>
+      java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds)))
+  }
+
+  /** Sequential-order squared L2 distance between two array columns —
+    * `aggregate(zip_with(…), 0.0, +)` folds left-to-right in double,
+    * mirroring the oracle's `list_reduce` bit-for-bit (0.0 + d₀ ≡ d₀:
+    * squared terms are never -0.0). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ-encode a corpus: each vector becomes `m` small integer codes —
+    * the nearest codebook entry (squared L2, lowest-code tie-break via
+    * array_position's first-match) per subspace, computed on the
+    * L2-NORMALIZED vector so ADC inner products approximate cosine.
+    *
+    * This is the 100 TB memory lever for vector search: m bytes-ish per
+    * vector instead of 4·d (64-dim float32 → 8 codes ≈ 32× smaller), so
+    * a corpus that cannot hold its raw embeddings in cluster memory
+    * serves ANN from the encoded table. The encode itself is a PURE
+    * PER-ROW MAP over plan-literal codebooks — no join, no shuffle, no
+    * state; it pipelines into whatever scan produces the vectors, the
+    * only shape that survives a 100 TB encode. Zero-norm vectors are
+    * excluded ([[withNorm]]'s contract).
+    *
+    * @return (vec_id, codes array<int>) */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val ds = books(0)(0).length
+    // one transform over the nested codebook LITERAL, not an array() of
+    // nCodes separate fold expressions: same values, same order, but an
+    // O(1)-size expression tree — codegen and planning stay flat as
+    // nCodes grows (the array() form was 32× the nodes and measurably
+    // all compile time at bench scale)
+    def codeFor(j: Int): Column = {
+      val sub = slice(col("nv"), j * ds + 1, ds)
+      val dists = transform(typedlit(books(j).map(_.toSeq).toSeq),
+        code => l2sq(sub, code))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    withNorm(corpus, idCol, vecCol, "vec_id", "v")
+      .select(col("vec_id"), transform(col("v"), x => x / col("v_n")).as("nv"))
+      .select(col("vec_id"),
+        array((0 until books.length).map(codeFor): _*).as("codes"))
+  }
+
+  /** ANN top-k by asymmetric distance computation over a PQ-encoded
+    * corpus: score(q, x) ≈ cos(q, x) = Σⱼ ⟨q̂ⱼ, codebookⱼ[xⱼ]⟩ — the
+    * query stays EXACT (normalized float vector), only the corpus side
+    * is quantized, so the corpus-side read is the m-byte code row, never
+    * the raw embedding. Codebooks and the per-query lookup ride as plan
+    * literals; the corpus shuffles zero times (encode is map-only, the
+    * query side broadcasts exactly like [[bruteForceTopK]]).
+    *
+    * Scale shape vs brute force: same candidate count, but the corpus
+    * table scanned is ~4·d/m× smaller — the variant you run when the
+    * embedding store itself is the bottleneck. Compose with IVF cells
+    * for candidate pruning when compute (not memory) dominates.
+    * Approximation quality is MEASURED (tools/RecallProbe `pq`
+    * variants), not asserted. Deterministic end-to-end: hash-sampled
+    * codebooks, exact IEEE fold order, id tie-breaks — the driver gate
+    * (p45) replays encode + ADC token-for-token in DuckDB.
+    *
+    * @return (query_id, rank, neighbor_id) — identical contract to
+    *         [[bruteForceTopK]]/[[ivfTopK]] */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int = 8, nCodes: Int = 32): DataFrame = {
+    val books = pqCodebooks(corpus, idCol, vecCol, m, nCodes)
+    val ds = books(0)(0).length
+    val enc = pqEncode(corpus, idCol, vecCol, books)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .repartition(par(corpus), col("neighbor_id"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
+      .select(col("query_id"),
+        transform(col("qv"), x => x / col("qv_n")).as("qn"))
+    def term(j: Int): Column = {
+      val lut = typedlit(books(j).map(_.toSeq).toSeq)
+      dot(slice(col("qn"), j * ds + 1, ds),
+        element_at(lut, col("codes").getItem(j) + 1))
+    }
+    val adc = (0 until m).map(term).reduceLeft(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Symmetric per-vector int8 quantization audit: scale = 127/max|x_i|,
     * q_i = floor(x_i·scale + 0.5) (explicit floor arithmetic — Spark's
     * round() is HALF_UP, DuckDB's rounds half away from zero; floor

@@ -37,6 +37,13 @@ object Pipeline {
   private def hash32Sql(c: String) =
     s"(('0x' || substr(md5($c), 1, 8))::BIGINT)"
 
+  /** Sequential-order squared L2 — mirrors Similarity's PQ-encode fold
+    * (the ::DOUBLE casts are identity on the already-double slices). */
+  private def l2sqSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)), " +
+      "(x, y) -> x + y)"
+
   /** Sequential double dot product — mirrors Similarity.dot. */
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(generate_series(1, len($a)), " +
@@ -60,6 +67,10 @@ object Pipeline {
   // corpus); vectors multi-assign to their IvfProbe nearest cells
   private val IvfCells = 64
   private val IvfProbe = 3
+  // product quantization: m subspaces × nCodes codes (dim 64 → 8-dim
+  // subvectors; encoded row = 8 small ints vs 64 floats ≈ 32× smaller)
+  private val PqM = 8
+  private val PqCodes = 32
   // TF-IDF terms reported per doc; sequence-packing context window
   private val TfidfTopK = 3
   private val PackBudget = 256
@@ -2022,6 +2033,118 @@ object Pipeline {
        |FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0) b
        |LEFT JOIN dp USING (vec_id)""".stripMargin
 
+  /** Product-quantization ANN, oracle-gated end-to-end: codebook
+    * sampling (the same hash-order rule as p14's centroids), per-
+    * subspace nearest-code encoding (squared L2, first-match/lowest-code
+    * tie-break both engines), and asymmetric-distance scoring (exact
+    * query × quantized corpus, per-subspace dot products summed in
+    * subspace order — Spark's reduceLeft ≡ the oracle's
+    * list_reduce(list(t ORDER BY j))) are all deterministic, so the
+    * approximate result replays exactly in SQL. Recall vs exact top-k is
+    * MEASURED separately (tools/RecallProbe), as with LSH/IVF. */
+  private def p45(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+    Similarity.pqTopK(v.filter(col("vec_id") % 50 === 0), v,
+        "vec_id", "embedding", TopK, m = PqM, nCodes = PqCodes)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  private val p45Sql = {
+    val ds = EmbDim / PqM
+    def sub(arr: String, j: String) = s"$arr[$j*$ds+1 : ($j+1)*$ds]"
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE ${dotSql("embedding", "embedding")} > 0),
+       |nv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> x::DOUBLE / sqrt(${dotSql("embedding", "embedding")})) AS nvec
+       |  FROM v),
+       |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, nvec
+       |  FROM (SELECT vec_id, ${hash32Sql("CAST(vec_id AS VARCHAR)")} AS h,
+       |          nvec
+       |        FROM nv ORDER BY 2, 1 LIMIT $PqCodes)),
+       |cbs AS (
+       |  SELECT t.j, cb.code, ${sub("cb.nvec", "t.j")} AS sub
+       |  FROM cb, js t),
+       |vs AS (
+       |  SELECT n.vec_id, t.j, ${sub("n.nvec", "t.j")} AS sub
+       |  FROM nv n, js t),
+       |dst AS (
+       |  SELECT vs.vec_id, vs.j, cbs.code,
+       |    ${l2sqSql("vs.sub", "cbs.sub")} AS d
+       |  FROM vs JOIN cbs ON vs.j = cbs.j),
+       |ec AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT vec_id, j, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |        ORDER BY d, code) AS r
+       |    FROM dst)
+       |  WHERE r = 1),
+       |tm AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.j,
+       |    ${dotSql(sub("q.nvec", "e.j"), "cs.sub")} AS t
+       |  FROM nv q, ec e
+       |  JOIN cbs cs ON cs.j = e.j AND cs.code = e.code
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id <> e.vec_id),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    list_reduce(list(t ORDER BY j), (x, y) -> x + y) AS adc
+       |  FROM tm GROUP BY 1, 2),
+       |res AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+       |FROM res WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** Centroid-drift audit, oracle-gated: frozen centroids from the
+    * p44-convention store subset (vec_id ≢0 mod 3), every vector
+    * assigned to its nearest frozen cell, per-group EXACT-decimal mean
+    * assignment cosine (p36's picounit arithmetic — order-independent,
+    * bit-reproducible). The batch group's mean falling below the base's
+    * is the "rebuild the IVF index" signal IvfIndex.append documents;
+    * IvfIndex.driftReport is the same measurement over the live store
+    * (spec-pinned to this operator). */
+  private def p46(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        when(col("vec_id") % 3 === 0, lit("batch"))
+          .otherwise(lit("base")).as("grp"))
+    val cent = Similarity.topKByHashCentroids(
+      Similarity.withNorm(v.filter(col("grp") =!= "batch"),
+        "vec_id", "embedding", "cid", "cv"),
+      "cid", "cv", IvfCells)
+    Similarity.assignmentDrift(v, "grp", "vec_id", "embedding", cent)
+  }
+
+  private val p46Sql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN vec_id % 3 = 0 THEN 'batch' ELSE 'base' END AS grp
+       |  FROM embeddings
+       |  WHERE ${dotSql("embedding", "embedding")} > 0),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM v
+       |  WHERE grp <> 'batch'
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |a AS (
+       |  SELECT grp, vec_id, c_cos FROM (
+       |    SELECT v.grp, v.vec_id,
+       |      ${cosSql("v.embedding", "c.centroid")} AS c_cos,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.embedding", "c.centroid")} DESC,
+       |          c.list_id) AS r
+       |    FROM v, cent c)
+       |  WHERE r = 1)
+       |SELECT grp, COUNT(*) AS n_vecs,
+       |  CAST(SUM(CAST(round(c_cos * 1e12) AS BIGINT)) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS mean_cos
+       |FROM a GROUP BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -2070,5 +2193,7 @@ object Pipeline {
     QueryDef("p42_repeated_spans", p42, Some(p42Sql)),
     QueryDef("p43_token_budget", p43, Some(p43Sql)),
     QueryDef("p43b_token_budget_histogram", p43b, Some(p43bSql)),
-    QueryDef("p44_vector_ingest", p44, Some(p44Sql)))
+    QueryDef("p44_vector_ingest", p44, Some(p44Sql)),
+    QueryDef("p45_pq_ann", p45, Some(p45Sql)),
+    QueryDef("p46_centroid_drift", p46, Some(p46Sql)))
 }

@@ -76,6 +76,11 @@ object RecallProbe {
     for (b <- Seq(8, 16, 32))
       recall(s"lsh_bands${b}_bits4")(Similarity.lshTopK(
         queries, embs, "vec_id", "embedding", k, bands = b))
+    // PQ/ADC: corpus quantized to m codes (memory path — recall here is
+    // the price of the ~4·d/m× smaller corpus table, not of pruning)
+    for ((m, nc) <- Seq((8, 32), (8, 64), (16, 32)))
+      recall(s"pq_m${m}_codes$nc")(Similarity.pqTopK(
+        queries, embs, "vec_id", "embedding", k, m = m, nCodes = nc))
     try {
       IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall")
       recall("ivf_index_nProbe3")(IvfIndex.topK(

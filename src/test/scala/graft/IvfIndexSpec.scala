@@ -179,6 +179,45 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("driftReport: base mean == assignmentDrift over the store; drifted append flags low") {
+    val seed = embs.filter(col("vec_id") % 3 =!= 0)
+    // an append that left the build-time geometry entirely: negated
+    // vectors score cos(-v, c) = -cos(v, c) against every frozen cell
+    val drifted = embs.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    try {
+      IvfIndex.build(seed, "vec_id", "embedding", "graft_ivfdr", nCells = 8)
+      IvfIndex.append(drifted, "vec_id", "embedding", "graft_ivfdr",
+        batchId = 7L)
+      val rep = IvfIndex.driftReport(spark, "graft_ivfdr")
+        .collect().map(r => r.getAs[Long]("batch_id") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_cos")))).toMap
+      assert(rep.keySet == Set(-1L, 7L))
+      assert(rep(-1L)._1 == seed.count() && rep(7L)._1 == drifted.count())
+      // the monitoring signal: the drifted batch's mean assignment
+      // cosine falls below the base partition's
+      assert(rep(7L)._2 < rep(-1L)._2,
+        s"drifted ${rep(7L)._2} should score below base ${rep(-1L)._2}")
+      // and the store-side report is the SAME measurement as the
+      // generic operator run over the raw frames with the stored
+      // centroids — bit-for-bit, since both means are exact-decimal
+      val cent = spark.table("graft_ivfdr_cent")
+      val generic = Similarity.assignmentDrift(
+          seed.select(col("vec_id"), col("embedding"), lit(-1L).as("b"))
+            .unionByName(drifted.select(col("vec_id"), col("embedding"),
+              lit(7L).as("b"))),
+          "b", "vec_id", "embedding", cent)
+        .collect().map(r => r.getAs[Long]("grp") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_cos")))).toMap
+      assert(rep == generic)
+    } finally {
+      Seq("graft_ivfdr_cells", "graft_ivfdr_cent")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("incrementalNearDups: batch pairs against store and smaller-id batch rows only") {
     import spark.implicits._
     // store: two orthogonal unit vectors; batch: a near-dup of stored 1,

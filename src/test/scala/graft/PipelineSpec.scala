@@ -300,6 +300,72 @@ class PipelineSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("PQ ANN: full codebook degenerates to exact; small codebook keeps recall; encode is map-only") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // nCodes >= |corpus| makes every vector its own codebook entry
+    // (self-distance 0 in the single subspace), so ADC IS the exact
+    // cosine and pqTopK must reproduce brute force row-for-row — this
+    // pins the whole encode→lookup→score wiring, not just recall
+    val n = embs.count().toInt
+    val full = Similarity.pqTopK(queries, embs, "vec_id", "embedding", 5,
+        m = 1, nCodes = n)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == exact)
+    // production shape: 8 subspaces × 32 codes (~32× smaller corpus
+    // rows); recall floor is deliberately loose — the REAL numbers are
+    // measured by tools/RecallProbe, this only catches wiring breaks
+    val pq = Similarity.pqTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.2, s"PQ recall $recall")
+    // encode: one code per subspace, all in [0, nCodes); and the plan
+    // is a pure per-row map — no exchange anywhere (the only shape that
+    // survives a 100 TB encode)
+    val books = Similarity.pqCodebooks(embs, "vec_id", "embedding", 8, 32)
+    assert(books.length == 8 && books.forall(_.length == 32)
+      && books.forall(_.forall(_.length == 8)))
+    val enc = Similarity.pqEncode(embs, "vec_id", "embedding", books)
+    val codes = enc.collect().map(_.getAs[scala.collection.Seq[Int]]("codes"))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 32)))
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
+      "pqEncode must not shuffle")
+  }
+
+  test("assignmentDrift: flipped batch means lower assignment cosine; exact mean verified") {
+    val base = embs.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"), lit("base").as("grp"))
+    // a batch that left the build-time geometry: negated vectors score
+    // cos(-v, c) = -cos(v, c) against every frozen centroid
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"),
+        lit("batch").as("grp"))
+    val cent = Similarity.topKByHashCentroids(
+      Similarity.withNorm(base, "vec_id", "embedding", "cid", "cv"),
+      "cid", "cv", 8)
+    val out = Similarity.assignmentDrift(base.unionByName(batch),
+        "grp", "vec_id", "embedding", cent)
+      .collect().map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_cos")))).toMap
+    assert(out("base")._1 == base.count() && out("batch")._1 == batch.count())
+    assert(out("batch")._2 < out("base")._2,
+      s"drifted batch ${out("batch")._2} should score below base ${out("base")._2}")
+    // base mean is the exact decimal mean of the per-vector best
+    // cosines — recompute directly and compare bit-for-bit
+    val best = Similarity.withNorm(base, "vec_id", "embedding", "vid", "v")
+      .join(broadcast(cent))
+      .select(col("vid"), (Similarity.dot(col("v"), col("centroid"))
+        / (col("v_n") * col("centroid_n"))).as("c"))
+      .groupBy(col("vid")).agg(max(col("c")).as("c"))
+      .select(sum(round(col("c") * lit(1e12)).cast("long")
+        .cast("decimal(38,0)")).as("u"), count(lit(1)).as("n"))
+      .head()
+    val expect = best.getDecimal(0).doubleValue() / (best.getLong(1) * 1e12)
+    assert(out("base")._2 == expect)
+  }
+
   test("kmeans centroids: same seed + same input ⇒ identical centers") {
     def centers() = Similarity.kmeansCentroids(embs, "embedding", nCells = 8)
       .collect()
