@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Residual-PQ config for [[build]] (IVFADC — Jégou/Douze/Schmid,
+    * TPAMI 2011 §IV-A): `m` subspaces × `nCodes` codes per book;
+    * `learned=false` hash-samples the codebooks (oracle-replayable,
+    * [[Similarity.residualCodebooks]]), `learned=true` trains
+    * per-subspace k-means on the residuals (the measured-quality path,
+    * [[Similarity.pqKmeansCodebooks]]). */
+  final case class PqSpec(m: Int = 8, nCodes: Int = 32,
+    learned: Boolean = false)
+
   /** Create (overwrite) the index tables for `corpus`.
     *
     * `{name}_cells` carries the same `batch_id` PARTITION column as the
@@ -44,15 +53,24 @@ object IvfIndex {
     *   hash-sampled default on clustered data. When given, `nCells` is
     *   ignored (the frame's row count IS the cell count) and every
     *   consumer — [[topK]], [[append]], [[incrementalNearDups]] — uses
-    *   the stored set transparently. */
+    *   the stored set transparently.
+    * @param pq optional residual-PQ spec: the cell rows additionally
+    *   carry the `m` nearest-residual-code ints and the codebooks land
+    *   in `{name}_books` (j, code, sub), so [[topKAdc]] can serve ANN
+    *   reading ONLY the code column — the path for a corpus whose raw
+    *   embeddings no longer fit the memory/IO budget. [[append]]
+    *   encodes against the FROZEN books (same tradeoff as frozen
+    *   centroids); [[topK]] is unaffected (cv/cv_n still stored —
+    *   columnar pruning keeps either read narrow). */
   def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
       nCells: Int = 64, buckets: Int = 32,
-      centroids: Option[DataFrame] = None): Unit = {
+      centroids: Option[DataFrame] = None,
+      pq: Option[PqSpec] = None): Unit = {
     val spark = corpus.sparkSession
     // ShingleIndex.dropTable also clears stale warehouse directories —
     // an in-memory catalog forgets tables across JVMs, and a leftover
     // dir fails saveAsTable with LOCATION_ALREADY_EXISTS
-    Seq(s"${name}_cells", s"${name}_cent")
+    Seq(s"${name}_cells", s"${name}_cent", s"${name}_books")
       .foreach(ShingleIndex.dropTable(spark, _))
     val c = Similarity
       .withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
@@ -70,13 +88,64 @@ object IvfIndex {
       .write.mode("overwrite").saveAsTable(s"${name}_cent")
     // assignment uses the centroids READ BACK from the store, so the
     // persisted cells agree with whatever the table holds, bit-for-bit
-    Similarity.assignCells(c, "neighbor_id", "cv",
-        spark.table(s"${name}_cent"), probe = 1)
+    val assigned = Similarity.assignCells(c, "neighbor_id", "cv",
+      spark.table(s"${name}_cent"), probe = 1)
+    val cellRows = pq match {
+      case None => assigned
+      case Some(spec) =>
+        val resid = assigned
+          .join(broadcast(unitCentroids(spark, name)), Seq("list_id"))
+          .select(col("list_id"), col("neighbor_id"), col("cv"),
+            col("cv_n"),
+            zip_with(transform(col("cv"), x => x / col("cv_n")),
+              col("ucent"), (x, ce) => x - ce).as("rv"))
+        val books = Similarity.residualCodebooks(resid, spec.m,
+          spec.nCodes, spec.learned)
+        booksToRows(spark, books)
+          .write.mode("overwrite").saveAsTable(s"${name}_books")
+        // encode with the books READ BACK from the store (same
+        // discipline as centroids): stored codes agree with whatever a
+        // later append/topKAdc will load, bit-for-bit
+        val stored = loadBooks(spark, name)
+        resid.select(col("list_id"), col("neighbor_id"), col("cv"),
+          col("cv_n"),
+          Similarity.pqCodesFor(col("rv"), stored).as("codes"))
+    }
+    cellRows
       .withColumn("batch_id", lit(ShingleIndex.BaseBatch))
       .write.partitionBy("batch_id").bucketBy(buckets, "list_id")
-      .sortBy("list_id")
+      .sortBy("list_id", "neighbor_id")
       .mode("overwrite").saveAsTable(s"${name}_cells")
     c.unpersist(blocking = false)
+  }
+
+  /** Unit centroids (list_id, ucent) from the stored centroid table —
+    * the normalized frame residual arithmetic runs against. */
+  private def unitCentroids(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_cent").select(col("list_id"),
+      transform(col("centroid"), x => x / col("centroid_n")).as("ucent"))
+
+  private def booksToRows(spark: SparkSession,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (sub, code) => (j, code, sub.toSeq) }
+    }.toSeq.toDF("j", "code", "sub")
+  }
+
+  /** Codebooks from `{name}_books` as the in-memory nested array every
+    * encode/score path consumes — O(m·nCodes·d/m) = O(nCodes·d), the
+    * same bounded driver materialization as the plan-literal books. */
+  private def loadBooks(spark: SparkSession,
+      name: String): Array[Array[Array[Double]]] = {
+    val rows = spark.table(s"${name}_books")
+      .select(col("j"), col("code"), col("sub"))
+      .collect()
+    require(rows.nonEmpty, s"loadBooks: ${name}_books is empty")
+    val m = rows.iterator.map(_.getInt(0)).max + 1
+    Array.tabulate(m)(j =>
+      rows.filter(_.getInt(0) == j).sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray))
   }
 
   /** Append vectors to the stored corpus against the FROZEN centroid
@@ -100,10 +169,23 @@ object IvfIndex {
       name: String, batchId: Long = ShingleIndex.BaseBatch): Unit = {
     val spark = vectors.sparkSession
     val v = Similarity.withNorm(vectors, idCol, vecCol, "neighbor_id", "cv")
-    ShingleIndex.insertByName(
-      Similarity.assignCells(v, "neighbor_id", "cv",
-          spark.table(s"${name}_cent"), probe = 1)
-        .withColumn("batch_id", lit(batchId)),
+    val assigned = Similarity.assignCells(v, "neighbor_id", "cv",
+      spark.table(s"${name}_cent"), probe = 1)
+    // a PQ-built index encodes appends against the FROZEN books — the
+    // residual twin of the frozen-centroid tradeoff ([[driftReport]]
+    // monitors both: drifted residuals quantize badly the same way
+    // drifted vectors assign badly)
+    val rows =
+      if (spark.catalog.tableExists(s"${name}_books")) {
+        val books = loadBooks(spark, name)
+        assigned.join(broadcast(unitCentroids(spark, name)), Seq("list_id"))
+          .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"),
+            Similarity.pqCodesFor(
+              zip_with(transform(col("cv"), x => x / col("cv_n")),
+                col("ucent"), (x, ce) => x - ce),
+              books).as("codes"))
+      } else assigned
+    ShingleIndex.insertByName(rows.withColumn("batch_id", lit(batchId)),
       s"${name}_cells")
   }
 
@@ -137,7 +219,7 @@ object IvfIndex {
     ShingleIndex.compactTable(spark, s"${name}_cells", uncommitted,
       (df, tmp) =>
         df.write.partitionBy("batch_id").bucketBy(buckets, "list_id")
-          .sortBy("list_id")
+          .sortBy("list_id", "neighbor_id")
           .mode("overwrite").saveAsTable(tmp))
   }
 
@@ -281,5 +363,90 @@ object IvfIndex {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** ANN top-k by asymmetric distance over the stored residual codes —
+    * row-for-row [[Similarity.ivfPqTopK]] for the same corpus and PQ
+    * spec (IvfIndexSpec pins it; p47 is the oracle gate for the
+    * semantics), with the corpus-side work ALREADY PAID at [[build]]:
+    * assignment, residual, encode. The decisive scale property is what
+    * this read does NOT touch: the probed-cell scan projects
+    * (list_id, neighbor_id, codes) only, so the raw `cv` embedding
+    * column — ~4·d/m× the codes' bytes — never leaves the parquet
+    * footer (columnar pruning; the spec asserts cv is absent from the
+    * scan's ReadSchema). Same bucket/file pruning on probed list_ids
+    * as [[topK]]. Run this when the embedding store itself is the
+    * serving bottleneck; run [[topK]] when exact in-cell ranking is
+    * worth reading vectors.
+    *
+    * @param rerank when > 0, the ADC ranking is a SHORTLIST: exact
+    *   cosine re-ranks its top-`rerank` per query (IVFADC-R). The raw
+    *   `cv` read this re-introduces is bounded by the |Q|·R shortlist
+    *   (an `isin` on neighbor_id that parquet row-group stats can skip
+    *   on — build sorts cells by (list_id, neighbor_id) for exactly
+    *   this), and PQ noise only has to keep true neighbors inside the
+    *   top-R, not rank the top-k — MEASURED (SCALE.md) to be the
+    *   recall rescue in the clustered regime where pure ADC collapses.
+    * @return (query_id, rank, neighbor_id) — identical to [[topK]] */
+  def topKAdc(queries: DataFrame, idCol: String, vecCol: String,
+      name: String, k: Int, nProbe: Int = 3, rerank: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    require(spark.catalog.tableExists(s"${name}_books"),
+      s"topKAdc: $name was not built with pq=Some(PqSpec(...)) — " +
+        s"no ${name}_books table")
+    val centroids = spark.table(s"${name}_cent")
+    val books = loadBooks(spark, name)
+    val q = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val probes0 = Similarity.assignCells(q, "query_id", "qv", centroids,
+      nProbe).persist()
+    val probes = probes0
+      .join(broadcast(unitCentroids(spark, name)), Seq("list_id"))
+      .select(col("list_id"), col("query_id"), col("ucent"),
+        transform(col("qv"), x => x / col("qv_n")).as("qn"))
+      .select(col("list_id"), col("query_id"), col("qn"),
+        Similarity.dot(col("qn"), col("ucent")).as("qc"))
+    val nCells = centroids.count() // O(K) table
+    val probed = probes0.select(col("list_id")).distinct()
+      .collect().map(_.get(0))
+    val cells0 = spark.table(s"${name}_cells")
+      .select(col("list_id"), col("neighbor_id"), col("codes"))
+    val cells = if (probed.length < nCells)
+      cells0.filter(col("list_id").isin(probed: _*)) else cells0
+    val score = col("qc") + Similarity.adcScore(col("qn"), col("codes"),
+      books)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val adcRanked = cells.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      adcRanked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    else {
+      val short = adcRanked.filter(col("rank") <= math.max(rerank, k))
+        .select(col("query_id"), col("neighbor_id")).persist()
+      // collect the (small, ≤|Q|·R) shortlist ids so the cv read plans
+      // as a static isin: pushed to parquet, row-group stats on the
+      // (list_id, neighbor_id)-sorted cells skip everything else
+      val ids = short.select(col("neighbor_id")).distinct()
+        .collect().map(_.get(0))
+      val vecs = spark.table(s"${name}_cells")
+        .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
+      val vecsPruned = (if (probed.length < nCells)
+        vecs.filter(col("list_id").isin(probed: _*)) else vecs)
+        .filter(col("neighbor_id").isin(ids: _*))
+        .select(col("neighbor_id"), col("cv"), col("cv_n"))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      vecsPruned.join(broadcast(short), Seq("neighbor_id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (Similarity.dot(col("qv"), col("cv"))
+            / (col("qv_n") * col("cv_n"))).as("cos"))
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }
   }
 }

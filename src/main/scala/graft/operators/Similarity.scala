@@ -617,6 +617,40 @@ object Similarity {
       java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds)))
   }
 
+  /** Per-subspace k-means PQ codebooks — the quality upgrade over the
+    * hash-sampled [[pqCodebooks]], with exactly the [[kmeansCentroids]]
+    * tradeoff: sampled books are portable-SQL-replayable (the oracle
+    * gates), learned books place codes where the subvector DISTRIBUTION
+    * is (Lloyd iterations minimize the quantization error that IS PQ's
+    * ranking noise) and are deterministic per corpus + partitioning but
+    * not oracle-expressible — recall is MEASURED (tools/RecallProbe
+    * `*_kmbooks` variants). Decisive for residual encoding: residuals
+    * concentrate in a small ball around the origin, where k-means
+    * resolution beats sampled corpus offsets by construction.
+    *
+    * `vecs` rows are trained as-is (pass normalized vectors for
+    * [[pqTopK]], residuals for [[ivfPqTopK]] — the books only see
+    * arrays). m fits of `nCodes` centers each over n×(d/m) slices; at
+    * 100 TB train on a bounded hash-sample of the corpus first — Lloyd
+    * passes over the full corpus buy nothing a sample doesn't. */
+  def pqKmeansCodebooks(vecs: DataFrame, vecCol: String,
+      m: Int, nCodes: Int, seed: Long = 42L,
+      maxIter: Int = 5): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = vecs.select(size(col(vecCol))).head().getInt(0)
+    require(d % m == 0, s"pqKmeansCodebooks: dim $d not divisible by m=$m")
+    val ds = d / m
+    val slices = vecs.select((0 until m).map(j =>
+      array_to_vector(slice(col(vecCol), j * ds + 1, ds))
+        .as(s"_s$j")): _*).persist()
+    try Array.tabulate(m) { j =>
+      new KMeans().setK(nCodes).setSeed(seed + j).setMaxIter(maxIter)
+        .setFeaturesCol(s"_s$j").fit(slices)
+        .clusterCenters.map(_.toArray)
+    } finally slices.unpersist(blocking = false)
+  }
+
   /** Sequential-order squared L2 distance between two array columns —
     * `aggregate(zip_with(…), 0.0, +)` folds left-to-right in double,
     * mirroring the oracle's `list_reduce` bit-for-bit (0.0 + d₀ ≡ d₀:
@@ -640,26 +674,64 @@ object Similarity {
     * excluded ([[withNorm]]'s contract).
     *
     * @return (vec_id, codes array<int>) */
-  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-      books: Array[Array[Array[Double]]]): DataFrame = {
-    val m = books.length
+  /** Nearest-code array (length m) for a prepared double-vector column —
+    * THE per-row encode both [[pqEncode]] (normalized vectors) and
+    * [[ivfPqTopK]] (cell residuals) route through: squared L2 per
+    * subspace, lowest-code tie-break via array_position's first-match.
+    * One transform over the nested codebook LITERAL, not an array() of
+    * nCodes separate fold expressions: same values, same order, but an
+    * O(1)-size expression tree — codegen and planning stay flat as
+    * nCodes grows (the array() form was 32× the nodes and measurably
+    * all compile time at bench scale). */
+  private[graft] def pqCodesFor(v: Column,
+      books: Array[Array[Array[Double]]]): Column = {
     val ds = books(0)(0).length
-    // one transform over the nested codebook LITERAL, not an array() of
-    // nCodes separate fold expressions: same values, same order, but an
-    // O(1)-size expression tree — codegen and planning stay flat as
-    // nCodes grows (the array() form was 32× the nodes and measurably
-    // all compile time at bench scale)
     def codeFor(j: Int): Column = {
-      val sub = slice(col("nv"), j * ds + 1, ds)
+      val sub = slice(v, j * ds + 1, ds)
       val dists = transform(typedlit(books(j).map(_.toSeq).toSeq),
         code => l2sq(sub, code))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
+    array(books.indices.map(codeFor): _*)
+  }
+
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Double]]]): DataFrame =
     withNorm(corpus, idCol, vecCol, "vec_id", "v")
       .select(col("vec_id"), transform(col("v"), x => x / col("v_n")).as("nv"))
-      .select(col("vec_id"),
-        array((0 until books.length).map(codeFor): _*).as("codes"))
-  }
+      .select(col("vec_id"), pqCodesFor(col("nv"), books).as("codes"))
+
+  /** Residual PQ codebooks over a (neighbor_id, rv) residual frame —
+    * hash-order sample rule (oracle-replayable, the same
+    * `ORDER BY (hash32(id), id) LIMIT n` discipline as [[pqCodebooks]])
+    * or per-subspace k-means ([[pqKmeansCodebooks]] — the
+    * measured-quality path); residuals are NOT unit vectors, no
+    * renormalization either way. O(nCodes·d) driver materialization.
+    * Shared by [[ivfPqTopK]] and the persisted store
+    * ([[IvfIndex.build]]) so the two paths quantize identically. */
+  private[graft] def residualCodebooks(resid: DataFrame, m: Int,
+      nCodes: Int, learned: Boolean): Array[Array[Array[Double]]] =
+    if (learned) pqKmeansCodebooks(resid.select(col("rv")), "rv", m, nCodes)
+    else {
+      val sample = resid
+        .select(col("rv"),
+          graft.functions.TextFns.hash32(col("neighbor_id").cast("string"))
+            .as("_h"),
+          col("neighbor_id"))
+        .orderBy(col("_h"), col("neighbor_id"))
+        .limit(nCodes)
+        .select(col("rv"))
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+      require(sample.nonEmpty,
+        "residualCodebooks: corpus has no non-zero vectors")
+      val d = sample.head.length
+      require(d % m == 0,
+        s"residualCodebooks: dim $d not divisible by m=$m")
+      val ds = d / m
+      Array.tabulate(m)(j => sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds)))
+    }
 
   /** ANN top-k by asymmetric distance computation over a PQ-encoded
     * corpus: score(q, x) ≈ cos(q, x) = Σⱼ ⟨q̂ⱼ, codebookⱼ[xⱼ]⟩ — the
@@ -680,28 +752,193 @@ object Similarity {
     *
     * @return (query_id, rank, neighbor_id) — identical contract to
     *         [[bruteForceTopK]]/[[ivfTopK]] */
+  /** Asymmetric-distance term Σⱼ ⟨qnⱼ, bookⱼ[codesⱼ]⟩ — per-subspace
+    * dot products summed left-to-right in subspace order (reduceLeft ≡
+    * the oracle's `list_reduce(list(t ORDER BY j))`). Shared by
+    * [[pqTopK]] (codes quantize the normalized vector) and
+    * [[ivfPqTopK]] (codes quantize the cell residual). */
+  private[graft] def adcScore(qn: Column, codes: Column,
+      books: Array[Array[Array[Double]]]): Column = {
+    val ds = books(0)(0).length
+    def term(j: Int): Column = {
+      val lut = typedlit(books(j).map(_.toSeq).toSeq)
+      dot(slice(qn, j * ds + 1, ds), element_at(lut, codes.getItem(j) + 1))
+    }
+    books.indices.map(term).reduceLeft(_ + _)
+  }
+
   def pqTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      m: Int = 8, nCodes: Int = 32): DataFrame = {
-    val books = pqCodebooks(corpus, idCol, vecCol, m, nCodes)
-    val ds = books(0)(0).length
+      m: Int = 8, nCodes: Int = 32,
+      learnedBooks: Boolean = false): DataFrame = {
+    val books =
+      if (learnedBooks)
+        pqKmeansCodebooks(
+          withNorm(corpus, idCol, vecCol, "vec_id", "v")
+            .select(transform(col("v"), x => x / col("v_n")).as("nv")),
+          "nv", m, nCodes)
+      else pqCodebooks(corpus, idCol, vecCol, m, nCodes)
     val enc = pqEncode(corpus, idCol, vecCol, books)
       .withColumnRenamed("vec_id", "neighbor_id")
       .repartition(par(corpus), col("neighbor_id"))
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
       .select(col("query_id"),
         transform(col("qv"), x => x / col("qv_n")).as("qn"))
-    def term(j: Int): Column = {
-      val lut = typedlit(books(j).map(_.toSeq).toSeq)
-      dot(slice(col("qn"), j * ds + 1, ds),
-        element_at(lut, col("codes").getItem(j) + 1))
-    }
-    val adc = (0 until m).map(term).reduceLeft(_ + _)
+    val adc = adcScore(col("qn"), col("codes"), books)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
     enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** IVF-PQ with residual encoding (IVFADC — Jégou/Douze/Schmid, TPAMI
+    * 2011 §IV-A): coarse-quantize each vector to its nearest IVF cell,
+    * then PQ-encode the RESIDUAL x̂ − ĉ(x) instead of x̂ itself. Scores
+    * decompose as ⟨q̂, x̂⟩ ≈ ⟨q̂, ĉ⟩ + Σⱼ ⟨q̂ⱼ, bookⱼ[codeⱼ]⟩ — the
+    * first term is exact per (query, probed cell), only the residual is
+    * approximated.
+    *
+    * Why residuals: plain PQ quantizes ABSOLUTE positions, so once the
+    * corpus clusters tightly every member of a cluster collapses to the
+    * same few codes and ranking inside the cluster is noise (MEASURED:
+    * tools/RecallProbe `pq` recall ~0.01 on the clustered regime).
+    * Residuals re-center each cell at its centroid, so the codebook's
+    * resolution is spent on the within-cell offsets that actually
+    * discriminate neighbors. One shared residual codebook across cells
+    * (IVFADC's memory/quality middle ground, not per-cell books).
+    *
+    * Scale shape: IVF's candidate pruning (per-query work ~ |corpus| ·
+    * nProbe / nCells) AND PQ's corpus compression (candidate rows are m
+    * small ints, never raw embeddings) compose — this is the variant
+    * you serve when both compute and memory bind at 100 TB. Centroids
+    * and codebooks are O(K) plan literals/broadcasts; the corpus
+    * shuffles zero extra times (assignment is a broadcast join, encode
+    * a per-row map). Deterministic end-to-end — hash-sampled centroids
+    * (or the kmeans override), hash-sampled residual codebooks, exact
+    * IEEE fold orders, id tie-breaks — so the driver gate (p47) replays
+    * assignment + residual encode + ADC token-for-token in DuckDB.
+    * Recall is MEASURED (tools/RecallProbe `ivfpq` variants), not
+    * asserted.
+    *
+    * @return (query_id, rank, neighbor_id) — identical contract to
+    *         [[bruteForceTopK]]/[[ivfTopK]]/[[pqTopK]] */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 64, nProbe: Int = 3,
+      m: Int = 8, nCodes: Int = 32,
+      centroidsOverride: Option[DataFrame] = None,
+      learnedBooks: Boolean = false,
+      rerank: Int = 0): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .repartition(par(corpus), col("neighbor_id"))
+    val centroids = centroidsOverride.getOrElse(
+      topKByHashCentroids(c, "neighbor_id", "cv", nCells))
+    // unit centroids: residual arithmetic runs in the normalized space
+    val ucent = centroids.select(col("list_id"),
+      transform(col("centroid"), x => x / col("centroid_n")).as("ucent"))
+    val resid = assignCells(c, "neighbor_id", "cv", centroids, 1)
+      .join(broadcast(ucent), Seq("list_id"))
+      .select(col("list_id"), col("neighbor_id"),
+        zip_with(transform(col("cv"), x => x / col("cv_n")), col("ucent"),
+          (x, ce) => x - ce).as("rv"))
+    val books = residualCodebooks(resid, m, nCodes, learnedBooks)
+    val enc = resid.select(col("list_id"), col("neighbor_id"),
+      pqCodesFor(col("rv"), books).as("codes"))
+    // query side: nProbe nearest cells, exact ⟨q̂, ĉ⟩ per probed cell
+    val probes = assignCells(
+        withNorm(queries, idCol, vecCol, "query_id", "qv"),
+        "query_id", "qv", centroids, nProbe)
+      .join(broadcast(ucent), Seq("list_id"))
+      .select(col("list_id"), col("query_id"), col("ucent"),
+        transform(col("qv"), x => x / col("qv_n")).as("qn"))
+      .select(col("list_id"), col("query_id"), col("qn"),
+        dot(col("qn"), col("ucent")).as("qc"))
+    // each member lives in exactly one cell (probe=1 assignment), so the
+    // list_id join yields each (query, neighbor) pair at most once
+    val score = col("qc") + adcScore(col("qn"), col("codes"), books)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val adcRanked = enc.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), score.as("score"))
+      .withColumn("rank", row_number().over(w))
+    if (rerank <= 0)
+      adcRanked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    else {
+      // IVFADC-R (Jégou et al. §V): the ADC pass is a cheap shortlist,
+      // exact cosine re-ranks its top-`rerank` — raw vectors are read
+      // for |Q|·R pairs, not per candidate, and PQ's reconstruction
+      // noise only has to keep true neighbors inside the top-R (a far
+      // weaker ask than ranking the top-k; MEASURED to be the recall
+      // rescue in the clustered regime — SCALE.md)
+      val short = adcRanked.filter(col("rank") <= math.max(rerank, k))
+        .select(col("query_id"), col("neighbor_id"))
+      val qv = withNorm(queries, idCol, vecCol, "query_id", "qv")
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(short), Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")))
+            .as("cos"))
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }
+  }
+
+  /** Exact cosine top-k over the int8-DEQUANTIZED corpus — the serving
+    * tier between raw floats (4·d bytes/vector, [[bruteForceTopK]])
+    * and PQ codes (m bytes, [[pqTopK]]): corpus rows carry d tinyints
+    * plus one double scale (~4× smaller than float32), quantized with
+    * [[quantizeInt8Audit]]'s exact floor arithmetic (the audit IS this
+    * tier's error bound: ≤ half a quant step per dimension, so recall
+    * stays near-exact — MEASURED, tools/RecallProbe `int8` variant).
+    * The encode is a pure per-row map (pipelines into the scan, like
+    * pqEncode); scoring dequantizes per element and runs the exact
+    * cosine kernel, so the whole path — quantize, dequantize, score,
+    * rank — is IEEE-deterministic and replays in SQL (p49 gates it).
+    * Query side stays exact. Compose with IVF by feeding the encoded
+    * frame through cell assignment when pruning also matters.
+    *
+    * @return (query_id, rank, neighbor_id) — identical contract to
+    *         [[bruteForceTopK]] */
+  def int8TopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val enc = corpus
+      .select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("neighbor_id"), col("v"),
+        array_max(transform(col("v"), x => abs(x))).as("am"))
+      .filter(col("am") > 0)
+      .select(col("neighbor_id"), col("v"),
+        (lit(127.0) / col("am")).as("scale"))
+      .select(col("neighbor_id"), col("scale"),
+        transform(col("v"),
+          x => floor(x * col("scale") + lit(0.5)).cast("tinyint")).as("q8"))
+    // dequantize: q8/scale — exact integers in [-127,127] divided by
+    // the stored scale, so the tinyint storage hop is value-lossless
+    // and the oracle can skip it (floor(x·scale+0.5)/scale directly)
+    val cand = enc
+      .select(col("neighbor_id"),
+        transform(col("q8"), q8 => q8.cast("double") / col("scale"))
+          .as("dv"))
+      .select(col("neighbor_id"), col("dv"),
+        sqrt(dot(col("dv"), col("dv"))).as("dv_n"))
+      .repartition(par(corpus), col("neighbor_id"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("dv")) / (col("qv_n") * col("dv_n"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))

@@ -2145,6 +2145,193 @@ object Pipeline {
        |    / (CAST(COUNT(*) AS DOUBLE) * 1e12) AS mean_cos
        |FROM a GROUP BY grp""".stripMargin
 
+  /** IVF-PQ residual ANN (IVFADC), oracle-gated end-to-end: p14's
+    * deterministic coarse quantizer (hash-sampled centroids, cosine
+    * desc / list_id tie-break assignment) composed with p45's PQ
+    * machinery, applied to the RESIDUAL x̂ − ĉ(x) instead of x̂. Scores
+    * decompose exactly as ⟨q̂,ĉ⟩ + Σⱼ⟨q̂ⱼ,bookⱼ[codeⱼ]⟩, and every
+    * stage — residual arithmetic, hash-order codebook sample, nearest-
+    * code encode, per-subspace ADC fold, the final qc + adc addition —
+    * is IEEE-deterministic with id tie-breaks, so the approximate
+    * result replays token-for-token in SQL. Recall vs exact top-k is
+    * MEASURED (tools/RecallProbe `ivfpq` variants): residuals are what
+    * rescue PQ in the clustered regime where absolute-position codes
+    * collapse (plain pq ~0.01 recall there). */
+  private def p47(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+    Similarity.ivfPqTopK(v.filter(col("vec_id") % 50 === 0), v,
+        "vec_id", "embedding", TopK, nCells = IvfCells, nProbe = IvfProbe,
+        m = PqM, nCodes = PqCodes)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  private val p47Sql = {
+    val ds = EmbDim / PqM
+    def sub(arr: String, j: String) = s"$arr[$j*$ds+1 : ($j+1)*$ds]"
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE ${dotSql("embedding", "embedding")} > 0),
+       |nv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> x::DOUBLE / sqrt(${dotSql("embedding", "embedding")})) AS nvec
+       |  FROM v),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM v
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |uc AS (
+       |  SELECT list_id, list_transform(centroid,
+       |    x -> x::DOUBLE / sqrt(${dotSql("centroid", "centroid")})) AS ucent
+       |  FROM cent),
+       |asn AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT v.vec_id, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.embedding", "c.centroid")} DESC,
+       |          c.list_id) AS r
+       |    FROM v, cent c)
+       |  WHERE r = 1),
+       |rs AS (
+       |  SELECT n.vec_id, a.list_id,
+       |    list_transform(generate_series(1, len(n.nvec)),
+       |      i -> n.nvec[i] - u.ucent[i]) AS rv
+       |  FROM nv n JOIN asn a USING (vec_id) JOIN uc u USING (list_id)),
+       |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |rcb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code, rv
+       |  FROM (SELECT vec_id, ${hash32Sql("CAST(vec_id AS VARCHAR)")} AS h,
+       |          rv
+       |        FROM rs ORDER BY 2, 1 LIMIT $PqCodes)),
+       |cbs AS (
+       |  SELECT t.j, rcb.code, ${sub("rcb.rv", "t.j")} AS sub
+       |  FROM rcb, js t),
+       |vs AS (
+       |  SELECT r.vec_id, r.list_id, t.j, ${sub("r.rv", "t.j")} AS sub
+       |  FROM rs r, js t),
+       |dst AS (
+       |  SELECT vs.vec_id, vs.list_id, vs.j, cbs.code,
+       |    ${l2sqSql("vs.sub", "cbs.sub")} AS d
+       |  FROM vs JOIN cbs ON vs.j = cbs.j),
+       |ec AS (
+       |  SELECT vec_id, list_id, j, code FROM (
+       |    SELECT vec_id, list_id, j, code,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+       |        ORDER BY d, code) AS r
+       |    FROM dst)
+       |  WHERE r = 1),
+       |qv AS (
+       |  SELECT v.vec_id, v.embedding, n.nvec
+       |  FROM v JOIN nv n USING (vec_id)
+       |  WHERE v.vec_id % 50 = 0),
+       |pr AS (
+       |  SELECT s.query_id, s.list_id, s.qn,
+       |    ${dotSql("s.qn", "u.ucent")} AS qc
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, c.list_id, q.nvec AS qn,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC,
+       |          c.list_id) AS r
+       |    FROM qv q, cent c) s
+       |  JOIN uc u USING (list_id)
+       |  WHERE s.r <= $IvfProbe),
+       |tm AS (
+       |  SELECT p.query_id, e.vec_id AS neighbor_id, p.qc, e.j,
+       |    ${dotSql(sub("p.qn", "e.j"), "cs.sub")} AS t
+       |  FROM pr p JOIN ec e ON e.list_id = p.list_id
+       |  JOIN cbs cs ON cs.j = e.j AND cs.code = e.code
+       |  WHERE p.query_id <> e.vec_id),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    qc + list_reduce(list(t ORDER BY j), (x, y) -> x + y) AS score
+       |  FROM tm GROUP BY query_id, neighbor_id, qc),
+       |res AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+       |FROM res WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** Persisted IVFADC store, oracle-gated: IvfIndex.build(pq=…) stamps
+    * residual codes into the bucketed cell store (memoized behind p44's
+    * vector fingerprint discipline) and topKAdc serves the SAME rows as
+    * the in-memory ivfPqTopK (IvfIndexSpec pins the equivalence
+    * row-for-row; the scan reads codes, never cv), so p47's oracle SQL
+    * replays the stored path token-for-token. This is the driver gate
+    * for the serve shape a 100 TB embedding store actually runs —
+    * assignment/residual/encode paid at build, queries read m ints per
+    * candidate. */
+  private def p48(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    import spark.implicits._
+    val fp = v.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
+        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    val fpOk = spark.catalog.tableExists("graft_p48_fp") &&
+      spark.catalog.tableExists("graft_p48_cells") &&
+      spark.catalog.tableExists("graft_p48_cent") &&
+      spark.catalog.tableExists("graft_p48_books") && {
+        val rs = spark.table("graft_p48_fp").head(1)
+        rs.nonEmpty && rs(0).getLong(0) == fp.getLong(0) &&
+          rs(0).getLong(1) == fp.getLong(1)
+      }
+    if (!fpOk) {
+      graft.operators.IvfIndex.build(v, "vec_id", "embedding", "graft_p48",
+        nCells = IvfCells,
+        pq = Some(graft.operators.IvfIndex.PqSpec(PqM, PqCodes)))
+      graft.operators.ShingleIndex.dropTable(spark, "graft_p48_fp")
+      Seq((fp.getLong(0), fp.getLong(1))).toDF("n", "ids")
+        .write.saveAsTable("graft_p48_fp")
+    }
+    graft.operators.IvfIndex.topKAdc(v.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "graft_p48", TopK, IvfProbe)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  /** int8-dequantized cosine top-k, oracle-gated: p33's exact floor
+    * quantization (both engines floor, never round — the engines'
+    * native roundings disagree) feeds p06's exact-cosine rank kernel;
+    * every value is element-wise IEEE double, so the 4×-compressed
+    * serving tier replays bit-for-bit in SQL. The tinyint storage hop
+    * is value-lossless (integers in [-127,127]), so the oracle
+    * dequantizes directly as floor(x·scale+0.5)/scale. */
+  private def p49(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+    Similarity.int8TopK(v.filter(col("vec_id") % 50 === 0), v,
+        "vec_id", "embedding", TopK)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  private val p49Sql =
+    s"""WITH dq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> floor(x::DOUBLE * scale + 0.5) / scale) AS dv
+       |  FROM (
+       |    SELECT vec_id, embedding, 127.0 / am AS scale FROM (
+       |      SELECT vec_id, embedding,
+       |        list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+       |          AS am
+       |      FROM embeddings)
+       |    WHERE am > 0)),
+       |q AS (SELECT vec_id, embedding FROM embeddings
+       |      WHERE vec_id % 50 = 0
+       |        AND ${dotSql("embedding", "embedding")} > 0),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("q.embedding", "c.dv")}
+       |      / (sqrt(${dotSql("q.embedding", "q.embedding")})
+       |         * sqrt(${dotSql("c.dv", "c.dv")})) AS cos
+       |  FROM q JOIN dq c ON q.vec_id != c.vec_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM s)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+       |FROM r WHERE rnk <= $TopK""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -2195,5 +2382,8 @@ object Pipeline {
     QueryDef("p43b_token_budget_histogram", p43b, Some(p43bSql)),
     QueryDef("p44_vector_ingest", p44, Some(p44Sql)),
     QueryDef("p45_pq_ann", p45, Some(p45Sql)),
-    QueryDef("p46_centroid_drift", p46, Some(p46Sql)))
+    QueryDef("p46_centroid_drift", p46, Some(p46Sql)),
+    QueryDef("p47_ivfpq_ann", p47, Some(p47Sql)),
+    QueryDef("p48_ivfpq_store", p48, Some(p47Sql)),
+    QueryDef("p49_int8_ann", p49, Some(p49Sql)))
 }

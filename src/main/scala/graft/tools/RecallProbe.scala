@@ -51,7 +51,12 @@ object RecallProbe {
     // exact neighbors, and assuming k would understate recall
     val nExact = exact.count()
 
+    // dev-only variant filter (substring match), e.g.
+    //   runMain graft.tools.RecallProbe clustered 10 8000 ivfpq
+    val onlyVariant = args.lift(3)
+
     def recall(name: String)(approx: => DataFrame): Unit = {
+      if (!onlyVariant.forall(name.contains)) return
       // time ONLY the approx query's materialization; the truth-set
       // semi-join is measurement bookkeeping, not part of the latency
       // being reported
@@ -81,6 +86,50 @@ object RecallProbe {
     for ((m, nc) <- Seq((8, 32), (8, 64), (16, 32)))
       recall(s"pq_m${m}_codes$nc")(Similarity.pqTopK(
         queries, embs, "vec_id", "embedding", k, m = m, nCodes = nc))
+    // int8 tier (4× smaller rows): quantization error ≤ half a step per
+    // dim (p33's audit bound), so recall should sit at/near 1.0 — this
+    // measures that claim operationally
+    recall("int8_brute")(Similarity.int8TopK(
+      queries, embs, "vec_id", "embedding", k))
+    // PQ with learned (per-subspace k-means) codebooks — the quality
+    // path the oracle can't replay; what sampled codebooks cost
+    recall("pq_m8_codes32_kmbooks")(Similarity.pqTopK(
+      queries, embs, "vec_id", "embedding", k, learnedBooks = true))
+    // IVF-PQ residual encoding: codes quantize within-cell offsets, not
+    // absolute positions — the clustered-regime rescue for PQ, IF the
+    // codebooks resolve the residual ball (sampled vs learned is the
+    // decisive axis here; see SCALE.md)
+    for (np <- Seq(3, 8))
+      recall(s"ivfpq_m8_codes32_nProbe$np")(Similarity.ivfPqTopK(
+        queries, embs, "vec_id", "embedding", k, nProbe = np))
+    recall("ivfpq_m8_codes64_nProbe3")(Similarity.ivfPqTopK(
+      queries, embs, "vec_id", "embedding", k, nCodes = 64))
+    for (np <- Seq(3, 8))
+      recall(s"ivfpq_m8_codes32_kmbooks_nProbe$np")(Similarity.ivfPqTopK(
+        queries, embs, "vec_id", "embedding", k, nProbe = np,
+        learnedBooks = true))
+    recall("ivfpq_kmeans_kmbooks_nProbe3")(Similarity.ivfPqTopK(
+      queries, embs, "vec_id", "embedding", k,
+      centroidsOverride = Some(km), learnedBooks = true))
+    // code-budget ladder: bits/vector = m·log2(nCodes); the clustered
+    // regime needs the budget, not just residuals (SCALE.md)
+    for ((m, nc) <- Seq((8, 256), (16, 256)))
+      recall(s"ivfpq_m${m}_codes${nc}_kmbooks_nProbe3")(Similarity.ivfPqTopK(
+        queries, embs, "vec_id", "embedding", k, m = m, nCodes = nc,
+        learnedBooks = true))
+    // IVFADC-R: exact re-rank of the ADC top-R shortlist — PQ noise
+    // only has to keep true neighbors in the top-R
+    for (r <- Seq(50, 100))
+      recall(s"ivfpq_m8_codes32_kmbooks_rerank$r")(Similarity.ivfPqTopK(
+        queries, embs, "vec_id", "embedding", k, learnedBooks = true,
+        rerank = r))
+    for (r <- Seq(50, 100))
+      recall(s"ivfpq_m8_codes32_rerank$r")(Similarity.ivfPqTopK(
+        queries, embs, "vec_id", "embedding", k, rerank = r))
+    for (r <- Seq(50, 100))
+      recall(s"ivfpq_m16_codes256_kmbooks_rerank$r")(Similarity.ivfPqTopK(
+        queries, embs, "vec_id", "embedding", k, m = 16, nCodes = 256,
+        learnedBooks = true, rerank = r))
     try {
       IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall")
       recall("ivf_index_nProbe3")(IvfIndex.topK(
@@ -91,9 +140,19 @@ object RecallProbe {
         centroids = Some(km))
       recall("ivf_index_kmeans_nProbe3")(IvfIndex.topK(
         queries, "vec_id", "embedding", "graft_probe_recall_km", k))
+      // the persisted ADC store (codes-only read) ± exact re-rank
+      IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall_pq",
+        pq = Some(IvfIndex.PqSpec(learned = true)))
+      recall("ivf_store_adc_kmbooks_nProbe3")(IvfIndex.topKAdc(
+        queries, "vec_id", "embedding", "graft_probe_recall_pq", k))
+      recall("ivf_store_adc_kmbooks_rerank50")(IvfIndex.topKAdc(
+        queries, "vec_id", "embedding", "graft_probe_recall_pq", k,
+        rerank = 50))
     } finally {
       Seq("graft_probe_recall_cells", "graft_probe_recall_cent",
-        "graft_probe_recall_km_cells", "graft_probe_recall_km_cent")
+        "graft_probe_recall_km_cells", "graft_probe_recall_km_cent",
+        "graft_probe_recall_pq_cells", "graft_probe_recall_pq_cent",
+        "graft_probe_recall_pq_books")
         .foreach(ShingleIndex.dropTable(spark, _))
       val root = java.nio.file.Paths.get(truthPath).getParent
       import scala.jdk.CollectionConverters._

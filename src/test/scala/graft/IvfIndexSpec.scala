@@ -248,6 +248,74 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ store: topKAdc == ivfPqTopK; codes-only scan; rerank degenerates to topK; append encodes") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val seed = embs.filter(col("vec_id") % 3 =!= 0)
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+    try {
+      IvfIndex.build(embs, "vec_id", "embedding", "graft_ivfpq",
+        nCells = 8, pq = Some(IvfIndex.PqSpec(m = 8, nCodes = 16)))
+      // the store is a pure storage optimization of the in-memory
+      // operator: same hash-sampled centroids AND residual books, same
+      // assignment/encode/ADC arithmetic — row-for-row equal
+      val viaStore = IvfIndex.topKAdc(
+        queries, "vec_id", "embedding", "graft_ivfpq", k = 5, nProbe = 3)
+      val inMemory = Similarity.ivfPqTopK(
+        queries, embs, "vec_id", "embedding", 5, nCells = 8, nProbe = 3,
+        m = 8, nCodes = 16)
+      val got = resultSet(viaStore)
+      assert(got == resultSet(inMemory))
+      assert(got.nonEmpty)
+      // the decisive memory property of the ADC serve path: the cells
+      // scan projects codes, never the raw cv embedding column
+      val plan = viaStore.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val detail = plan.substring(plan.lastIndexOf("graft_ivfpq_cells"))
+      val readSchema = detail.linesIterator
+        .find(_.trim.startsWith("ReadSchema:"))
+        .getOrElse(fail(s"no ReadSchema after cells scan:\n$detail"))
+      assert(readSchema.contains("codes"), readSchema)
+      assert(!readSchema.contains("cv"), s"ADC scan must not read cv: $readSchema")
+      spark.catalog.clearCache()
+      // IVFADC-R degeneracy: exact re-rank over the WHOLE candidate set
+      // (R >= corpus) is exact ranking inside the probed cells == topK
+      val n = embs.count().toInt
+      assert(resultSet(IvfIndex.topKAdc(queries, "vec_id", "embedding",
+          "graft_ivfpq", k = 5, nProbe = 3, rerank = n))
+        == resultSet(IvfIndex.topK(queries, "vec_id", "embedding",
+          "graft_ivfpq", k = 5, nProbe = 3)))
+      spark.catalog.clearCache()
+      // append against a PQ-built index encodes with the FROZEN books:
+      // the new rows carry codes and are findable through pure ADC
+      IvfIndex.build(seed, "vec_id", "embedding", "graft_ivfpq2",
+        nCells = 8, pq = Some(IvfIndex.PqSpec(m = 8, nCodes = 16)))
+      val pre = resultSet(IvfIndex.topKAdc(
+        queries, "vec_id", "embedding", "graft_ivfpq2", k = 5, nProbe = 3))
+      spark.catalog.clearCache()
+      IvfIndex.append(batch, "vec_id", "embedding", "graft_ivfpq2",
+        batchId = 7L)
+      val appended = spark.table("graft_ivfpq2_cells")
+        .filter(col("batch_id") === 7L)
+      assert(appended.count() > 0)
+      assert(appended.filter(col("codes").isNull).count() == 0,
+        "appended rows must carry frozen-book codes")
+      val post = resultSet(IvfIndex.topKAdc(
+        queries, "vec_id", "embedding", "graft_ivfpq2", k = 5, nProbe = 3))
+      assert(post != pre,
+        "appended vectors must become findable through ADC")
+      // and the rerank degeneracy still holds over the grown store
+      assert(resultSet(IvfIndex.topKAdc(queries, "vec_id", "embedding",
+          "graft_ivfpq2", k = 5, nProbe = 3, rerank = n))
+        == resultSet(IvfIndex.topK(queries, "vec_id", "embedding",
+          "graft_ivfpq2", k = 5, nProbe = 3)))
+    } finally {
+      Seq("graft_ivfpq_cells", "graft_ivfpq_cent", "graft_ivfpq_books",
+        "graft_ivfpq2_cells", "graft_ivfpq2_cent", "graft_ivfpq2_books")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("append: frozen-centroid ingest == ivfTopK over the grown corpus; batch prunable") {
     val seed = embs.filter(col("vec_id") % 3 =!= 0)
     val batch = embs.filter(col("vec_id") % 3 === 0)

@@ -333,6 +333,74 @@ class PipelineSpec extends AnyFunSuite {
       "pqEncode must not shuffle")
   }
 
+  test("IVF-PQ: full probe + full codebook degenerates to exact; deterministic; clustered rescue over plain PQ") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // probing every cell + giving every residual its own code makes the
+    // reconstruction lossless (r̂ = r, score = ⟨q̂,ĉ⟩ + ⟨q̂, x̂−ĉ⟩ =
+    // cos(q,x) up to float assoc) — this pins the assignment→residual→
+    // encode→ADC wiring end-to-end, not just recall
+    val n = embs.count().toInt
+    val full = Similarity.ivfPqTopK(queries, embs, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 8, m = 1, nCodes = n)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == exact)
+    // deterministic end-to-end (hash-sampled centroids + codebooks, id
+    // tie-breaks): two runs produce identical rows — the property the
+    // p47 oracle gate depends on
+    def run() = Similarity.ivfPqTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(run() == run())
+    // IVFADC-R degeneracy: exact re-rank over the WHOLE candidate set
+    // is exact ranking inside the probed cells — ivfPqTopK(rerank=n)
+    // must equal ivfTopK at the same nCells/nProbe, whatever the codes
+    // said (pins the shortlist→exact-rerank wiring)
+    val reranked = Similarity.ivfPqTopK(queries, embs, "vec_id", "embedding",
+        5, nCells = 8, nProbe = 3, rerank = n)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfFlat = Similarity.ivfTopK(queries, embs, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(reranked == ivfFlat)
+    // the MOTIVATING property (RecallProbe measures the real numbers,
+    // this catches regressions in kind): on a clustered corpus plain PQ
+    // collapses — every cluster member quantizes to the same few
+    // absolute-position codes, so within-cluster ranking is noise —
+    // while the production IVFADC-R shape (residual codes + learned
+    // books + exact re-rank of the ADC shortlist) stays usable
+    val cl = graft.tools.SyntheticVectors.clustered(spark, n = 1500)
+    val clQ = cl.filter(col("vec_id") % 50 === 0)
+    val clExact = Similarity.bruteForceTopK(clQ, cl, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (clExact intersect got).size.toDouble / clExact.size
+    }
+    val pqR = recallOf(Similarity.pqTopK(clQ, cl, "vec_id", "embedding", 5))
+    val ivfpqR = recallOf(Similarity.ivfPqTopK(clQ, cl, "vec_id", "embedding", 5,
+      nCells = 32, nProbe = 8, learnedBooks = true, rerank = 100))
+    assert(ivfpqR > 2 * pqR,
+      s"IVFADC-R should clearly beat plain PQ on clustered data: $ivfpqR vs $pqR")
+    assert(ivfpqR >= 0.15, s"IVFADC-R clustered recall $ivfpqR")
+  }
+
+  test("int8 ANN: dequantized ranking near-exact; encode values match the audit's bound") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val got = Similarity.int8TopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got.nonEmpty)
+    // per-dim error ≤ half a quant step (p33's audited bound) barely
+    // moves cosines: the 4×-smaller tier must stay near-exact — the
+    // property that distinguishes it from the lossy PQ tiers
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 recall $recall")
+  }
+
   test("assignmentDrift: flipped batch means lower assignment cosine; exact mean verified") {
     val base = embs.filter(col("vec_id") % 3 =!= 0)
       .select(col("vec_id"), col("embedding"), lit("base").as("grp"))
