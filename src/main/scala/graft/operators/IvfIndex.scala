@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -321,6 +321,41 @@ object IvfIndex {
         (Similarity.dot(col("cv"), col("centroid"))
           / (col("cv_n") * col("centroid_n"))).as("c_cos"))
     Similarity.exactMean(joined, Seq("batch_id"), "c_cos", "mean_cos")
+  }
+
+  /** Quantization-error drift for a PQ-built store: per `batch_id`,
+    * the exact mean squared reconstruction error ‖r − book[codes]‖²
+    * of the stored codes against the FROZEN books — the residual twin
+    * of [[driftReport]], and the "retrain the books" signal behind
+    * [[append]]'s frozen-books tradeoff: an ingest distribution that
+    * left the build-time residual geometry quantizes badly (codes stop
+    * discriminating) even when its cell ASSIGNMENT still looks healthy,
+    * so the two monitors are complementary, not redundant. One scan of
+    * the cell store (cv, cv_n, codes) joined to the broadcast O(nCells)
+    * centroid set, reconstruction from the O(nCodes·d) book literal,
+    * |batches|-row exact-decimal aggregate — safe on every compaction
+    * cycle. An append batch whose `mean_qerr` sits materially above the
+    * base partition's (-1) means: rebuild with fresh books.
+    *
+    * @return (batch_id, n_vecs, mean_qerr), one row per stored batch */
+  def quantizationDrift(spark: SparkSession, name: String): DataFrame = {
+    require(spark.catalog.tableExists(s"${name}_books"),
+      s"quantizationDrift: $name was not built with pq=Some(PqSpec(...))")
+    val books = loadBooks(spark, name)
+    val ds = books(0)(0).length
+    def qerrTerm(j: Int): Column = {
+      val lut = typedlit(books(j).map(_.toSeq).toSeq)
+      Similarity.l2sq(slice(col("rv"), j * ds + 1, ds),
+        element_at(lut, col("codes").getItem(j) + 1))
+    }
+    val joined = spark.table(s"${name}_cells")
+      .join(broadcast(unitCentroids(spark, name)), Seq("list_id"))
+      .select(col("batch_id"), col("codes"),
+        zip_with(transform(col("cv"), x => x / col("cv_n")),
+          col("ucent"), (x, ce) => x - ce).as("rv"))
+      .select(col("batch_id"),
+        books.indices.map(qerrTerm).reduceLeft(_ + _).as("qerr"))
+    Similarity.exactMean(joined, Seq("batch_id"), "qerr", "mean_qerr")
   }
 
   /** ANN top-k for a query batch against the stored corpus —

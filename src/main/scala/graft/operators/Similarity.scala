@@ -655,7 +655,7 @@ object Similarity {
     * `aggregate(zip_with(…), 0.0, +)` folds left-to-right in double,
     * mirroring the oracle's `list_reduce` bit-for-bit (0.0 + d₀ ≡ d₀:
     * squared terms are never -0.0). */
-  private def l2sq(a: Column, b: Column): Column =
+  private[graft] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 

@@ -67,8 +67,26 @@ object IndexProbe {
         Similarity.ivfTopK(queries, ivfCorpus, "vec_id", "embedding", 5)
           .count()
       }
+      // the ADC serve path vs the flat store at the same scale: same
+      // probed cells, but the scan reads m ints per candidate instead
+      // of the d-double vector + norm (plus IVFADC-R's bounded exact
+      // fetch on top)
+      time("ivfpq_store_build") {
+        IvfIndex.build(ivfCorpus, "vec_id", "embedding", "graft_probe_adc",
+          pq = Some(IvfIndex.PqSpec())); 0L
+      }
+      for (i <- 1 to 2) time(s"ann_store_adc_$i") {
+        IvfIndex.topKAdc(queries, "vec_id", "embedding", "graft_probe_adc",
+          k = 5).count()
+      }
+      for (i <- 1 to 2) time(s"ann_store_adc_rerank50_$i") {
+        IvfIndex.topKAdc(queries, "vec_id", "embedding", "graft_probe_adc",
+          k = 5, rerank = 50).count()
+      }
     } finally Seq("graft_probe_idx", "graft_probe_sh", "graft_probe_meta",
-      "graft_probe_ivf_cells", "graft_probe_ivf_cent")
+      "graft_probe_ivf_cells", "graft_probe_ivf_cent",
+      "graft_probe_adc_cells", "graft_probe_adc_cent",
+      "graft_probe_adc_books")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }

