@@ -139,16 +139,13 @@ object AviContainer extends Multimodal.VideoContainer {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", bos)
     val j = bos.toByteArray
-    val (sawDht, sos) = scanToSos(j)
-    require(sawDht, "JVM JPEG encoder emitted no DHT segments")
     val out = new java.io.ByteArrayOutputStream()
-    var off = 2
-    while (off < sos) {
-      val m = j(off + 1) & 0xff
-      val len = ((j(off + 2) & 0xff) << 8) | (j(off + 3) & 0xff)
-      if (m == 0xc4) out.write(j, off, 2 + len)
-      off += 2 + len
-    }
+    // harvest via the SAME marker walk scanToSos validates with — a
+    // naive 2+len stride would desync on fill bytes or standalone
+    // markers that the walk tolerates
+    val (sawDht, _) = scanToSos(j, (m, off, len) =>
+      if (m == 0xc4) out.write(j, off, 2 + len))
+    require(sawDht, "JVM JPEG encoder emitted no DHT segments")
     out.toByteArray
   }
 
@@ -156,8 +153,12 @@ object AviContainer extends Multimodal.VideoContainer {
     * (a DHT segment was seen, byte offset of the SOS marker). Fails
     * loudly on a payload that is not a JPEG or has no scan — the
     * caller's media id is attached upstream, matching the codec
-    * family's contract. */
-  private def scanToSos(j: Array[Byte]): (Boolean, Int) = {
+    * family's contract. `onSegment(marker, off, len)` fires for every
+    * length-carrying segment, so consumers (the DHT harvest) reuse
+    * THIS walk instead of re-deriving the marker grammar. */
+  private def scanToSos(j: Array[Byte],
+      onSegment: (Int, Int, Int) => Unit = (_, _, _) => ())
+      : (Boolean, Int) = {
     require(j.length >= 4 && (j(0) & 0xff) == 0xff && (j(1) & 0xff) == 0xd8,
       "MJPEG frame chunk is not a JPEG (missing SOI marker)")
     var off = 2
@@ -178,6 +179,7 @@ object AviContainer extends Multimodal.VideoContainer {
           require(len >= 2 && off + 2 + len <= j.length,
             s"truncated JPEG segment (marker ${m.toHexString} at $off)")
           if (m == 0xc4) sawDht = true
+          onSegment(m, off, len)
           off += 2 + len
       }
     }

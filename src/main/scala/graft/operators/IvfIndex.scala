@@ -432,6 +432,9 @@ object IvfIndex {
     val centroids = spark.table(s"${name}_cent")
     val books = loadBooks(spark, name)
     val q = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv")
+    // persisted (probes0 here, the rerank shortlist below): feeds both
+    // a driver collect and a join — same caller-clears-cache convention
+    // as [[topK]] and the pair operators
     val probes0 = Similarity.assignCells(q, "query_id", "qv", centroids,
       nProbe).persist()
     val probes = probes0

@@ -644,10 +644,17 @@ object Similarity {
     val slices = vecs.select((0 until m).map(j =>
       array_to_vector(slice(col(vecCol), j * ds + 1, ds))
         .as(s"_s$j")): _*).persist()
-    try Array.tabulate(m) { j =>
-      new KMeans().setK(nCodes).setSeed(seed + j).setMaxIter(maxIter)
-        .setFeaturesCol(s"_s$j").fit(slices)
-        .clusterCenters.map(_.toArray)
+    try {
+      // k must not exceed the training row count (spark.ml k-means
+      // rejects k > n) — a tiny corpus just gets a tiny codebook, the
+      // same degradation the hash-sample rule has by construction
+      val k = math.min(nCodes.toLong, slices.count()).toInt
+      require(k > 0, "pqKmeansCodebooks: no training vectors")
+      Array.tabulate(m) { j =>
+        new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+          .setFeaturesCol(s"_s$j").fit(slices)
+          .clusterCenters.map(_.toArray)
+      }
     } finally slices.unpersist(blocking = false)
   }
 
@@ -841,11 +848,17 @@ object Similarity {
     // unit centroids: residual arithmetic runs in the normalized space
     val ucent = centroids.select(col("list_id"),
       transform(col("centroid"), x => x / col("centroid_n")).as("ucent"))
+    // persisted: the codebook sample/fit below materializes the full
+    // corpus-side assignment (broadcast join + per-row argmax window),
+    // and the scoring query consumes the same frame — without the
+    // persist that window runs twice per call (caller-clears-cache
+    // convention, as with the pair operators)
     val resid = assignCells(c, "neighbor_id", "cv", centroids, 1)
       .join(broadcast(ucent), Seq("list_id"))
       .select(col("list_id"), col("neighbor_id"),
         zip_with(transform(col("cv"), x => x / col("cv_n")), col("ucent"),
           (x, ce) => x - ce).as("rv"))
+      .persist()
     val books = residualCodebooks(resid, m, nCodes, learnedBooks)
     val enc = resid.select(col("list_id"), col("neighbor_id"),
       pqCodesFor(col("rv"), books).as("codes"))

@@ -1660,6 +1660,34 @@ object Pipeline {
     * point), and the dedup stage is p30's capped incremental pairs
     * through the persisted index (row-equality pinned by
     * DedupIndexSpec). */
+  /** The shared memoized-build protocol behind the steady-state index
+    * queries (p41/p44/p48): a one-time index build keyed by a content
+    * fingerprint `(n, ids)` — a different SF dir, changed data, or any
+    * missing table rebuilds; a matching one reuses. Results are
+    * identical either way (the index specs pin build/append
+    * row-equality), so correctness never depends on which path ran; in
+    * Bench, run 1 pays the cold build and best-of-two reports the
+    * steady state. head(1), not head(): a torn write (dropTable ran,
+    * the insert didn't) leaves the fp table EXISTING but EMPTY — that
+    * must read as "stale, rebuild", not throw. */
+  private def memoizedBuild(spark: SparkSession, fpTable: String,
+      fp: org.apache.spark.sql.Row, requiredTables: Seq[String])(
+      build: => Unit): Unit = {
+    import spark.implicits._
+    val fpOk = (fpTable +: requiredTables)
+      .forall(spark.catalog.tableExists) && {
+        val rs = spark.table(fpTable).head(1)
+        rs.nonEmpty && rs(0).getLong(0) == fp.getLong(0) &&
+          rs(0).getLong(1) == fp.getLong(1)
+      }
+    if (!fpOk) {
+      build
+      graft.operators.ShingleIndex.dropTable(spark, fpTable)
+      Seq((fp.getLong(0), fp.getLong(1))).toDF("n", "ids")
+        .write.saveAsTable(fpTable)
+    }
+  }
+
   private def p41(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.df(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
@@ -1691,21 +1719,9 @@ object Pipeline {
     val fp = corpus.agg(count(lit(1)).cast("long").as("n"),
       sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
         md5(coalesce(col("text"), lit("")))))).cast("long").as("ids")).head()
-    // head(1), not head(): a torn write (dropTable ran, the insert
-    // didn't) leaves graft_p41_fp EXISTING but EMPTY — that must read
-    // as "stale, rebuild", not throw NoSuchElementException
-    val fpOk = spark.catalog.tableExists("graft_p41_fp") &&
-      spark.catalog.tableExists("graft_p41_meta") && {
-        val rs = spark.table("graft_p41_fp").head(1)
-        rs.nonEmpty && rs(0).getLong(0) == fp.getLong(0) &&
-          rs(0).getLong(1) == fp.getLong(1)
-      }
-    if (!fpOk) {
+    memoizedBuild(spark, "graft_p41_fp", fp, Seq("graft_p41_meta")) {
       graft.operators.ShingleIndex.build(corpus, "doc_id", "text",
         "graft_p41", buckets = 32, parts = 16)
-      graft.operators.ShingleIndex.dropTable(spark, "graft_p41_fp")
-      Seq((fp.getLong(0), fp.getLong(1))).toDF("n", "ids")
-        .write.saveAsTable("graft_p41_fp")
     }
     val sketch = graft.operators.Decontaminate.gramSketch(
       graft.operators.Decontaminate
@@ -1949,19 +1965,10 @@ object Pipeline {
     val fp = store.agg(count(lit(1)).cast("long").as("n"),
       sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
         col("embedding").cast("string")))).cast("long").as("ids")).head()
-    val fpOk = spark.catalog.tableExists("graft_p44_fp") &&
-      spark.catalog.tableExists("graft_p44_cells") &&
-      spark.catalog.tableExists("graft_p44_cent") && {
-        val rs = spark.table("graft_p44_fp").head(1)
-        rs.nonEmpty && rs(0).getLong(0) == fp.getLong(0) &&
-          rs(0).getLong(1) == fp.getLong(1)
-      }
-    if (!fpOk) {
+    memoizedBuild(spark, "graft_p44_fp", fp,
+        Seq("graft_p44_cells", "graft_p44_cent")) {
       graft.operators.IvfIndex.build(store, "vec_id", "embedding",
         "graft_p44", nCells = IvfCells)
-      graft.operators.ShingleIndex.dropTable(spark, "graft_p44_fp")
-      Seq((fp.getLong(0), fp.getLong(1))).toDF("n", "ids")
-        .write.saveAsTable("graft_p44_fp")
     }
     val dups = graft.operators.IvfIndex.incrementalNearDups(
       batch, "vec_id", "embedding", "graft_p44", NearDupCos, IvfProbe)
@@ -2268,21 +2275,11 @@ object Pipeline {
     val fp = v.agg(count(lit(1)).cast("long").as("n"),
       sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
         col("embedding").cast("string")))).cast("long").as("ids")).head()
-    val fpOk = spark.catalog.tableExists("graft_p48_fp") &&
-      spark.catalog.tableExists("graft_p48_cells") &&
-      spark.catalog.tableExists("graft_p48_cent") &&
-      spark.catalog.tableExists("graft_p48_books") && {
-        val rs = spark.table("graft_p48_fp").head(1)
-        rs.nonEmpty && rs(0).getLong(0) == fp.getLong(0) &&
-          rs(0).getLong(1) == fp.getLong(1)
-      }
-    if (!fpOk) {
+    memoizedBuild(spark, "graft_p48_fp", fp,
+        Seq("graft_p48_cells", "graft_p48_cent", "graft_p48_books")) {
       graft.operators.IvfIndex.build(v, "vec_id", "embedding", "graft_p48",
         nCells = IvfCells,
         pq = Some(graft.operators.IvfIndex.PqSpec(PqM, PqCodes)))
-      graft.operators.ShingleIndex.dropTable(spark, "graft_p48_fp")
-      Seq((fp.getLong(0), fp.getLong(1))).toDF("n", "ids")
-        .write.saveAsTable("graft_p48_fp")
     }
     graft.operators.IvfIndex.topKAdc(v.filter(col("vec_id") % 50 === 0),
         "vec_id", "embedding", "graft_p48", TopK, IvfProbe)
