@@ -778,7 +778,8 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       m: Int = 8, nCodes: Int = 32,
-      learnedBooks: Boolean = false): DataFrame = {
+      learnedBooks: Boolean = false,
+      rerank: Int = 0): DataFrame = {
     val books =
       if (learnedBooks)
         pqKmeansCodebooks(
@@ -795,11 +796,34 @@ object Similarity {
     val adc = adcScore(col("qn"), col("codes"), books)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("neighbor_id"))
-    enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val adcRanked = enc
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    if (rerank <= 0)
+      adcRanked.filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    else {
+      // ADC-R without IVF: the full-corpus code scan is the shortlist,
+      // exact cosine touches raw vectors for |Q|·R pairs only — the
+      // pure-memory serving recipe when no cell structure exists
+      // (uniform corpora, where the ADC ordering is good enough to
+      // keep true neighbors inside a modest top-R)
+      val short = adcRanked.filter(col("rank") <= math.max(rerank, k))
+        .select(col("query_id"), col("neighbor_id"))
+      val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
+      val qv = withNorm(queries, idCol, vecCol, "query_id", "qv")
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(short), Seq("neighbor_id"))
+        .join(broadcast(qv), Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")))
+            .as("cos"))
+        .withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+    }
   }
 
   /** IVF-PQ with residual encoding (IVFADC — Jégou/Douze/Schmid, TPAMI

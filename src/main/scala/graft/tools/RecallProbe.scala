@@ -95,6 +95,9 @@ object RecallProbe {
     // path the oracle can't replay; what sampled codebooks cost
     recall("pq_m8_codes32_kmbooks")(Similarity.pqTopK(
       queries, embs, "vec_id", "embedding", k, learnedBooks = true))
+    for (r <- Seq(50, 100))
+      recall(s"pq_m8_codes32_rerank$r")(Similarity.pqTopK(
+        queries, embs, "vec_id", "embedding", k, rerank = r))
     // IVF-PQ residual encoding: codes quantize within-cell offsets, not
     // absolute positions — the clustered-regime rescue for PQ, IF the
     // codebooks resolve the residual ball (sampled vs learned is the

@@ -331,6 +331,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 32)))
     assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"),
       "pqEncode must not shuffle")
+    // ADC-R degeneracy without IVF: exact re-rank over the whole
+    // corpus shortlist IS brute force, whatever the codes said
+    val reranked = Similarity.pqTopK(queries, embs, "vec_id", "embedding", 5,
+        rerank = n)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(reranked == exact)
   }
 
   test("IVF-PQ: full probe + full codebook degenerates to exact; deterministic; clustered rescue over plain PQ") {
