@@ -90,15 +90,23 @@ object IvfIndex {
     // persisted cells agree with whatever the table holds, bit-for-bit
     val assigned = Similarity.assignCells(c, "neighbor_id", "cv",
       spark.table(s"${name}_cent"), probe = 1)
+    var pinnedResid: Option[DataFrame] = None
     val cellRows = pq match {
       case None => assigned
       case Some(spec) =>
+        // persisted: the codebook sample/fit below and the cells write
+        // both consume the full-corpus assignment (broadcast join +
+        // per-row argmax window) — without this the window runs twice
+        // per build (c only caches the norms). Unpersisted below, once
+        // the cells write has materialized everything.
         val resid = assigned
           .join(broadcast(unitCentroids(spark, name)), Seq("list_id"))
           .select(col("list_id"), col("neighbor_id"), col("cv"),
             col("cv_n"),
             zip_with(transform(col("cv"), x => x / col("cv_n")),
               col("ucent"), (x, ce) => x - ce).as("rv"))
+          .persist()
+        pinnedResid = Some(resid)
         val books = Similarity.residualCodebooks(resid, spec.m,
           spec.nCodes, spec.learned)
         booksToRows(spark, books)
@@ -116,6 +124,9 @@ object IvfIndex {
       .write.partitionBy("batch_id").bucketBy(buckets, "list_id")
       .sortBy("list_id", "neighbor_id")
       .mode("overwrite").saveAsTable(s"${name}_cells")
+    // build is self-contained: every action above has run, so the
+    // intermediates release here (no caller-clears contract needed)
+    pinnedResid.foreach(_.unpersist(blocking = false))
     c.unpersist(blocking = false)
   }
 
@@ -366,6 +377,7 @@ object IvfIndex {
     * @return (query_id, rank, neighbor_id) — identical to ivfTopK */
   def topK(queries: DataFrame, idCol: String, vecCol: String, name: String,
       k: Int, nProbe: Int = 3): DataFrame = {
+    require(nProbe >= 1, s"topK: nProbe must be >= 1, got $nProbe")
     val spark = queries.sparkSession
     val centroids = spark.table(s"${name}_cent")
     val q = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv")
@@ -425,6 +437,7 @@ object IvfIndex {
     * @return (query_id, rank, neighbor_id) — identical to [[topK]] */
   def topKAdc(queries: DataFrame, idCol: String, vecCol: String,
       name: String, k: Int, nProbe: Int = 3, rerank: Int = 0): DataFrame = {
+    require(nProbe >= 1, s"topKAdc: nProbe must be >= 1, got $nProbe")
     val spark = queries.sparkSession
     require(spark.catalog.tableExists(s"${name}_books"),
       s"topKAdc: $name was not built with pq=Some(PqSpec(...)) — " +
@@ -475,16 +488,7 @@ object IvfIndex {
         vecs.filter(col("list_id").isin(probed: _*)) else vecs)
         .filter(col("neighbor_id").isin(ids: _*))
         .select(col("neighbor_id"), col("cv"), col("cv_n"))
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      vecsPruned.join(broadcast(short), Seq("neighbor_id"))
-        .join(broadcast(q), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (Similarity.dot(col("qv"), col("cv"))
-            / (col("qv_n") * col("cv_n"))).as("cos"))
-        .withColumn("rank", row_number().over(wx))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      Similarity.rerankExact(short, vecsPruned, q, k)
     }
   }
 }

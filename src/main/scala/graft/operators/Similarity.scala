@@ -166,6 +166,11 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nCells: Int = 64, nProbe: Int = 3,
       centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    // zero cells/probes would silently return an empty result — a
+    // miscomputed nCells ~ sqrt(n) from bad stats must fail, not read
+    // as "no neighbors"
+    require(nCells >= 1 && nProbe >= 1,
+      s"ivfTopK: nCells ($nCells) and nProbe ($nProbe) must be >= 1")
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
       .repartition(par(corpus), col("neighbor_id"))
     val centroids = centroidsOverride.getOrElse(
@@ -597,21 +602,34 @@ object Similarity {
   private[graft] def pqCodebooks(corpus: DataFrame, idCol: String,
       vecCol: String, m: Int, nCodes: Int): Array[Array[Array[Double]]] = {
     val c = withNorm(corpus, idCol, vecCol, "cid", "cv")
-    // Sort+limit plans as TakeOrderedAndProject: collect() returns rows
-    // in (hash, id) order, which IS the code-id order the oracle's
-    // ROW_NUMBER replays
-    val sample = c
-      .select(transform(col("cv"), x => x / col("cv_n")).as("nv"),
-        graft.functions.TextFns.hash32(col("cid").cast("string")).as("_h"),
-        col("cid"))
-      .orderBy(col("_h"), col("cid"))
+    hashSampledBooks(
+      c.select(col("cid"),
+        transform(col("cv"), x => x / col("cv_n")).as("nv")),
+      "cid", "nv", m, nCodes, "pqCodebooks")
+  }
+
+  /** THE oracle-replayable codebook sample — shared by [[pqCodebooks]]
+    * (normalized vectors) and [[residualCodebooks]] (cell residuals)
+    * so the `ORDER BY (hash32(id), id) LIMIT n` rule, the d % m check,
+    * and the code-id order the oracles' ROW_NUMBER replays live in
+    * exactly one place. Sort+limit plans as TakeOrderedAndProject:
+    * collect() returns rows in (hash, id) order, which IS the code-id
+    * order. */
+  private def hashSampledBooks(df: DataFrame, idName: String,
+      vecName: String, m: Int, nCodes: Int,
+      what: String): Array[Array[Array[Double]]] = {
+    val sample = df
+      .select(col(vecName),
+        graft.functions.TextFns.hash32(col(idName).cast("string")).as("_h"),
+        col(idName))
+      .orderBy(col("_h"), col(idName))
       .limit(nCodes)
-      .select(col("nv"))
+      .select(col(vecName))
       .collect()
       .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "pqCodebooks: corpus has no non-zero vectors")
+    require(sample.nonEmpty, s"$what: corpus has no non-zero vectors")
     val d = sample.head.length
-    require(d % m == 0, s"pqCodebooks: dim $d not divisible by m=$m")
+    require(d % m == 0, s"$what: dim $d not divisible by m=$m")
     val ds = d / m
     Array.tabulate(m)(j => sample.map(v =>
       java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds)))
@@ -638,7 +656,12 @@ object Similarity {
       maxIter: Int = 5): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val d = vecs.select(size(col(vecCol))).head().getInt(0)
+    // head(1), not head(): an empty training frame (e.g. every vector
+    // zero-norm) must read as the function's own message, not an
+    // opaque NoSuchElementException
+    val first = vecs.select(size(col(vecCol))).head(1)
+    require(first.nonEmpty, "pqKmeansCodebooks: no training vectors")
+    val d = first(0).getInt(0)
     require(d % m == 0, s"pqKmeansCodebooks: dim $d not divisible by m=$m")
     val ds = d / m
     val slices = vecs.select((0 until m).map(j =>
@@ -719,26 +742,8 @@ object Similarity {
   private[graft] def residualCodebooks(resid: DataFrame, m: Int,
       nCodes: Int, learned: Boolean): Array[Array[Array[Double]]] =
     if (learned) pqKmeansCodebooks(resid.select(col("rv")), "rv", m, nCodes)
-    else {
-      val sample = resid
-        .select(col("rv"),
-          graft.functions.TextFns.hash32(col("neighbor_id").cast("string"))
-            .as("_h"),
-          col("neighbor_id"))
-        .orderBy(col("_h"), col("neighbor_id"))
-        .limit(nCodes)
-        .select(col("rv"))
-        .collect()
-        .map(_.getSeq[Double](0).toArray)
-      require(sample.nonEmpty,
-        "residualCodebooks: corpus has no non-zero vectors")
-      val d = sample.head.length
-      require(d % m == 0,
-        s"residualCodebooks: dim $d not divisible by m=$m")
-      val ds = d / m
-      Array.tabulate(m)(j => sample.map(v =>
-        java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds)))
-    }
+    else hashSampledBooks(resid.select(col("neighbor_id"), col("rv")),
+      "neighbor_id", "rv", m, nCodes, "residualCodebooks")
 
   /** ANN top-k by asymmetric distance computation over a PQ-encoded
     * corpus: score(q, x) ≈ cos(q, x) = Σⱼ ⟨q̂ⱼ, codebookⱼ[xⱼ]⟩ — the
@@ -759,6 +764,28 @@ object Similarity {
     *
     * @return (query_id, rank, neighbor_id) — identical contract to
     *         [[bruteForceTopK]]/[[ivfTopK]] */
+  /** Exact-cosine re-rank of a shortlist — THE shared IVFADC-R tail
+    * ([[pqTopK]], [[ivfPqTopK]], [[IvfIndex.topKAdc]] all route here,
+    * so the cos-desc/neighbor_id tie-break the oracle gates depend on
+    * lives in one place). Raw vectors are touched for the |short|
+    * pairs only; both small sides broadcast.
+    *
+    * @param short   (query_id, neighbor_id) pairs to score
+    * @param corpus  (neighbor_id, cv, cv_n) — [[withNorm]] shape
+    * @param queries (query_id, qv, qv_n) — [[withNorm]] shape */
+  private[graft] def rerankExact(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val wx = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n"))).as("cos"))
+      .withColumn("rank", row_number().over(wx))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Asymmetric-distance term Σⱼ ⟨qnⱼ, bookⱼ[codesⱼ]⟩ — per-subspace
     * dot products summed left-to-right in subspace order (reduceLeft ≡
     * the oracle's `list_reduce(list(t ORDER BY j))`). Shared by
@@ -780,6 +807,8 @@ object Similarity {
       m: Int = 8, nCodes: Int = 32,
       learnedBooks: Boolean = false,
       rerank: Int = 0): DataFrame = {
+    require(m >= 1 && nCodes >= 1,
+      s"pqTopK: m ($m) and nCodes ($nCodes) must be >= 1")
     val books =
       if (learnedBooks)
         pqKmeansCodebooks(
@@ -811,18 +840,8 @@ object Similarity {
       // keep true neighbors inside a modest top-R)
       val short = adcRanked.filter(col("rank") <= math.max(rerank, k))
         .select(col("query_id"), col("neighbor_id"))
-      val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
-      val qv = withNorm(queries, idCol, vecCol, "query_id", "qv")
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      c.join(broadcast(short), Seq("neighbor_id"))
-        .join(broadcast(qv), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")))
-            .as("cos"))
-        .withColumn("rank", row_number().over(wx))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      rerankExact(short, withNorm(corpus, idCol, vecCol, "neighbor_id", "cv"),
+        withNorm(queries, idCol, vecCol, "query_id", "qv"), k)
     }
   }
 
@@ -865,6 +884,9 @@ object Similarity {
       centroidsOverride: Option[DataFrame] = None,
       learnedBooks: Boolean = false,
       rerank: Int = 0): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && m >= 1 && nCodes >= 1,
+      s"ivfPqTopK: nCells ($nCells), nProbe ($nProbe), m ($m) and " +
+        s"nCodes ($nCodes) must all be >= 1")
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
       .repartition(par(corpus), col("neighbor_id"))
     val centroids = centroidsOverride.getOrElse(
@@ -916,17 +938,8 @@ object Similarity {
       // rescue in the clustered regime — SCALE.md)
       val short = adcRanked.filter(col("rank") <= math.max(rerank, k))
         .select(col("query_id"), col("neighbor_id"))
-      val qv = withNorm(queries, idCol, vecCol, "query_id", "qv")
-      val wx = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      c.join(broadcast(short), Seq("neighbor_id"))
-        .join(broadcast(qv), Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")))
-            .as("cos"))
-        .withColumn("rank", row_number().over(wx))
-        .filter(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
+      rerankExact(short, c,
+        withNorm(queries, idCol, vecCol, "query_id", "qv"), k)
     }
   }
 

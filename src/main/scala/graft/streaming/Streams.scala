@@ -135,6 +135,15 @@ object Streams {
   def sessionize(events: Dataset[Event], gapMs: Long,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[Session] = {
+    // the state function only ARMS ProcessingTimeTimeout; accepting
+    // EventTimeTimeout here would silently never time out (no
+    // setTimeoutTimestamp call) and withhold every final open session
+    // forever — fail loudly instead of losing data
+    require(timeout == GroupStateTimeout.ProcessingTimeTimeout
+        || timeout == GroupStateTimeout.NoTimeout,
+      "sessionize supports ProcessingTimeTimeout (production) or " +
+        "NoTimeout (deterministic batch tests); EventTimeTimeout is " +
+        "not armed by the state function")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -231,6 +240,10 @@ object Streams {
   def semanticGate(rows: DataFrame,
       model: graft.operators.Similarity.SemanticGateModel,
       vecCol: String, threshold: Double, nProbe: Int = 3): DataFrame = {
+    // nProbe <= 0 would slice an empty probe list and mark EVERY row
+    // clean — a config typo must not silently disable a
+    // decontamination gate
+    require(nProbe >= 1, s"semanticGate: nProbe must be >= 1, got $nProbe")
     import graft.operators.Similarity.dot
     val centLit = typedLit(model.centroids)
     val cellsLit = typedLit(model.cells)
@@ -321,7 +334,17 @@ object Streams {
             .select(col("doc_id"), col("text")),
           "doc_id", "text", cfg.indexName, batchId)
         Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
-      } finally fates.unpersist(blocking = false)
+      } finally {
+        // the callees (Ingest.triage → ShingleIndex.incrementalPairs)
+        // persist shared subtrees under the caller-clears-cache
+        // convention, and THIS loop is the caller: a foreachBatch
+        // stream never returns to a clearing scope, so without this
+        // the pinned frames accumulate one set per micro-batch for
+        // the stream's lifetime (executor storage, then disk). The
+        // loop owns its session's cache between batches — run the
+        // stream in a dedicated SparkSession if you cache elsewhere.
+        spark.catalog.clearCache()
+      }
     }
   }
 
@@ -427,7 +450,14 @@ object Streams {
             .select(col("vec_id"), col("vec")),
           "vec_id", "vec", cfg.indexName, batchId)
         Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
-      } finally fates.unpersist(blocking = false)
+      } finally {
+        // same cache-ownership rule as [[ingestBatch]]: the callee
+        // (IvfIndex.incrementalNearDups) persists its batch frames
+        // under the caller-clears-cache convention, and this loop is
+        // the caller that never returns to a clearing scope — clear
+        // per batch or leak one pinned set per micro-batch forever
+        spark.catalog.clearCache()
+      }
     }
   }
 

@@ -503,10 +503,17 @@ class StreamsSpec extends AnyFunSuite {
         "vec_id", "embedding", "graft_vpq", batchId = 1L)
       val tornTotal = spark.table("graft_vpq_cells").count()
       // replay converges, and every stored row (base + streamed +
-      // replayed) carries frozen-book codes
+      // replayed) carries frozen-book codes. The batch body must also
+      // leave NO newly pinned frames behind — a foreachBatch loop that
+      // leaks one cached set per micro-batch fills executor storage
+      // over a stream's lifetime (the callees persist under the
+      // caller-clears-cache convention; the loop is the caller)
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
       Streams.vectorIngestBatch(
         Seq((20L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding"),
         1L, "vec_id", "embedding", cfg, noop)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- pinnedBefore)
+        .isEmpty, "the batch loop must not leak pinned frames")
       val cells = spark.table("graft_vpq_cells")
       assert(cells.count() == tornTotal)
       assert(cells.filter(col("neighbor_id") === 20L).count() == 1)
