@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite, KMin, KmvSketch}
+import graft.expressions.{DotProduct, DotProductRewrite, DotRange, KMin, KmvSketch, L2Range}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -23,6 +23,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot_range"),
+      new ExpressionInfo(classOf[DotRange].getName, "graft_dot_range"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "graft_dot_range takes (a, b, aOff, bOff, len)")
+        DotRange(children(0), children(1), children(2), children(3),
+          children(4))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_l2_range"),
+      new ExpressionInfo(classOf[L2Range].getName, "graft_l2_range"),
+      (children: Seq[Expression]) => {
+        require(children.length == 5,
+          "graft_l2_range takes (a, b, aOff, bOff, len)")
+        L2Range(children(0), children(1), children(2), children(3),
+          children(4))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),

@@ -355,9 +355,9 @@ object IvfIndex {
     val books = loadBooks(spark, name)
     val ds = books(0)(0).length
     def qerrTerm(j: Int): Column = {
-      val lut = typedlit(books(j).map(_.toSeq).toSeq)
-      Similarity.l2sq(slice(col("rv"), j * ds + 1, ds),
-        element_at(lut, col("codes").getItem(j) + 1))
+      val flat = typedlit(books(j).flatten.toSeq)
+      call_function("graft_l2_range", col("rv"), flat,
+        lit(j * ds), col("codes").getItem(j) * lit(ds), lit(ds))
     }
     val joined = spark.table(s"${name}_cells")
       .join(broadcast(unitCentroids(spark, name)), Seq("list_id"))

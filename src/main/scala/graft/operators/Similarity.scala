@@ -716,10 +716,17 @@ object Similarity {
   private[graft] def pqCodesFor(v: Column,
       books: Array[Array[Array[Double]]]): Column = {
     val ds = books(0)(0).length
+    // one flat plan-literal array per subspace, distances via the
+    // native range kernel (graft.expressions.L2Range): no subarray is
+    // ever materialized — the old slice-per-code form allocated
+    // m·nCodes copies per row and was the encode hotspot. Same values
+    // in the same code order (identical IEEE fold), so the oracles and
+    // array_position's first-match tie-break are untouched.
     def codeFor(j: Int): Column = {
-      val sub = slice(v, j * ds + 1, ds)
-      val dists = transform(typedlit(books(j).map(_.toSeq).toSeq),
-        code => l2sq(sub, code))
+      val flat = typedlit(books(j).flatten.toSeq)
+      val dists = transform(sequence(lit(0), lit(books(j).length - 1)),
+        codeIdx => call_function("graft_l2_range", v.cast("array<double>"),
+          flat, lit(j * ds), codeIdx * lit(ds), lit(ds)))
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
     array(books.indices.map(codeFor): _*)
@@ -790,13 +797,21 @@ object Similarity {
     * dot products summed left-to-right in subspace order (reduceLeft ≡
     * the oracle's `list_reduce(list(t ORDER BY j))`). Shared by
     * [[pqTopK]] (codes quantize the normalized vector) and
-    * [[ivfPqTopK]] (codes quantize the cell residual). */
+    * [[ivfPqTopK]] (codes quantize the cell residual).
+    *
+    * Each subspace's codebook flattens to ONE plan-literal array and
+    * the term is a native range dot ([[graft.expressions.DotRange]]):
+    * `graft_dot_range(qn, flatⱼ, j·ds, codeⱼ·ds, ds)` — zero per-term
+    * allocation, fully inside whole-stage codegen. Bit-identical to
+    * the sliced form (same products, same index order, same 0.0 init),
+    * so the p45/p47/p48 oracles are untouched. */
   private[graft] def adcScore(qn: Column, codes: Column,
       books: Array[Array[Array[Double]]]): Column = {
     val ds = books(0)(0).length
     def term(j: Int): Column = {
-      val lut = typedlit(books(j).map(_.toSeq).toSeq)
-      dot(slice(qn, j * ds + 1, ds), element_at(lut, codes.getItem(j) + 1))
+      val flat = typedlit(books(j).flatten.toSeq)
+      call_function("graft_dot_range", qn.cast("array<double>"), flat,
+        lit(j * ds), codes.getItem(j) * lit(ds), lit(ds))
     }
     books.indices.map(term).reduceLeft(_ + _)
   }

@@ -114,6 +114,41 @@ class PlanSpec extends AnyFunSuite {
     assert(fin.contains("*("), "no WholeStageCodegen stage in final plan")
   }
 
+  test("range kernels == sliced HOF forms bit-for-bit; NULL on out-of-range; codegen'd") {
+    import graft.operators.Similarity
+    val e = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // a deterministic flat "codebook": 8 codes × 8 dims
+    val flat = typedlit((0 until 64).map(i => i * 0.25 - 3.0))
+    val ranged = e.select(col("vec_id"),
+      call_function("graft_dot_range", col("v"), flat,
+        lit(16), lit(40), lit(8)).as("d"),
+      call_function("graft_l2_range", col("v"), flat,
+        lit(16), lit(40), lit(8)).as("l"))
+    // the forms the kernels replaced: slice + element HOF folds — the
+    // swap must be IEEE-invisible (same products, same order, 0.0 init)
+    val sliced = e.select(col("vec_id"),
+      Similarity.dot(slice(col("v"), 17, 8), slice(flat, 41, 8)).as("d"),
+      aggregate(zip_with(slice(col("v"), 17, 8), slice(flat, 41, 8),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("l"))
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(r =>
+        (java.lang.Double.doubleToLongBits(r.getDouble(1)),
+          java.lang.Double.doubleToLongBits(r.getDouble(2))))
+    assert(bits(ranged).sameElements(bits(sliced)))
+    // out-of-range / negative offsets are NULL (the slice/element_at
+    // composition's behavior), never an ANSI error
+    val edge = e.limit(1).select(
+      call_function("graft_dot_range", col("v"), flat,
+        lit(60), lit(0), lit(8)).as("a"),
+      call_function("graft_l2_range", col("v"), flat,
+        lit(0), lit(-1), lit(8)).as("b")).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    // the scoring projection stays inside whole-stage codegen
+    val fin = ranged.queryExecution.executedPlan.toString
+    assert(fin.contains("*("), "no WholeStageCodegen stage")
+  }
+
   test("optimizer rule rewrites the HOF dot-product pattern to graft_dot") {
     import spark.implicits._
     // parquet-backed so ConvertToLocalRelation cannot pre-fold the plan
