@@ -530,6 +530,46 @@ object Corpus {
     *
     * @return (ngram, df, rnk) with rnk ≤ k, ties broken by ngram text.
     */
+  /** Deterministic global training-order shuffle ("epoch shuffle"):
+    * every row gets a contiguous 1-based position in the total order
+    * (hash32(seed|id), id) — the reshuffle a training run applies to a
+    * curated corpus before sequence packing, reproducible from the seed
+    * alone (new epoch = new seed, same operator).
+    *
+    * Scale shape: the naive `ROW_NUMBER() OVER (ORDER BY key)` collapses
+    * onto ONE partition — a non-starter past a few GB. Here the keyed
+    * rows range-partition on (key, id) (one shuffle whose payload is
+    * just the 12-byte key pair), sort within partitions, and take
+    * contiguous positions from zipWithIndex — Spark's two-job index (a
+    * per-partition count, then a pure map adding offsets): no second
+    * shuffle, no driver-side data, no single-partition stage. Range
+    * boundaries come from sampling, but boundaries only decide WHERE a
+    * row sits, not its neighbors: the concatenation of range-ordered,
+    * internally-sorted partitions is the same total (key, id) order for
+    * ANY boundary placement, so the positions are deterministic even
+    * though the sampler isn't part of the contract. This is the one
+    * operator family where an RDD hop is genuinely required — assigning
+    * contiguous global indices has no Catalyst form that avoids the
+    * single-partition window.
+    *
+    * @return (id, skey, pos): the shuffle key and the 1-based position.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, seed: Long): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val spark = docs.sparkSession
+    val keyed = docs.select(col(idCol),
+        TextFns.hash32(concat_ws("|", lit(seed), col(idCol).cast("string")))
+          .as("skey"))
+      .repartitionByRange(par(docs), col("skey"), col(idCol))
+      .sortWithinPartitions(col("skey"), col(idCol))
+    val schema = keyed.schema.add(StructField("pos", LongType, nullable = false))
+    val rows = keyed.rdd.zipWithIndex.map {
+      case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, minDf: Int = 2): DataFrame = {
     require(n > 0 && k > 0, s"need positive n/k, got n=$n k=$k")

@@ -538,4 +538,35 @@ object Dedup {
       .filter(col("cos") > threshold)
       .select(col("ida"), col("idb"))
   }
+
+  /** Near-dup survivorship: given cluster labels over the dup graph
+    * (e.g. [[graft.operators.Clusters.connectedComponents]] output —
+    * docs absent from `clusters` are singletons), pick ONE canonical
+    * keeper per family — max `rankCol`, min-id tie-break — and map
+    * every doc to it. This is the step that turns pairwise dedup into
+    * an actual corpus cut: downstream keeps `is_kept`, and the
+    * doc→kept_id map is what provenance/attribution joins against.
+    *
+    * Scale: one left join docs⟕clusters on the id key (the cluster
+    * frame is |dup docs| rows — far smaller than the corpus) and one
+    * window partitioned by cluster_id — families are near-dup sets,
+    * inherently small, so the window never sees a mega-partition.
+    *
+    * @return (doc_id, cluster_id, kept_id, is_kept) — one row per doc.
+    */
+  def canonicalKeep(docs: DataFrame, idCol: String, rankCol: String,
+      clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = docs.select(col(idCol).as("doc_id"),
+        col(rankCol).as("_rank_val"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("_rank_val").desc, col("doc_id"))
+    labeled
+      .withColumn("kept_id", first(col("doc_id")).over(w))
+      .select(col("doc_id"), col("cluster_id"), col("kept_id"),
+        (col("doc_id") === col("kept_id")).as("is_kept"))
+  }
 }

@@ -1009,6 +1009,80 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Sign bits of a double vector packed into ⌈dim/64⌉ longs: bit
+    * (i mod 64) of word ⌊i/64⌋ is set iff v[i] >= 0 (so -0.0 packs as
+    * 1 in both engines). Bits past the last dimension stay 0 on every
+    * vector, so they never contribute to an XOR popcount. Pure
+    * built-ins (sequence/aggregate/shiftleft) — stays inside
+    * whole-stage codegen. */
+  private[graft] def signPack(vec: Column): Column = {
+    val nWords = floor((size(vec) + lit(63)) / lit(64)).cast("int")
+    transform(sequence(lit(0), nWords - 1), w =>
+      aggregate(
+        sequence(w * 64, least(w * 64 + lit(63), size(vec) - 1)),
+        lit(0L),
+        (acc, i) => acc.bitwiseOR(
+          when(element_at(vec, i + 1) >= 0,
+            call_function("shiftleft", lit(1L), pmod(i, lit(64)).cast("int")))
+            .otherwise(lit(0L)))))
+  }
+
+  /** Hamming distance between two sign-packs: Σ bit_count(xor). */
+  private[graft] def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => call_function("bit_count", x.bitwiseXOR(y))),
+      lit(0), (acc, x) => acc + x)
+
+  /** 1-bit (binary) quantized ANN: sign-packed corpus, Hamming-distance
+    * shortlist, exact-cosine re-rank. The most aggressive tier of the
+    * quantization ladder (float32 → int8 → PQ → 1 bit): the corpus a
+    * Hamming scan touches is ONE long per 64 dims — 64× smaller than
+    * the float64 scan and 16× smaller than int8 — and the distance is
+    * a register-width XOR+popcount, so the candidate-generation pass is
+    * bandwidth-bound on 8-byte packs rather than 512-byte vectors.
+    * Exact vectors re-attach only for the `k·oversample` shortlisted
+    * candidates per query (the same re-rank shape as lshTopK).
+    *
+    * Determinism: shortlist ranks by (hamming asc, neighbor_id); re-rank
+    * by (cosine desc, neighbor_id); both engines replay the identical
+    * order, so even the approximation is exactly reproducible in SQL.
+    * Zero-norm vectors are excluded (withNorm; the oracle mirrors it).
+    *
+    * At 100 TB: packs are built in one narrow map over the corpus scan
+    * (in production they'd be a stored column); the Hamming join
+    * broadcasts the O(|Q|) query packs and streams the corpus; the
+    * re-rank joins the shortlist (|Q|·k·oversample rows) back to the
+    * corpus — broadcastable whenever the query set is. */
+  def binaryTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, oversample: Int = 4): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
+      .select(col("query_id"), col("qv"), col("qv_n"),
+        signPack(col("qv")).as("qb"))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
+    val packed = c.select(col("neighbor_id"), signPack(col("cv")).as("cb"))
+      .repartition(par(corpus), col("neighbor_id"))
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("neighbor_id"))
+    val short = packed
+      .join(broadcast(q.select(col("query_id"), col("qb"))),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hamming(col("qb"), col("cb")).as("ham"))
+      .withColumn("r", row_number().over(wHam))
+      .filter(col("r") <= k * oversample)
+      .select("query_id", "neighbor_id")
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qv_n"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n"))).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Symmetric per-vector int8 quantization audit: scale = 127/max|x_i|,
     * q_i = floor(x_i·scale + 0.5) (explicit floor arithmetic — Spark's
     * round() is HALF_UP, DuckDB's rounds half away from zero; floor

@@ -71,6 +71,10 @@ object Pipeline {
   // subvectors; encoded row = 8 small ints vs 64 floats ≈ 32× smaller)
   private val PqM = 8
   private val PqCodes = 32
+  // binary (1-bit) ANN: Hamming shortlist keeps oversample×k candidates
+  private val BinOversample = 4
+  // epoch-shuffle seed (a training run varies this per epoch)
+  private val ShuffleSeed = 42L
   // TF-IDF terms reported per doc; sequence-packing context window
   private val TfidfTopK = 3
   private val PackBudget = 256
@@ -2329,6 +2333,116 @@ object Pipeline {
        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
        |FROM r WHERE rnk <= $TopK""".stripMargin
 
+  /** Binary (1-bit sign) quantized ANN, oracle-gated: the corpus packs
+    * to one long per 64 dims (Similarity.signPack), the shortlist ranks
+    * by XOR-popcount Hamming distance (asc, id tie-break), and the
+    * exact-cosine re-rank runs only on the oversample×k shortlist. The
+    * oracle replays the Hamming count as a per-dimension sign-mismatch
+    * sum — identical by construction to bit_count(xor) over the packs —
+    * so the most aggressive tier of the quantization ladder
+    * (float→int8→PQ→1 bit) is exactly reproducible in SQL. */
+  private def p50(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+    Similarity.binaryTopK(v.filter(col("vec_id") % 50 === 0), v,
+        "vec_id", "embedding", TopK, oversample = BinOversample)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  private val p50Sql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE ${dotSql("embedding", "embedding")} > 0),
+       |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+       |h AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, len(q.embedding)),
+       |      i -> CASE WHEN (q.embedding[i]::DOUBLE >= 0)
+       |                  <> (c.embedding[i]::DOUBLE >= 0)
+       |           THEN 1 ELSE 0 END), (x, y) -> x + y) AS ham
+       |  FROM q JOIN v c ON q.vec_id != c.vec_id),
+       |shortl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ham, neighbor_id) AS r
+       |    FROM h)
+       |  WHERE r <= ${TopK * BinOversample}),
+       |sc AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${cosSql("vq.embedding", "vc.embedding")} AS cos
+       |  FROM shortl s
+       |  JOIN v vq ON vq.vec_id = s.query_id
+       |  JOIN v vc ON vc.vec_id = s.neighbor_id),
+       |res AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+       |FROM res WHERE rnk <= $TopK""".stripMargin
+
+  /** Deterministic epoch shuffle, oracle-gated: contiguous 1-based
+    * training positions in (hash32(seed|id), id) order via
+    * range-partition + within-partition sort + zipWithIndex — never a
+    * single-partition global window. The oracle IS the single-partition
+    * form (ROW_NUMBER over the total order), fine at oracle scale;
+    * matching it row-for-row proves the distributed index assignment
+    * equals the logical total order. */
+  private def p51(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.epochShuffle(
+      Tables.df(spark, dir, "documents"), "doc_id", ShuffleSeed)
+
+  private val p51Sql =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    ${hash32Sql(s"'$ShuffleSeed|' || CAST(doc_id AS VARCHAR)")} AS skey
+       |  FROM documents)
+       |SELECT doc_id, skey,
+       |  ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS pos
+       |FROM k""".stripMargin
+
+  /** Near-dup survivorship, oracle-gated: p13's connected components
+    * (same capped-pair graph) plus a canonical pick per family — max
+    * n_chars, min-id tie-break — mapping EVERY doc (singletons map to
+    * themselves) to the one copy a curated corpus keeps. The oracle
+    * replays the recursive closure and the window pick. */
+  private def p52(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val clusters = graft.operators.Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", ShingleN,
+        JaccardNum, JaccardDen, maxDocFreq = Some(JaccardMaxDf)))
+    Dedup.canonicalKeep(docs, "doc_id", "n_chars", clusters)
+  }
+
+  private val p52Sql =
+    s"""WITH RECURSIVE
+       |${cappedPairsCtes("documents", JaccardMaxDf)},
+       |und AS (SELECT ida AS u, idb AS v FROM pairs
+       |        UNION SELECT idb, ida FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+       |  WHERE r.u != e.v),
+       |cl AS (
+       |  SELECT n.u AS doc_id, least(n.u, MIN(r.v)) AS cluster_id
+       |  FROM (SELECT DISTINCT u FROM und) n
+       |  JOIN reach r ON r.u = n.u
+       |  GROUP BY n.u),
+       |al AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       |    d.n_chars
+       |  FROM documents d LEFT JOIN cl c USING (doc_id)),
+       |k AS (
+       |  SELECT cluster_id, doc_id AS kept_id FROM (
+       |    SELECT cluster_id, doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY cluster_id
+       |        ORDER BY n_chars DESC, doc_id) AS r
+       |    FROM al)
+       |  WHERE r = 1)
+       |SELECT a.doc_id, a.cluster_id, k.kept_id,
+       |  a.doc_id = k.kept_id AS is_kept
+       |FROM al a JOIN k USING (cluster_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -2382,5 +2496,8 @@ object Pipeline {
     QueryDef("p46_centroid_drift", p46, Some(p46Sql)),
     QueryDef("p47_ivfpq_ann", p47, Some(p47Sql)),
     QueryDef("p48_ivfpq_store", p48, Some(p47Sql)),
-    QueryDef("p49_int8_ann", p49, Some(p49Sql)))
+    QueryDef("p49_int8_ann", p49, Some(p49Sql)),
+    QueryDef("p50_binary_ann", p50, Some(p50Sql)),
+    QueryDef("p51_epoch_shuffle", p51, Some(p51Sql)),
+    QueryDef("p52_canonical_keep", p52, Some(p52Sql)))
 }

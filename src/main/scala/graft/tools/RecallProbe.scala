@@ -86,6 +86,12 @@ object RecallProbe {
     for ((m, nc) <- Seq((8, 32), (8, 64), (16, 32)))
       recall(s"pq_m${m}_codes$nc")(Similarity.pqTopK(
         queries, embs, "vec_id", "embedding", k, m = m, nCodes = nc))
+    // 1-bit tier (64× smaller candidate scan than float64): Hamming
+    // shortlist at oversample×k, exact re-rank — what the sign bits
+    // alone can keep in the shortlist
+    for (os <- Seq(4, 8, 16, 32, 64))
+      recall(s"binary_oversample$os")(Similarity.binaryTopK(
+        queries, embs, "vec_id", "embedding", k, oversample = os))
     // int8 tier (4× smaller rows): quantization error ≤ half a step per
     // dim (p33's audit bound), so recall should sit at/near 1.0 — this
     // measures that claim operationally

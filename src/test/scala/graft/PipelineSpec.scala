@@ -874,4 +874,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L)._1 == 127.0 / 1.0)
     assert(out(3L)._1 == 127.0 / 2.0)
   }
+
+  test("signPack: exact bit layout, multi-word vectors, hamming == sign mismatches") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, Seq(0.5, -1.0, 0.0)), // bits 0 and 2 (-0.0/0.0 pack as set)
+      (2L, Seq(-0.5, 2.0, -3.0))) // bit 1
+      .toDF("id", "v")
+    val packs = d.select(col("id"), Similarity.signPack(col("v")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packs(1L) == Seq(5L))
+    assert(packs(2L) == Seq(2L))
+    // 70 dims span two words; bits past the last dim stay zero
+    val wide = Seq(Tuple1((0 until 70).map(i => if (i % 3 == 0) 1.0 else -1.0)))
+      .toDF("v")
+    val w = wide.select(Similarity.signPack(col("v")).as("b"))
+      .head().getSeq[Long](0)
+    val exp0 = (0 until 64).filter(_ % 3 == 0).map(1L << _).reduce(_ | _)
+    val exp1 = (64 until 70).filter(_ % 3 == 0).map(i => 1L << (i - 64))
+      .reduce(_ | _)
+    assert(w == Seq(exp0, exp1))
+    // hamming over packs counts per-dimension sign mismatches: the two
+    // 3-dim vectors disagree on every dimension
+    val ham = d.filter(col("id") === 1L).select(Similarity.signPack(col("v")).as("a"))
+      .crossJoin(d.filter(col("id") === 2L).select(Similarity.signPack(col("v")).as("b")))
+      .select(Similarity.hamming(col("a"), col("b"))).head().getInt(0)
+    assert(ham == 3)
+  }
+
+  test("binary ANN: corpus-wide oversample degenerates to exact; recall >= 0.6 at 4x") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // shortlist >= corpus size probes everything: the 1-bit tier
+    // degenerates to brute-force exactly (same re-rank, same tie-break)
+    val full = Similarity.binaryTopK(queries, embs, "vec_id", "embedding", 5,
+        oversample = 1000)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == exact)
+    val bin = Similarity.binaryTopK(queries, embs, "vec_id", "embedding", 5,
+        oversample = 4)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact intersect bin).size.toDouble / exact.size
+    assert(recall >= 0.6, s"binary ANN recall $recall")
+  }
+
+  test("epoch shuffle: permutation of 1..n, (hash,id) total order, layout-invariant, seed-sensitive") {
+    val out = Corpus.epochShuffle(docs, "doc_id", 42L).collect()
+    val n = out.length.toLong
+    assert(n == docs.count())
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq == (1L to n))
+    // positions follow the logical (skey, doc_id) total order
+    val ordered = out.sortBy(r => (r.getAs[Long]("skey"), r.getAs[Long]("doc_id")))
+    assert(ordered.map(_.getAs[Long]("pos")).toSeq == (1L to n))
+    val base = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    // partition layout never changes a position (range boundaries only
+    // decide WHERE a row sits, not its global order)
+    val re = Corpus.epochShuffle(docs.repartition(7), "doc_id", 42L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    assert(re == base)
+    // a different seed is a different permutation
+    val other = Corpus.epochShuffle(docs, "doc_id", 43L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
+    assert(other != base)
+  }
+
+  test("canonical keep: max-rank doc survives per family, min-id tie-break, singletons keep themselves") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 100L), (2L, 300L), (3L, 200L), // family 1 → keeper 2 (longest)
+      (4L, 50L), // singleton
+      (5L, 10L), (6L, 10L)) // family 5, rank tie → min id 5
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val out = Dedup.canonicalKeep(d, "doc_id", "n_chars", clusters)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("kept_id"),
+          r.getAs[Boolean]("is_kept")))).toMap
+    assert(out(1L) == ((1L, 2L, false)))
+    assert(out(2L) == ((1L, 2L, true)))
+    assert(out(3L) == ((1L, 2L, false)))
+    assert(out(4L) == ((4L, 4L, true)))
+    assert(out(5L) == ((5L, 5L, true)))
+    assert(out(6L) == ((5L, 5L, false)))
+    // exactly one keeper per family
+    assert(out.values.count(_._3) == 3)
+  }
 }
