@@ -345,6 +345,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("p50: the Hamming scan streams 8-byte packs, never the float vectors") {
+    val p = plan("p50_binary_ann")
+    // candidate generation is the broadcast(query-packs) nested-loop
+    // over the corpus packs; anything sort-merge or cartesian here
+    // means the scale shape regressed
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // the streamed side of that join must carry ONLY (neighbor_id, cb):
+    // the 64×-smaller pack column, with the embedding projected away
+    // BEFORE the join — if cv/embedding leaks into this projection the
+    // whole point of the 1-bit tier (bandwidth-bound candidate scan)
+    // is gone at 100 TB
+    assert("Output \\[2\\]: \\[neighbor_id#\\d+L, .*AS cb#\\d+\\]".r
+        .findFirstIn(p).isDefined,
+      p.linesIterator.filter(_.contains("cb#")).mkString("\n"))
+    // exact vectors re-attach for the shortlist via broadcast hash
+    // joins (the shortlist is |Q|·oversample·k rows)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("grants plan: role validation, supabase normalization, quoting") {
     assert(Grants.validRoleName("app_reader"))
     assert(!Grants.validRoleName("x; drop table users--"))
