@@ -87,8 +87,10 @@ abstract class RangeFold extends Expression {
     val ao = aoV.asInstanceOf[Int]
     val bo = boV.asInstanceOf[Int]
     val n = lenV.asInstanceOf[Int]
-    if (ao < 0 || bo < 0 || n < 0 || ao + n > x.numElements()
-        || bo + n > y.numElements()) return null
+    // long arithmetic: ao + n on ints can wrap negative for huge
+    // offsets, sliding past the guard into an out-of-bounds read
+    if (ao < 0 || bo < 0 || n < 0 || ao.toLong + n > x.numElements()
+        || bo.toLong + n > y.numElements()) return null
     val checkNulls = elementsMayBeNull
     var s = 0.0
     var i = 0
@@ -137,8 +139,8 @@ abstract class RangeFold extends Expression {
         |  int $bo = ${boG.value};
         |  int $n = ${lG.value};
         |  if ($ao >= 0 && $bo >= 0 && $n >= 0 &&
-        |      $ao + $n <= ${aG.value}.numElements() &&
-        |      $bo + $n <= ${bG.value}.numElements()) {
+        |      (long) $ao + $n <= ${aG.value}.numElements() &&
+        |      (long) $bo + $n <= ${bG.value}.numElements()) {
         |    ${ev.isNull} = false;
         |    double $s = 0.0;
         |    for (int $i = 0; $i < $n; $i++) {

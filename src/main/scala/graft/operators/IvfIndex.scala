@@ -310,6 +310,22 @@ object IvfIndex {
       .filter(col("cos") > threshold)
   }
 
+  /** Keeper rule over [[incrementalNearDups]] pairs — THE single
+    * statement of which side of a dup pair drops (the batch loop and
+    * the p44 gate must agree fate-for-fate): a new×old pair drops the
+    * NEW vector (the store's copy is the keeper); a new×new pair
+    * (emitted once, vec_id < match_id) drops the LARGER id; min(dup_of)
+    * makes the provenance column deterministic when a vector matches
+    * several keepers.
+    *
+    * @return (vec_id, dup_of) — one row per dropped vector. */
+  def dupKeeperMap(dups: DataFrame): DataFrame =
+    dups.filter(!col("match_is_new"))
+      .select(col("vec_id"), col("match_id").as("_dup"))
+      .unionByName(dups.filter(col("match_is_new"))
+        .select(col("match_id").as("vec_id"), col("vec_id").as("_dup")))
+      .groupBy(col("vec_id")).agg(min(col("_dup")).as("dup_of"))
+
   /** Centroid-drift report for a stored index: per `batch_id`, the
     * exact mean cosine of the stored vectors to their assigned (frozen)
     * centroid — the operational face of [[Similarity.assignmentDrift]],

@@ -118,9 +118,16 @@ object Ranges {
               // sources (the regenerated testdata) surface ts as NTZ.
               // Zone-dependence makes that faithful ONLY under UTC, so
               // assert the session rather than silently skewing.
-              case TimestampNTZType
-                  if left.sparkSession.conf
-                    .get("spark.sql.session.timeZone") != "UTC" =>
+              case TimestampNTZType if {
+                    // any zero-offset zone is wall-clock-identical to
+                    // UTC ("Etc/UTC", "GMT", "+00:00" all normalize to
+                    // Z) — reject only zones that would actually skew
+                    val tz = left.sparkSession.conf
+                      .get("spark.sql.session.timeZone")
+                    java.time.ZoneId
+                      .of(tz, java.time.ZoneId.SHORT_IDS)
+                      .normalized() != java.time.ZoneOffset.UTC
+                  } =>
                 throw new IllegalArgumentException(
                   "asofJoin tolerance over a TIMESTAMP_NTZ ts column " +
                     "requires spark.sql.session.timeZone=UTC (NTZ has no " +

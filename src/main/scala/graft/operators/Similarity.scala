@@ -108,16 +108,18 @@ object Similarity {
     * @return (list_id, id, vec, vec_n) — one row per (row, probed cell)
     */
   private[graft] def assignCells(df: DataFrame, id: String, vec: String,
-      centroids: DataFrame, probe: Int): DataFrame = {
+      centroids: DataFrame, probe: Int,
+      keep: Seq[String] = Nil, score: Option[String] = None): DataFrame = {
     val byVec = Window.partitionBy(col(id))
       .orderBy(col("c_cos").desc, col("list_id"))
     df.join(broadcast(centroids))
-      .select(col(id), col(vec), col(s"${vec}_n"), col("list_id"),
+      .select(Seq(col(id), col(vec), col(s"${vec}_n"), col("list_id"),
         (dot(col(vec), col("centroid")) / (col(s"${vec}_n") * col("centroid_n")))
-          .as("c_cos"))
+          .as("c_cos")) ++ keep.map(col): _*)
       .withColumn("_r", row_number().over(byVec))
       .filter(col("_r") <= probe)
-      .select(col("list_id"), col(id), col(vec), col(s"${vec}_n"))
+      .select(Seq(col("list_id"), col(id), col(vec), col(s"${vec}_n")) ++
+        keep.map(col) ++ score.map(s => col("c_cos").as(s)): _*)
   }
 
   /** Learned IVF centroids via spark.ml KMeans (k-means|| init, fixed
@@ -514,23 +516,22 @@ object Similarity {
     */
   def dimensionMeans(df: DataFrame, groupCol: String,
       vecCol: String): DataFrame =
-    df.select(col(groupCol).as("grp"),
-        posexplode(col(vecCol).cast("array<float>")))
-      .groupBy(col("grp"), col("pos"))
-      .agg(count(lit(1)).as("n_vecs"),
-        sum(round(col("col").cast("double") * lit(1e12))
-          .cast("long").cast("decimal(38,0)")).as("_units"))
+    exactMean(
+      df.select(col(groupCol).as("grp"),
+          posexplode(col(vecCol).cast("array<float>")))
+        .select(col("grp"), col("pos"), col("col").cast("double").as("_v")),
+      Seq("grp", "pos"), "_v", "mean_val")
       .select(col("grp"), (col("pos") + 1).as("dim"), col("n_vecs"),
-        (col("_units").cast("double")
-          / (col("n_vecs").cast("double") * lit(1e12))).as("mean_val"))
+        col("mean_val"))
 
   /** Order-independent exact mean of a double column (grouped): rows
     * become integer picounits (float→double, ·1e12, round-away-from-
     * zero, long), the group sums them EXACTLY in DECIMAL(38,0), and one
-    * final correctly-rounded cast yields the double mean — the same
-    * arithmetic contract as [[dimensionMeans]], shared so every
-    * cross-engine-exact mean in the engine states it once. Requires
-    * |value| < ~10⁶ per row (picounits fit a long). */
+    * final correctly-rounded cast yields the double mean — shared so
+    * every cross-engine-exact mean in the engine ([[dimensionMeans]],
+    * [[assignmentDrift]], the store-side drift/quantization reports)
+    * states the arithmetic once. Requires |value| < ~10⁶ per row
+    * (picounits fit a long). */
   private[graft] def exactMean(grouped: DataFrame, groupCols: Seq[String],
       valCol: String, outCol: String): DataFrame =
     grouped.groupBy(groupCols.map(col): _*)
@@ -566,14 +567,11 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"),
         sqrt(dot(col(vecCol), col(vecCol))).as("v_n"))
       .filter(col("v_n") > 0)
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("list_id"))
-    val assigned = v.join(broadcast(centroids))
-      .select(col("grp"), col("vec_id"), col("list_id"),
-        (dot(col("v"), col("centroid")) / (col("v_n") * col("centroid_n")))
-          .as("c_cos"))
-      .withColumn("_r", row_number().over(byVec))
-      .filter(col("_r") === 1)
+    // nearest-cell pick routes through assignCells — THE single
+    // assignment implementation — with the winning cosine carried out,
+    // so the tie-break/formula the oracles replay lives in one place
+    val assigned = assignCells(v, "vec_id", "v", centroids, probe = 1,
+      keep = Seq("grp"), score = Some("c_cos"))
     exactMean(assigned, Seq("grp"), "c_cos", "mean_cos")
   }
 
@@ -670,24 +668,26 @@ object Similarity {
     try {
       // k must not exceed the training row count (spark.ml k-means
       // rejects k > n) — a tiny corpus just gets a tiny codebook, the
-      // same degradation the hash-sample rule has by construction
+      // same degradation the hash-sample rule has by construction.
+      // spark.ml additionally rejects k == 1 (ParamValidators.gt(1)),
+      // but a 1-code book is well-defined: the per-subspace MEAN (what
+      // k-means at k=1 converges to) — compute it directly so a 1-row
+      // training frame (or nCodes=1) degrades instead of crashing
       val k = math.min(nCodes.toLong, slices.count()).toInt
       require(k > 0, "pqKmeansCodebooks: no training vectors")
-      Array.tabulate(m) { j =>
+      if (k == 1) {
+        import org.apache.spark.ml.stat.Summarizer
+        val means = slices.select((0 until m).map(j =>
+          Summarizer.mean(col(s"_s$j")).as(s"_m$j")): _*).head()
+        Array.tabulate(m)(j => Array(
+          means.getAs[org.apache.spark.ml.linalg.Vector](j).toArray))
+      } else Array.tabulate(m) { j =>
         new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
           .setFeaturesCol(s"_s$j").fit(slices)
           .clusterCenters.map(_.toArray)
       }
     } finally slices.unpersist(blocking = false)
   }
-
-  /** Sequential-order squared L2 distance between two array columns —
-    * `aggregate(zip_with(…), 0.0, +)` folds left-to-right in double,
-    * mirroring the oracle's `list_reduce` bit-for-bit (0.0 + d₀ ≡ d₀:
-    * squared terms are never -0.0). */
-  private[graft] def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
 
   /** PQ-encode a corpus: each vector becomes `m` small integer codes —
     * the nearest codebook entry (squared L2, lowest-code tie-break via
@@ -1071,6 +1071,15 @@ object Similarity {
       .withColumn("r", row_number().over(wHam))
       .filter(col("r") <= k * oversample)
       .select("query_id", "neighbor_id")
+    exactRerank(short, c, q, k)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
+    * vectors re-attach from the withNorm'd corpus (join on the id key)
+    * and the broadcast query side; rank (cos desc, neighbor_id) ≤ k.
+    * Shared by every shortlist-then-verify tier. */
+  private def exactRerank(short: DataFrame, c: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val wCos = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(short), Seq("neighbor_id"))
@@ -1081,6 +1090,60 @@ object Similarity {
       .withColumn("rank", row_number().over(wCos))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** IVF-residual binary ANN: the 1-bit tier re-based on WITHIN-CELL
+    * geometry. [[binaryTopK]]'s measured weakness (SCALE.md) is
+    * clustered data — inside a tight cluster most raw dimensions share
+    * the center's sign, so raw sign bits saturate. Here each stored
+    * vector packs the sign bits of its RESIDUAL v − c(cell) (probe=1
+    * assignment, the same argmax as every IVF consumer), and a query
+    * packs q − c(cell) per probed cell — so the XOR popcount compares
+    * directions RELATIVE TO THE SHARED CELL CENTER, which is exactly
+    * the contrast the raw bits throw away (the same rescue-by-residual
+    * as [[ivfPqTopK]] vs plain PQ, at 1 bit/dim instead of log₂(codes)
+    * bits per subspace). Candidates are cell-pruned AND Hamming-
+    * shortlisted; the exact re-rank fixes the final order.
+    *
+    * Deterministic end-to-end (hash centroids, id tie-breaks), so the
+    * whole approximation replays in oracle SQL. At 100 TB: packs are
+    * one narrow map over the assignment (a stored column in the
+    * persisted-index form); the shortlist join moves (cell, 8-byte
+    * pack) pairs; everything else is the ivfTopK shape. */
+  def ivfBinaryTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 64, nProbe: Int = 3, oversample: Int = 4,
+      centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1 && oversample >= 1,
+      s"ivfBinaryTopK: nCells ($nCells), nProbe ($nProbe), oversample " +
+        s"($oversample) must be >= 1")
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")
+      .repartition(par(corpus), col("neighbor_id"))
+    val centroids = centroidsOverride.getOrElse(
+      topKByHashCentroids(c, "neighbor_id", "cv", nCells))
+    val centVecs = centroids.select(col("list_id"), col("centroid"))
+    def residPack(vec: String) =
+      signPack(zip_with(col(vec), col("centroid"), (x, y) => x - y))
+    val packs = assignCells(c, "neighbor_id", "cv", centroids, 1)
+      .join(broadcast(centVecs), Seq("list_id"))
+      .select(col("list_id"), col("neighbor_id"), residPack("cv").as("cb"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val probes = assignCells(q, "query_id", "qv", centroids, nProbe)
+      .join(broadcast(centVecs), Seq("list_id"))
+      .select(col("list_id"), col("query_id"), residPack("qv").as("qb"))
+    // a stored vector lives in exactly one cell (probe=1), so a
+    // (query, neighbor) pair meets at most once — no dedup needed
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("neighbor_id"))
+    val short = packs.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hamming(col("qb"), col("cb")).as("ham"))
+      .withColumn("r", row_number().over(wHam))
+      .filter(col("r") <= k * oversample)
+      .select("query_id", "neighbor_id")
+    exactRerank(short, c, q, k)
   }
 
   /** Symmetric per-vector int8 quantization audit: scale = 127/max|x_i|,

@@ -1976,11 +1976,9 @@ object Pipeline {
     }
     val dups = graft.operators.IvfIndex.incrementalNearDups(
       batch, "vec_id", "embedding", "graft_p44", NearDupCos, IvfProbe)
-    val dropped = dups.filter(!col("match_is_new"))
-      .select(col("vec_id"), col("match_id").as("_dup"))
-      .unionByName(dups.filter(col("match_is_new"))
-        .select(col("match_id").as("vec_id"), col("vec_id").as("_dup")))
-      .groupBy(col("vec_id")).agg(min(col("_dup")).as("dup_of"))
+    // keeper rule shared with Streams.vectorIngestBatch — the gate and
+    // the streaming loop must agree fate-for-fate by construction
+    val dropped = graft.operators.IvfIndex.dupKeeperMap(dups)
     batch
       .withColumn("_n2", Similarity.dot(col("embedding"), col("embedding")))
       .join(dropped, Seq("vec_id"), "left")
@@ -2380,6 +2378,74 @@ object Pipeline {
        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
        |FROM res WHERE rnk <= $TopK""".stripMargin
 
+  /** IVF-residual binary ANN, oracle-gated: p50's 1-bit tier re-based
+    * on within-cell residuals (sign bits of v − c(cell), the same
+    * rescue-by-residual as IVF-PQ vs plain PQ). Assignment, residual
+    * signs, Hamming shortlist, and exact re-rank are all deterministic,
+    * so the approximation replays exactly in SQL. */
+  private def p53(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+    Similarity.ivfBinaryTopK(v.filter(col("vec_id") % 50 === 0), v,
+        "vec_id", "embedding", TopK, nCells = IvfCells, nProbe = IvfProbe,
+        oversample = BinOversample)
+      .withColumnRenamed("rank", "rnk")
+  }
+
+  private val p53Sql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE ${dotSql("embedding", "embedding")} > 0),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM v
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |asn AS (
+       |  SELECT list_id, vec_id, embedding FROM (
+       |    SELECT c.list_id, v.vec_id, v.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.embedding", "c.centroid")} DESC,
+       |          c.list_id) AS r
+       |    FROM v, cent c)
+       |  WHERE r = 1),
+       |qpr AS (
+       |  SELECT list_id, query_id, embedding FROM (
+       |    SELECT c.list_id, q.vec_id AS query_id, q.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC,
+       |          c.list_id) AS r
+       |    FROM (SELECT * FROM v WHERE vec_id % 50 = 0) q, cent c)
+       |  WHERE r <= $IvfProbe),
+       |h AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(generate_series(1, len(p.embedding)),
+       |      i -> CASE WHEN
+       |          ((p.embedding[i]::DOUBLE - ct.centroid[i]::DOUBLE) >= 0)
+       |          <> ((a.embedding[i]::DOUBLE - ct.centroid[i]::DOUBLE) >= 0)
+       |        THEN 1 ELSE 0 END), (x, y) -> x + y) AS ham
+       |  FROM qpr p
+       |  JOIN asn a USING (list_id)
+       |  JOIN cent ct USING (list_id)
+       |  WHERE p.query_id <> a.vec_id),
+       |shortl AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ham, neighbor_id) AS r
+       |    FROM h)
+       |  WHERE r <= ${TopK * BinOversample}),
+       |sc AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ${cosSql("vq.embedding", "vc.embedding")} AS cos
+       |  FROM shortl s
+       |  JOIN v vq ON vq.vec_id = s.query_id
+       |  JOIN v vc ON vc.vec_id = s.neighbor_id),
+       |res AS (
+       |  SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM sc)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
+       |FROM res WHERE rnk <= $TopK""".stripMargin
+
   /** Deterministic epoch shuffle, oracle-gated: contiguous 1-based
     * training positions in (hash32(seed|id), id) order via
     * range-partition + within-partition sort + zipWithIndex — never a
@@ -2499,5 +2565,6 @@ object Pipeline {
     QueryDef("p49_int8_ann", p49, Some(p49Sql)),
     QueryDef("p50_binary_ann", p50, Some(p50Sql)),
     QueryDef("p51_epoch_shuffle", p51, Some(p51Sql)),
-    QueryDef("p52_canonical_keep", p52, Some(p52Sql)))
+    QueryDef("p52_canonical_keep", p52, Some(p52Sql)),
+    QueryDef("p53_ivf_binary_ann", p53, Some(p53Sql)))
 }

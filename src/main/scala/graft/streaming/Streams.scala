@@ -424,14 +424,8 @@ object Streams {
       graft.operators.IvfIndex.pruneBatch(spark, cfg.indexName, batchId)
       val dups = graft.operators.IvfIndex.incrementalNearDups(
         batch, idCol, vecCol, cfg.indexName, cfg.threshold, cfg.assignProbe)
-      // keeper rule, same as the text loop: a new×old pair drops the
-      // new vector; a new×new pair (emitted once, vec_id < match_id)
-      // drops the LARGER id; min(dup_of) makes the report deterministic
-      val dropped = dups.filter(!col("match_is_new"))
-        .select(col("vec_id"), col("match_id").as("_dup"))
-        .unionByName(dups.filter(col("match_is_new"))
-          .select(col("match_id").as("vec_id"), col("vec_id").as("_dup")))
-        .groupBy(col("vec_id")).agg(min(col("_dup")).as("dup_of"))
+      // keeper rule lives in ONE place (shared with the p44 gate)
+      val dropped = graft.operators.IvfIndex.dupKeeperMap(dups)
       val fates = batch
         .select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
         .withColumn("_n", sqrt(graft.operators.Similarity.dot(

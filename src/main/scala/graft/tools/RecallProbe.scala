@@ -71,10 +71,17 @@ object RecallProbe {
       spark.catalog.clearCache()
     }
 
+    // the eager k-means fit and the persisted store builds below are
+    // only worth paying when a variant that consumes them survives the
+    // filter — the filter exists for one-variant iteration, so skipped
+    // variants must not still charge their setup cost
+    def wants(sub: String*): Boolean =
+      onlyVariant.forall(f => sub.exists(_.contains(f)))
+
     for (np <- Seq(1, 3, 8))
       recall(s"ivf_hash_nProbe$np")(Similarity.ivfTopK(
         queries, embs, "vec_id", "embedding", k, nProbe = np))
-    val km = Similarity.kmeansCentroids(embs, "embedding", 64)
+    lazy val km = Similarity.kmeansCentroids(embs, "embedding", 64)
     recall("ivf_kmeans_nProbe3")(Similarity.ivfTopK(
       queries, embs, "vec_id", "embedding", k,
       centroidsOverride = Some(km)))
@@ -91,6 +98,12 @@ object RecallProbe {
     // alone can keep in the shortlist
     for (os <- Seq(4, 8, 16, 32, 64))
       recall(s"binary_oversample$os")(Similarity.binaryTopK(
+        queries, embs, "vec_id", "embedding", k, oversample = os))
+    // IVF-residual binary: 1 bit/dim of WITHIN-CELL residual signs —
+    // the clustered-regime rescue for the raw-sign tier (cell pruning
+    // AND Hamming shortlist compose)
+    for (os <- Seq(4, 8, 16))
+      recall(s"ivfbinary_nProbe3_oversample$os")(Similarity.ivfBinaryTopK(
         queries, embs, "vec_id", "embedding", k, oversample = os))
     // int8 tier (4× smaller rows): quantization error ≤ half a step per
     // dim (p33's audit bound), so recall should sit at/near 1.0 — this
@@ -140,23 +153,30 @@ object RecallProbe {
         queries, embs, "vec_id", "embedding", k, m = 16, nCodes = 256,
         learnedBooks = true, rerank = r))
     try {
-      IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall")
-      recall("ivf_index_nProbe3")(IvfIndex.topK(
-        queries, "vec_id", "embedding", "graft_probe_recall", k))
+      if (wants("ivf_index_nProbe3")) {
+        IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall")
+        recall("ivf_index_nProbe3")(IvfIndex.topK(
+          queries, "vec_id", "embedding", "graft_probe_recall", k))
+      }
       // the persisted store with LEARNED centroids — the production
       // shape round 9 added (build(centroids = kmeans))
-      IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall_km",
-        centroids = Some(km))
-      recall("ivf_index_kmeans_nProbe3")(IvfIndex.topK(
-        queries, "vec_id", "embedding", "graft_probe_recall_km", k))
+      if (wants("ivf_index_kmeans_nProbe3")) {
+        IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall_km",
+          centroids = Some(km))
+        recall("ivf_index_kmeans_nProbe3")(IvfIndex.topK(
+          queries, "vec_id", "embedding", "graft_probe_recall_km", k))
+      }
       // the persisted ADC store (codes-only read) ± exact re-rank
-      IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall_pq",
-        pq = Some(IvfIndex.PqSpec(learned = true)))
-      recall("ivf_store_adc_kmbooks_nProbe3")(IvfIndex.topKAdc(
-        queries, "vec_id", "embedding", "graft_probe_recall_pq", k))
-      recall("ivf_store_adc_kmbooks_rerank50")(IvfIndex.topKAdc(
-        queries, "vec_id", "embedding", "graft_probe_recall_pq", k,
-        rerank = 50))
+      if (wants("ivf_store_adc_kmbooks_nProbe3",
+          "ivf_store_adc_kmbooks_rerank50")) {
+        IvfIndex.build(embs, "vec_id", "embedding", "graft_probe_recall_pq",
+          pq = Some(IvfIndex.PqSpec(learned = true)))
+        recall("ivf_store_adc_kmbooks_nProbe3")(IvfIndex.topKAdc(
+          queries, "vec_id", "embedding", "graft_probe_recall_pq", k))
+        recall("ivf_store_adc_kmbooks_rerank50")(IvfIndex.topKAdc(
+          queries, "vec_id", "embedding", "graft_probe_recall_pq", k,
+          rerank = 50))
+      }
     } finally {
       Seq("graft_probe_recall_cells", "graft_probe_recall_cent",
         "graft_probe_recall_km_cells", "graft_probe_recall_km_cent",

@@ -875,6 +875,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L)._1 == 127.0 / 2.0)
   }
 
+  test("pq learned codebooks: k=1 degrades to the per-subspace mean, not a spark.ml crash") {
+    import spark.implicits._
+    // one training vector: spark.ml KMeans rejects k=1, so the fallback
+    // must produce the mean (= the vector itself) per subspace
+    val v = (0 until 16).map(i => (i + 1) * 0.5)
+    val one = Seq(Tuple1(v)).toDF("v")
+    val books = Similarity.pqKmeansCodebooks(one, "v", m = 4, nCodes = 32)
+    assert(books.length == 4 && books.forall(_.length == 1))
+    for (j <- 0 until 4; i <- 0 until 4)
+      assert(math.abs(books(j)(0)(i) - v(j * 4 + i)) < 1e-12)
+    // nCodes=1 over many rows: the one code is the subspace mean
+    val many = Seq(Tuple1(Seq.fill(16)(1.0)), Tuple1(Seq.fill(16)(3.0)))
+      .toDF("v")
+    val mb = Similarity.pqKmeansCodebooks(many, "v", m = 4, nCodes = 1)
+    for (j <- 0 until 4; i <- 0 until 4)
+      assert(math.abs(mb(j)(0)(i) - 2.0) < 1e-12)
+  }
+
   test("signPack: exact bit layout, multi-word vectors, hamming == sign mismatches") {
     import spark.implicits._
     val d = Seq(
@@ -917,6 +935,36 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact intersect bin).size.toDouble / exact.size
     assert(recall >= 0.6, s"binary ANN recall $recall")
+  }
+
+  test("IVF-residual binary: full probe + corpus oversample degenerates to exact; beats raw-sign binary on clustered data") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val exact = Similarity.bruteForceTopK(queries, embs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // every cell probed + corpus-wide shortlist: the Hamming order
+    // stops mattering and the exact re-rank IS brute force
+    val full = Similarity.ivfBinaryTopK(queries, embs, "vec_id", "embedding", 5,
+        nCells = 8, nProbe = 8, oversample = 1000)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(full == exact)
+    // the design claim (measured at probe scale in SCALE.md), pinned on
+    // a clustered fixture: within-cell residual signs out-discriminate
+    // raw signs at the same tight oversample
+    val cl = graft.tools.SyntheticVectors.clustered(spark, n = 1500)
+    val cq = cl.filter(col("vec_id") % 50 === 0)
+    val truth = Similarity.bruteForceTopK(cq, cl, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (truth intersect got).size.toDouble / truth.size
+    }
+    val raw = recallOf(Similarity.binaryTopK(cq, cl, "vec_id", "embedding", 5,
+      oversample = 4))
+    val resid = recallOf(Similarity.ivfBinaryTopK(cq, cl, "vec_id", "embedding", 5,
+      oversample = 4))
+    assert(resid > raw,
+      s"residual-sign recall $resid should beat raw-sign $raw on clustered data")
   }
 
   test("epoch shuffle: permutation of 1..n, (hash,id) total order, layout-invariant, seed-sensitive") {

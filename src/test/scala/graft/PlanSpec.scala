@@ -144,6 +144,14 @@ class PlanSpec extends AnyFunSuite {
       call_function("graft_l2_range", col("v"), flat,
         lit(0), lit(-1), lit(8)).as("b")).head()
     assert(edge.isNullAt(0) && edge.isNullAt(1))
+    // near-MAX_VALUE offsets must not wrap the int bounds check into a
+    // passing guard (an out-of-bounds unsafe read): still NULL
+    val wrap = e.limit(1).select(
+      call_function("graft_dot_range", col("v"), flat,
+        lit(Int.MaxValue - 3), lit(0), lit(8)).as("a"),
+      call_function("graft_l2_range", col("v"), flat,
+        lit(0), lit(Int.MaxValue - 3), lit(8)).as("b")).head()
+    assert(wrap.isNullAt(0) && wrap.isNullAt(1))
     // the scoring projection stays inside whole-stage codegen
     val fin = ranged.queryExecution.executedPlan.toString
     assert(fin.contains("*("), "no WholeStageCodegen stage")
