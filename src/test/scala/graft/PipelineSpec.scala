@@ -967,6 +967,23 @@ class PipelineSpec extends AnyFunSuite {
       s"residual-sign recall $resid should beat raw-sign $raw on clustered data")
   }
 
+  test("binary ANN handles non-multiple-of-64 dims end-to-end") {
+    import spark.implicits._
+    // 70 dims → 2-word packs with 6 live bits in word 1; full oversample
+    // must still equal brute force (pad bits never poison the hamming)
+    val d = (0 until 30).map { i =>
+      (i.toLong, (0 until 70).map(j =>
+        math.sin(i * 70 + j + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(d.filter(col("vec_id") < 3), d,
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bin = Similarity.binaryTopK(d.filter(col("vec_id") < 3), d,
+        "vec_id", "embedding", 5, oversample = 100)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(bin == exact)
+  }
+
   test("epoch shuffle: permutation of 1..n, (hash,id) total order, layout-invariant, seed-sensitive") {
     val out = Corpus.epochShuffle(docs, "doc_id", 42L).collect()
     val n = out.length.toLong
@@ -985,6 +1002,9 @@ class PipelineSpec extends AnyFunSuite {
     val other = Corpus.epochShuffle(docs, "doc_id", 43L)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pos")).toMap
     assert(other != base)
+    // empty input: empty output, not a crash in the zipWithIndex hop
+    assert(Corpus.epochShuffle(docs.filter(lit(false)), "doc_id", 42L)
+      .count() == 0)
   }
 
   test("canonical keep: max-rank doc survives per family, min-id tie-break, singletons keep themselves") {
