@@ -61,11 +61,19 @@ object IvfIndex {
     *   embeddings no longer fit the memory/IO budget. [[append]]
     *   encodes against the FROZEN books (same tradeoff as frozen
     *   centroids); [[topK]] is unaffected (cv/cv_n still stored —
-    *   columnar pruning keeps either read narrow). */
+    *   columnar pruning keeps either read narrow).
+    * @param binary when true, cell rows also carry `cb` — the
+    *   sign-pack of the RAW within-cell residual cv − centroid
+    *   (⌈d/64⌉ longs; [[Similarity.signPack]], the same arithmetic as
+    *   [[Similarity.ivfBinaryTopK]]) — so [[topKBinary]] can serve the
+    *   Hamming shortlist reading one long per 64 dims. Orthogonal to
+    *   `pq` (a store can carry both tiers); appends pack against the
+    *   frozen centroids like every other frozen-geometry column. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, name: String,
       nCells: Int = 64, buckets: Int = 32,
       centroids: Option[DataFrame] = None,
-      pq: Option[PqSpec] = None): Unit = {
+      pq: Option[PqSpec] = None,
+      binary: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     // ShingleIndex.dropTable also clears stale warehouse directories —
     // an in-memory catalog forgets tables across JVMs, and a leftover
@@ -119,7 +127,7 @@ object IvfIndex {
           col("cv_n"),
           Similarity.pqCodesFor(col("rv"), stored).as("codes"))
     }
-    cellRows
+    withBinaryPack(spark, name, cellRows, binary)
       .withColumn("batch_id", lit(ShingleIndex.BaseBatch))
       .write.partitionBy("batch_id").bucketBy(buckets, "list_id")
       .sortBy("list_id", "neighbor_id")
@@ -129,6 +137,19 @@ object IvfIndex {
     pinnedResid.foreach(_.unpersist(blocking = false))
     c.unpersist(blocking = false)
   }
+
+  /** Append `cb` (sign-pack of the raw residual cv − centroid, read
+    * back from `{name}_cent` — same discipline as assignment/encode)
+    * when `on`; the shared packing step of [[build]] and [[append]]. */
+  private def withBinaryPack(spark: SparkSession, name: String,
+      rows: DataFrame, on: Boolean): DataFrame =
+    if (!on) rows
+    else rows
+      .join(broadcast(spark.table(s"${name}_cent")
+        .select(col("list_id"), col("centroid"))), Seq("list_id"))
+      .withColumn("cb", Similarity.signPack(
+        zip_with(col("cv"), col("centroid"), (x, ce) => x - ce)))
+      .drop("centroid")
 
   /** Unit centroids (list_id, ucent) from the stored centroid table —
     * the normalized frame residual arithmetic runs against. */
@@ -196,7 +217,11 @@ object IvfIndex {
                 col("ucent"), (x, ce) => x - ce),
               books).as("codes"))
       } else assigned
-    ShingleIndex.insertByName(rows.withColumn("batch_id", lit(batchId)),
+    // a binary-built store packs appends against the frozen centroids
+    // — detected from the stored schema, same as the books above
+    val rows2 = withBinaryPack(spark, name, rows,
+      on = spark.table(s"${name}_cells").columns.contains("cb"))
+    ShingleIndex.insertByName(rows2.withColumn("batch_id", lit(batchId)),
       s"${name}_cells")
   }
 
@@ -506,5 +531,64 @@ object IvfIndex {
         .select(col("neighbor_id"), col("cv"), col("cv_n"))
       Similarity.rerankExact(short, vecsPruned, q, k)
     }
+  }
+
+  /** ANN top-k by Hamming distance over the stored residual sign
+    * packs — row-for-row [[Similarity.ivfBinaryTopK]] for the same
+    * corpus and centroids (IvfIndexSpec pins it; p53 is the oracle
+    * gate for the semantics), with the pack paid at [[build]]. The
+    * shortlist scan projects (list_id, neighbor_id, cb) — ONE long per
+    * 64 dims, the narrowest candidate read any tier offers (the codes
+    * column is m ints, cv is d doubles) — and the exact re-rank reads
+    * `cv` only for the |Q|·oversample·k shortlist via the same static
+    * isin / row-group-skipping path as [[topKAdc]]'s rerank. Same
+    * bucket/file pruning on probed list_ids as every store read.
+    *
+    * @return (query_id, rank, neighbor_id) — identical to [[topK]] */
+  def topKBinary(queries: DataFrame, idCol: String, vecCol: String,
+      name: String, k: Int, nProbe: Int = 3, oversample: Int = 4): DataFrame = {
+    require(nProbe >= 1 && oversample >= 1,
+      s"topKBinary: nProbe ($nProbe) and oversample ($oversample) must " +
+        "be >= 1")
+    val spark = queries.sparkSession
+    require(spark.table(s"${name}_cells").columns.contains("cb"),
+      s"topKBinary: $name was not built with binary=true — no cb column")
+    val centroids = spark.table(s"${name}_cent")
+    val q = Similarity.withNorm(queries, idCol, vecCol, "query_id", "qv")
+    // persisted: feeds the probed-cell collect AND the pack join — the
+    // caller-clears-cache convention shared by every store read
+    val probes0 = Similarity.assignCells(q, "query_id", "qv", centroids,
+      nProbe).persist()
+    val probes = probes0
+      .join(broadcast(centroids.select(col("list_id"), col("centroid"))),
+        Seq("list_id"))
+      .select(col("list_id"), col("query_id"),
+        Similarity.signPack(
+          zip_with(col("qv"), col("centroid"), (x, ce) => x - ce)).as("qb"))
+    val nCells = centroids.count() // O(K) table
+    val probed = probes0.select(col("list_id")).distinct()
+      .collect().map(_.get(0))
+    val cells0 = spark.table(s"${name}_cells")
+      .select(col("list_id"), col("neighbor_id"), col("cb"))
+    val cells = if (probed.length < nCells)
+      cells0.filter(col("list_id").isin(probed: _*)) else cells0
+    val wHam = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham"), col("neighbor_id"))
+    val short = cells.join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Similarity.hamming(col("qb"), col("cb")).as("ham"))
+      .withColumn("r", row_number().over(wHam))
+      .filter(col("r") <= k * oversample)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val ids = short.select(col("neighbor_id")).distinct()
+      .collect().map(_.get(0))
+    val vecs = spark.table(s"${name}_cells")
+      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
+    val vecsPruned = (if (probed.length < nCells)
+      vecs.filter(col("list_id").isin(probed: _*)) else vecs)
+      .filter(col("neighbor_id").isin(ids: _*))
+      .select(col("neighbor_id"), col("cv"), col("cv_n"))
+    Similarity.rerankExact(short, vecsPruned, q, k)
   }
 }

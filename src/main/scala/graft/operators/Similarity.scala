@@ -1071,25 +1071,8 @@ object Similarity {
       .withColumn("r", row_number().over(wHam))
       .filter(col("r") <= k * oversample)
       .select("query_id", "neighbor_id")
-    exactRerank(short, c, q, k)
-  }
-
-  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
-    * vectors re-attach from the withNorm'd corpus (join on the id key)
-    * and the broadcast query side; rank (cos desc, neighbor_id) ≤ k.
-    * Shared by every shortlist-then-verify tier. */
-  private def exactRerank(short: DataFrame, c: DataFrame, q: DataFrame,
-      k: Int): DataFrame = {
-    val wCos = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    c.join(broadcast(short), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"), col("qv_n"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n"))).as("cos"))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    rerankExact(short, c,
+      q.select(col("query_id"), col("qv"), col("qv_n")), k)
   }
 
   /** IVF-residual binary ANN: the 1-bit tier re-based on WITHIN-CELL
@@ -1143,7 +1126,8 @@ object Similarity {
       .withColumn("r", row_number().over(wHam))
       .filter(col("r") <= k * oversample)
       .select("query_id", "neighbor_id")
-    exactRerank(short, c, q, k)
+    rerankExact(short, c,
+      q.select(col("query_id"), col("qv"), col("qv_n")), k)
   }
 
   /** Symmetric per-vector int8 quantization audit: scale = 127/max|x_i|,

@@ -2446,6 +2446,30 @@ object Pipeline {
        |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id
        |FROM res WHERE rnk <= $TopK""".stripMargin
 
+  /** Persisted binary store, oracle-gated: IvfIndex.build(binary=true)
+    * stamps raw-residual sign packs into the bucketed cell store
+    * (memoized behind the p44/p48 vector-fingerprint discipline) and
+    * topKBinary serves the SAME rows as the in-memory ivfBinaryTopK
+    * (IvfIndexSpec pins the equivalence row-for-row; the shortlist
+    * scan reads cb — one long per 64 dims — never cv), so p53's oracle
+    * SQL replays the stored path token-for-token. */
+  private def p54(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.df(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fp = v.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
+        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    memoizedBuild(spark, "graft_p54_fp", fp,
+        Seq("graft_p54_cells", "graft_p54_cent")) {
+      graft.operators.IvfIndex.build(v, "vec_id", "embedding", "graft_p54",
+        nCells = IvfCells, binary = true)
+    }
+    graft.operators.IvfIndex.topKBinary(v.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", "graft_p54", TopK, IvfProbe,
+        oversample = BinOversample)
+      .withColumnRenamed("rank", "rnk")
+  }
+
   /** Deterministic epoch shuffle, oracle-gated: contiguous 1-based
     * training positions in (hash32(seed|id), id) order via
     * range-partition + within-partition sort + zipWithIndex — never a
@@ -2566,5 +2590,6 @@ object Pipeline {
     QueryDef("p50_binary_ann", p50, Some(p50Sql)),
     QueryDef("p51_epoch_shuffle", p51, Some(p51Sql)),
     QueryDef("p52_canonical_keep", p52, Some(p52Sql)),
-    QueryDef("p53_ivf_binary_ann", p53, Some(p53Sql)))
+    QueryDef("p53_ivf_binary_ann", p53, Some(p53Sql)),
+    QueryDef("p54_binary_store", p54, Some(p53Sql)))
 }

@@ -83,10 +83,22 @@ object IndexProbe {
         IvfIndex.topKAdc(queries, "vec_id", "embedding", "graft_probe_adc",
           k = 5, rerank = 50).count()
       }
+      // the 1-bit serve path: the shortlist scan reads ONE long per 64
+      // dims (vs m ints for ADC, d doubles for flat) + the bounded
+      // exact rerank — the cheapest candidate bytes of any tier
+      time("binary_store_build") {
+        IvfIndex.build(ivfCorpus, "vec_id", "embedding", "graft_probe_bin",
+          binary = true); 0L
+      }
+      for (i <- 1 to 2) time(s"ann_store_binary_$i") {
+        IvfIndex.topKBinary(queries, "vec_id", "embedding",
+          "graft_probe_bin", k = 5).count()
+      }
     } finally Seq("graft_probe_idx", "graft_probe_sh", "graft_probe_meta",
       "graft_probe_ivf_cells", "graft_probe_ivf_cent",
       "graft_probe_adc_cells", "graft_probe_adc_cent",
-      "graft_probe_adc_books")
+      "graft_probe_adc_books",
+      "graft_probe_bin_cells", "graft_probe_bin_cent")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.stop()
   }

@@ -386,4 +386,64 @@ class IvfIndexSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("binary store: topKBinary == ivfBinaryTopK; pack-only shortlist scan; append packs") {
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+    val seed = embs.filter(col("vec_id") % 3 =!= 0)
+    val batch = embs.filter(col("vec_id") % 3 === 0)
+    try {
+      IvfIndex.build(embs, "vec_id", "embedding", "graft_ivfbin",
+        nCells = 8, binary = true)
+      // storage optimization of the in-memory operator: same hash
+      // centroids, same raw-residual sign packs, same shortlist and
+      // re-rank order — row-for-row equal
+      val viaStore = IvfIndex.topKBinary(
+        queries, "vec_id", "embedding", "graft_ivfbin", k = 5,
+        nProbe = 3, oversample = 4)
+      val inMemory = Similarity.ivfBinaryTopK(
+        queries, embs, "vec_id", "embedding", 5, nCells = 8, nProbe = 3,
+        oversample = 4)
+      val got = resultSet(viaStore)
+      assert(got == resultSet(inMemory))
+      assert(got.nonEmpty)
+      // the memory property: the shortlist's cells scan projects the
+      // 1-long-per-64-dims pack, never the raw cv column (cv reappears
+      // only in the bounded rerank read)
+      val plan = viaStore.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val packScan = plan.linesIterator
+        .filter(_.trim.startsWith("ReadSchema:"))
+        .filter(_.contains("cb")).toList
+      assert(packScan.nonEmpty, s"no pack-projecting cells scan:\n$plan")
+      packScan.foreach(rs =>
+        assert(!rs.contains("cv"), s"pack scan must not read cv: $rs"))
+      spark.catalog.clearCache()
+      // append against a binary-built store packs with the FROZEN
+      // centroids; appended vectors become findable and the store
+      // still equals the in-memory operator over the grown corpus
+      // (stored centroid set passed through, frozen on the seed)
+      IvfIndex.build(seed, "vec_id", "embedding", "graft_ivfbin2",
+        nCells = 8, binary = true)
+      IvfIndex.append(batch, "vec_id", "embedding", "graft_ivfbin2",
+        batchId = 7L)
+      val appended = spark.table("graft_ivfbin2_cells")
+        .filter(col("batch_id") === 7L)
+      assert(appended.count() > 0)
+      assert(appended.filter(col("cb").isNull).count() == 0,
+        "appended rows must carry frozen-centroid sign packs")
+      val grownStore = resultSet(IvfIndex.topKBinary(
+        queries, "vec_id", "embedding", "graft_ivfbin2", k = 5,
+        nProbe = 3, oversample = 4))
+      val grownInMem = resultSet(Similarity.ivfBinaryTopK(
+        queries, embs, "vec_id", "embedding", 5, nProbe = 3,
+        oversample = 4,
+        centroidsOverride = Some(spark.table("graft_ivfbin2_cent"))))
+      assert(grownStore == grownInMem)
+    } finally {
+      Seq("graft_ivfbin_cells", "graft_ivfbin_cent",
+        "graft_ivfbin2_cells", "graft_ivfbin2_cent")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
 }
