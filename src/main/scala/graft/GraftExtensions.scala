@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite, DotRange, KMin, KmvSketch, L2Range}
+import graft.expressions.{DotProduct, DotProductRewrite, DotRange, HammingDistance, KMin, KmvSketch, L2Range}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_l2_range takes (a, b, aOff, bOff, len)")
         L2Range(children(0), children(1), children(2), children(3),
           children(4))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "graft_hamming"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_hamming takes (a, b)")
+        HammingDistance(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kmv"),

@@ -1027,10 +1027,14 @@ object Similarity {
             .otherwise(lit(0L)))))
   }
 
-  /** Hamming distance between two sign-packs: Σ bit_count(xor). */
+  /** Hamming distance between two sign-packs: Σ bit_count(xor).
+    * Dispatches to the native allocation-free kernel
+    * ([[graft.expressions.HammingDistance]]) — integer-exact parity
+    * with the HOF fold `aggregate(zip_with(a,b,bit_count∘xor),0,+)`
+    * it replaces (PlanSpec pins it), minus the per-candidate zip_with
+    * array the HOF form allocates on the tier's hottest scan. */
   private[graft] def hamming(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => call_function("bit_count", x.bitwiseXOR(y))),
-      lit(0), (acc, x) => acc + x)
+    call_function("graft_hamming", a, b)
 
   /** 1-bit (binary) quantized ANN: sign-packed corpus, Hamming-distance
     * shortlist, exact-cosine re-rank. The most aggressive tier of the

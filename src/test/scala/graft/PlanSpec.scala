@@ -353,6 +353,34 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("graft_hamming == the HOF fold it replaced; NULL on length mismatch; codegen'd") {
+    import graft.operators.Similarity
+    val e = Tables.df(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // packs from real vectors, compared against a fixed literal pack —
+    // native kernel vs the zip_with/aggregate form, value-for-value
+    val lit2 = typedlit(Seq(0x0F0F0F0F0F0F0F0FL, -1L))
+    val wide = e.select(col("vec_id"),
+      concat(Similarity.signPack(col("v")), array(lit(-1L))).as("p"))
+    val native = wide.select(col("vec_id"),
+      call_function("graft_hamming", col("p"), lit2).as("h"))
+    val hof = wide.select(col("vec_id"),
+      aggregate(zip_with(col("p"), lit2,
+          (x, y) => call_function("bit_count", x.bitwiseXOR(y))),
+        lit(0), (acc, x) => acc + x).as("h"))
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(vals(native).sameElements(vals(hof)))
+    // length mismatch is NULL (zip_with's null-padding poisons the HOF
+    // fold the same way), never a wrong small distance
+    val mm = e.limit(1).select(call_function("graft_hamming",
+      Similarity.signPack(col("v")), lit2).as("h")).head()
+    assert(mm.isNullAt(0))
+    // the shortlist projection stays inside whole-stage codegen
+    assert(native.queryExecution.executedPlan.toString.contains("*("),
+      "no WholeStageCodegen stage")
+  }
+
   test("p50: the Hamming scan streams 8-byte packs, never the float vectors") {
     val p = plan("p50_binary_ann")
     // candidate generation is the broadcast(query-packs) nested-loop
