@@ -570,6 +570,58 @@ object Corpus {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Exact global running totals in a total order — the distributed
+    * prefix sum behind global greedy packing / curriculum batching
+    * (`SUM(v) OVER (ORDER BY …)` semantics WITHOUT the single-partition
+    * window that order-unbounded frames force on Spark).
+    *
+    * Shape: range-partition + sort on the order columns (one shuffle,
+    * persisted), then the classic two-phase scan — job 1 folds each
+    * partition to its total (O(P) rows to the driver), the exclusive
+    * scan of those totals broadcasts as per-partition offsets, job 2
+    * adds the local running sum. The persist pins one partitioning
+    * under both jobs, so the offsets provably describe the partitions
+    * the second pass reads (caller-clears-cache convention, like the
+    * pair operators). NULL values add 0 — the `SUM OVER` convention.
+    *
+    * @param orderCols a TOTAL order (include the id as tie-break —
+    *   a partial order would make the running sum nondeterministic)
+    * @return df's columns + `outCol`: the inclusive running total.
+    */
+  def orderedPrefixSum(df: DataFrame, orderCols: Seq[String],
+      valCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val spark = df.sparkSession
+    require(df.schema(valCol).dataType == LongType,
+      s"orderedPrefixSum: $valCol must be bigint (cast upstream), got " +
+        df.schema(valCol).dataType.simpleString)
+    val ranged = df
+      .repartitionByRange(par(df), orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .persist()
+    val vi = ranged.schema.fieldIndex(valCol)
+    val totals = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => if (!r.isNullAt(vi)) s += r.getLong(vi))
+      Iterator((pid, s))
+    }.collect().toMap
+    val nParts = ranged.rdd.getNumPartitions
+    val offsets = (0 until nParts)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = ranged.schema
+      .add(StructField(outCol, LongType, nullable = false))
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r =>
+        if (!r.isNullAt(vi)) acc += r.getLong(vi)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, minDf: Int = 2): DataFrame = {
     require(n > 0 && k > 0, s"need positive n/k, got n=$n k=$k")

@@ -2490,6 +2490,50 @@ object Pipeline {
        |  ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS pos
        |FROM k""".stripMargin
 
+  /** Global greedy packing over the epoch-shuffle order, oracle-gated:
+    * the step after p51 in a real training pipeline — walk the corpus
+    * in shuffle order accumulating tokens and assign each doc the
+    * context-window bin its running offset lands in. The running total
+    * is Corpus.orderedPrefixSum (range partition + two-phase scan —
+    * never the single-partition window the oracle's `SUM OVER (ORDER
+    * BY …)` would force on Spark); the oracle IS that single-partition
+    * form, so matching it row-for-row proves the distributed prefix
+    * sum equals the logical running total. p22 remains the per-GROUP
+    * packing (bins never straddle groups); this is the global form
+    * (docs straddle bins, bin id = exclusive-prefix ÷ budget). */
+  private def p55(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val keyed = docs.select(col("doc_id"),
+      TextFns.hash32(concat_ws("|", lit(ShuffleSeed),
+        col("doc_id").cast("string"))).as("skey"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.Corpus
+      .orderedPrefixSum(keyed, Seq("skey", "doc_id"), "n_tokens",
+        "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / lit(PackBudget))
+          .cast("long").as("bin"))
+  }
+
+  private val p55Sql =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    ${hash32Sql(s"'$ShuffleSeed|' || CAST(doc_id AS VARCHAR)")}
+       |      AS skey,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |      tk -> length(tk) > 0)) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY skey, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum_tokens
+       |  FROM k)
+       |SELECT doc_id, n_tokens, cum_tokens,
+       |  CAST(floor((cum_tokens - n_tokens) / $PackBudget) AS BIGINT)
+       |    AS bin
+       |FROM o""".stripMargin
+
   /** Near-dup survivorship, oracle-gated: p13's connected components
     * (same capped-pair graph) plus a canonical pick per family — max
     * n_chars, min-id tie-break — mapping EVERY doc (singletons map to
@@ -2591,5 +2635,6 @@ object Pipeline {
     QueryDef("p51_epoch_shuffle", p51, Some(p51Sql)),
     QueryDef("p52_canonical_keep", p52, Some(p52Sql)),
     QueryDef("p53_ivf_binary_ann", p53, Some(p53Sql)),
-    QueryDef("p54_binary_store", p54, Some(p53Sql)))
+    QueryDef("p54_binary_store", p54, Some(p53Sql)),
+    QueryDef("p55_epoch_pack", p55, Some(p55Sql)))
 }

@@ -1007,6 +1007,32 @@ class PipelineSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("orderedPrefixSum: exact running totals, layout-invariant, nulls add 0, rejects non-bigint") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 20L), (3L, 5L), (4L, 7L), (5L, 1L))
+      .toDF("id", "v")
+    val out = Corpus.orderedPrefixSum(d, Seq("id"), "v", "cum")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    assert(out == Map(1L -> 10L, 2L -> 30L, 3L -> 35L, 4L -> 42L, 5L -> 43L))
+    // partition layout never changes a total (the offsets describe the
+    // persisted partitioning both jobs read)
+    val re = Corpus.orderedPrefixSum(d.repartition(4), Seq("id"), "v", "cum")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    assert(re == out)
+    // nulls add 0 — the SUM OVER convention
+    val withNull = Seq((1L, Some(10L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "v")
+    val nn = Corpus.orderedPrefixSum(withNull, Seq("id"), "v", "cum")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+    assert(nn == Map(1L -> 10L, 2L -> 10L, 3L -> 15L))
+    // an int value column is a loud error, not a silent wrong fold
+    val ints = Seq((1L, 10)).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Corpus.orderedPrefixSum(ints, Seq("id"), "v", "cum")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("canonical keep: max-rank doc survives per family, min-id tie-break, singletons keep themselves") {
     import spark.implicits._
     val d = Seq(
