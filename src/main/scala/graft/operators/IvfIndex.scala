@@ -147,8 +147,7 @@ object IvfIndex {
     else rows
       .join(broadcast(spark.table(s"${name}_cent")
         .select(col("list_id"), col("centroid"))), Seq("list_id"))
-      .withColumn("cb", Similarity.signPack(
-        zip_with(col("cv"), col("centroid"), (x, ce) => x - ce)))
+      .withColumn("cb", Similarity.residualPack(col("cv"), col("centroid")))
       .drop("centroid")
 
   /** Unit centroids (list_id, ucent) from the stored centroid table —
@@ -416,6 +415,51 @@ object IvfIndex {
     * already paid at [[build]] time.
     *
     * @return (query_id, rank, neighbor_id) — identical to ivfTopK */
+  /** Probed-cell projection of `{name}_cells` with the static bucket/
+    * file pruning every store read shares — the IVF mirror of
+    * ShingleIndex's partition filter: a batch can only match cells it
+    * PROBES, so the (≤ |Q|·nProbe, tiny) probed list_ids push down as
+    * a static filter on the bucket column, and Spark's bucket pruning
+    * skips every unprobed cell's files at planning. Decisive for small
+    * batches (single-query lookups read nProbe cells' files, not the
+    * corpus); self-disabling when the batch probes every cell, where
+    * an always-true isin would cost a per-row check and prune nothing.
+    *
+    * @return (pruned cells projected to `cols`, probed ids, nCells) —
+    *   the latter two so the caller's rerank read can reuse the prune.
+    */
+  private def probedCells(spark: SparkSession, name: String,
+      probes0: DataFrame,
+      cols: Seq[String]): (DataFrame, Array[Any], Long) = {
+    val nCells = spark.table(s"${name}_cent").count() // O(K) table
+    val probed = probes0.select(col("list_id")).distinct()
+      .collect().map(_.get(0))
+    val cells0 = spark.table(s"${name}_cells").select(cols.map(col): _*)
+    val cells = if (probed.length < nCells)
+      cells0.filter(col("list_id").isin(probed: _*)) else cells0
+    (cells, probed, nCells)
+  }
+
+  /** Exact-cosine re-rank of a (query_id, neighbor_id) shortlist
+    * against the STORE's cv column — the bounded raw-vector read every
+    * shortlist tier shares: the (small, ≤|Q|·R) shortlist ids collect
+    * so the cv read plans as a static isin pushed to parquet, where
+    * row-group stats on the (list_id, neighbor_id)-sorted cells skip
+    * everything else; the probed-cell prune composes on top. */
+  private def storeRerank(spark: SparkSession, name: String,
+      short: DataFrame, probed: Array[Any], nCells: Long,
+      q: DataFrame, k: Int): DataFrame = {
+    val ids = short.select(col("neighbor_id")).distinct()
+      .collect().map(_.get(0))
+    val vecs = spark.table(s"${name}_cells")
+      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
+    val vecsPruned = (if (probed.length < nCells)
+      vecs.filter(col("list_id").isin(probed: _*)) else vecs)
+      .filter(col("neighbor_id").isin(ids: _*))
+      .select(col("neighbor_id"), col("cv"), col("cv_n"))
+    Similarity.rerankExact(short, vecsPruned, q, k)
+  }
+
   def topK(queries: DataFrame, idCol: String, vecCol: String, name: String,
       k: Int, nProbe: Int = 3): DataFrame = {
     require(nProbe >= 1, s"topK: nProbe must be >= 1, got $nProbe")
@@ -427,20 +471,8 @@ object IvfIndex {
     // caller-clears-cache convention as the pair operators
     val probes = Similarity.assignCells(q, "query_id", "qv", centroids,
       nProbe).persist()
-    // FILE pruning — the IVF mirror of ShingleIndex's partition filter:
-    // a batch can only match cells it PROBES, so the (≤ |Q|·nProbe,
-    // tiny) probed list_ids push down as a static filter on the bucket
-    // column, and Spark's bucket pruning skips every unprobed cell's
-    // files at planning. Decisive for small batches (single-query
-    // lookups read nProbe cells' files, not the corpus); self-disabling
-    // when the batch probes every cell, where an always-true isin would
-    // cost a per-row check and prune nothing.
-    val nCells = centroids.count() // O(K) table
-    val probed = probes.select(col("list_id")).distinct()
-      .collect().map(_.get(0))
-    val cells0 = spark.table(s"${name}_cells")
-    val cells = if (probed.length < nCells)
-      cells0.filter(col("list_id").isin(probed: _*)) else cells0
+    val (cells, _, _) = probedCells(spark, name, probes,
+      Seq("list_id", "neighbor_id", "cv", "cv_n"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(cells, Seq("list_id"))
@@ -497,13 +529,8 @@ object IvfIndex {
         transform(col("qv"), x => x / col("qv_n")).as("qn"))
       .select(col("list_id"), col("query_id"), col("qn"),
         Similarity.dot(col("qn"), col("ucent")).as("qc"))
-    val nCells = centroids.count() // O(K) table
-    val probed = probes0.select(col("list_id")).distinct()
-      .collect().map(_.get(0))
-    val cells0 = spark.table(s"${name}_cells")
-      .select(col("list_id"), col("neighbor_id"), col("codes"))
-    val cells = if (probed.length < nCells)
-      cells0.filter(col("list_id").isin(probed: _*)) else cells0
+    val (cells, probed, nCells) = probedCells(spark, name, probes0,
+      Seq("list_id", "neighbor_id", "codes"))
     val score = col("qc") + Similarity.adcScore(col("qn"), col("codes"),
       books)
     val w = Window.partitionBy(col("query_id"))
@@ -518,18 +545,7 @@ object IvfIndex {
     else {
       val short = adcRanked.filter(col("rank") <= math.max(rerank, k))
         .select(col("query_id"), col("neighbor_id")).persist()
-      // collect the (small, ≤|Q|·R) shortlist ids so the cv read plans
-      // as a static isin: pushed to parquet, row-group stats on the
-      // (list_id, neighbor_id)-sorted cells skip everything else
-      val ids = short.select(col("neighbor_id")).distinct()
-        .collect().map(_.get(0))
-      val vecs = spark.table(s"${name}_cells")
-        .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
-      val vecsPruned = (if (probed.length < nCells)
-        vecs.filter(col("list_id").isin(probed: _*)) else vecs)
-        .filter(col("neighbor_id").isin(ids: _*))
-        .select(col("neighbor_id"), col("cv"), col("cv_n"))
-      Similarity.rerankExact(short, vecsPruned, q, k)
+      storeRerank(spark, name, short, probed, nCells, q, k)
     }
   }
 
@@ -563,15 +579,9 @@ object IvfIndex {
       .join(broadcast(centroids.select(col("list_id"), col("centroid"))),
         Seq("list_id"))
       .select(col("list_id"), col("query_id"),
-        Similarity.signPack(
-          zip_with(col("qv"), col("centroid"), (x, ce) => x - ce)).as("qb"))
-    val nCells = centroids.count() // O(K) table
-    val probed = probes0.select(col("list_id")).distinct()
-      .collect().map(_.get(0))
-    val cells0 = spark.table(s"${name}_cells")
-      .select(col("list_id"), col("neighbor_id"), col("cb"))
-    val cells = if (probed.length < nCells)
-      cells0.filter(col("list_id").isin(probed: _*)) else cells0
+        Similarity.residualPack(col("qv"), col("centroid")).as("qb"))
+    val (cells, probed, nCells) = probedCells(spark, name, probes0,
+      Seq("list_id", "neighbor_id", "cb"))
     val wHam = Window.partitionBy(col("query_id"))
       .orderBy(col("ham"), col("neighbor_id"))
     val short = cells.join(broadcast(probes), Seq("list_id"))
@@ -581,14 +591,6 @@ object IvfIndex {
       .withColumn("r", row_number().over(wHam))
       .filter(col("r") <= k * oversample)
       .select(col("query_id"), col("neighbor_id")).persist()
-    val ids = short.select(col("neighbor_id")).distinct()
-      .collect().map(_.get(0))
-    val vecs = spark.table(s"${name}_cells")
-      .select(col("list_id"), col("neighbor_id"), col("cv"), col("cv_n"))
-    val vecsPruned = (if (probed.length < nCells)
-      vecs.filter(col("list_id").isin(probed: _*)) else vecs)
-      .filter(col("neighbor_id").isin(ids: _*))
-      .select(col("neighbor_id"), col("cv"), col("cv_n"))
-    Similarity.rerankExact(short, vecsPruned, q, k)
+    storeRerank(spark, name, short, probed, nCells, q, k)
   }
 }

@@ -109,18 +109,32 @@ object Similarity {
     */
   private[graft] def assignCells(df: DataFrame, id: String, vec: String,
       centroids: DataFrame, probe: Int,
-      keep: Seq[String] = Nil, score: Option[String] = None): DataFrame = {
+      keep: Seq[String] = Nil, score: Option[String] = None,
+      carryVec: Boolean = true): DataFrame = {
     val byVec = Window.partitionBy(col(id))
       .orderBy(col("c_cos").desc, col("list_id"))
+    // carryVec=false drops the d-dim vector and norm BEFORE the
+    // nCells-fanout window — a consumer that only needs (id, cell[,
+    // score]) (assignmentDrift) would otherwise shuffle ~nCells·n·d
+    // doubles through the row_number sort for columns it projects away
+    val vecCols = if (carryVec) Seq(col(vec), col(s"${vec}_n")) else Nil
     df.join(broadcast(centroids))
-      .select(Seq(col(id), col(vec), col(s"${vec}_n"), col("list_id"),
+      .select(Seq(col(id)) ++ vecCols ++ Seq(col("list_id"),
         (dot(col(vec), col("centroid")) / (col(s"${vec}_n") * col("centroid_n")))
           .as("c_cos")) ++ keep.map(col): _*)
       .withColumn("_r", row_number().over(byVec))
       .filter(col("_r") <= probe)
-      .select(Seq(col("list_id"), col(id), col(vec), col(s"${vec}_n")) ++
+      .select(Seq(col("list_id"), col(id)) ++ vecCols ++
         keep.map(col) ++ score.map(s => col("c_cos").as(s)): _*)
   }
+
+  /** Sign-pack of the raw within-cell residual vec − centroid — THE
+    * single statement of the 1-bit residual arithmetic: the stored
+    * `cb` column, appended packs, serve-time query packs, and the
+    * in-memory [[ivfBinaryTopK]] all route through here, so the
+    * p53/p54 oracle equivalences cannot desync. */
+  private[graft] def residualPack(vec: Column, centroid: Column): Column =
+    signPack(zip_with(vec, centroid, (x, ce) => x - ce))
 
   /** Learned IVF centroids via spark.ml KMeans (k-means|| init, fixed
     * seed — deterministic for a given corpus + partitioning): the
@@ -569,9 +583,10 @@ object Similarity {
       .filter(col("v_n") > 0)
     // nearest-cell pick routes through assignCells — THE single
     // assignment implementation — with the winning cosine carried out,
-    // so the tie-break/formula the oracles replay lives in one place
+    // so the tie-break/formula the oracles replay lives in one place;
+    // carryVec=false keeps the d-dim payload out of the fanout window
     val assigned = assignCells(v, "vec_id", "v", centroids, probe = 1,
-      keep = Seq("grp"), score = Some("c_cos"))
+      keep = Seq("grp"), score = Some("c_cos"), carryVec = false)
     exactMean(assigned, Seq("grp"), "c_cos", "mean_cos")
   }
 
@@ -1110,15 +1125,15 @@ object Similarity {
     val centroids = centroidsOverride.getOrElse(
       topKByHashCentroids(c, "neighbor_id", "cv", nCells))
     val centVecs = centroids.select(col("list_id"), col("centroid"))
-    def residPack(vec: String) =
-      signPack(zip_with(col(vec), col("centroid"), (x, y) => x - y))
     val packs = assignCells(c, "neighbor_id", "cv", centroids, 1)
       .join(broadcast(centVecs), Seq("list_id"))
-      .select(col("list_id"), col("neighbor_id"), residPack("cv").as("cb"))
+      .select(col("list_id"), col("neighbor_id"),
+        residualPack(col("cv"), col("centroid")).as("cb"))
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
     val probes = assignCells(q, "query_id", "qv", centroids, nProbe)
       .join(broadcast(centVecs), Seq("list_id"))
-      .select(col("list_id"), col("query_id"), residPack("qv").as("qb"))
+      .select(col("list_id"), col("query_id"),
+        residualPack(col("qv"), col("centroid")).as("qb"))
     // a stored vector lives in exactly one cell (probe=1), so a
     // (query, neighbor) pair meets at most once — no dedup needed
     val wHam = Window.partitionBy(col("query_id"))
