@@ -622,6 +622,34 @@ object Corpus {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Deterministic exact-k per-group sample: each group keeps its
+    * min(k, |group|) members with the smallest (hash32(id), id) — the
+    * exact-count companion to the PROPORTIONAL samplers
+    * (`splitStats`' hash-mod, `temperatureSample`'s probability
+    * predicate): eval-set construction and per-domain caps need "this
+    * many, exactly, reproducibly", which a rate can't give. Same
+    * hash-order-sample rule as `topKByHashCentroids`, so it replays in
+    * SQL verbatim.
+    *
+    * Scale: one shuffle on the group key; the rank-≤-k filter compiles
+    * to WindowGroupLimit (pinned in PlanSpec), so every map task keeps
+    * only its local top-k per group BEFORE the exchange — a skewed
+    * mega-group contributes k rows per upstream partition, not its
+    * whole population, to the window sort.
+    *
+    * @return (grp, doc_id, rnk) with rnk ≤ k. */
+  def exactKPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"exactKPerGroup: k must be >= 1, got $k")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("_h"), col("doc_id"))
+    docs.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        TextFns.hash32(col(idCol).cast("string")).as("_h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("grp"), col("doc_id"), col("rnk"))
+  }
+
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, minDf: Int = 2): DataFrame = {
     require(n > 0 && k > 0, s"need positive n/k, got n=$n k=$k")

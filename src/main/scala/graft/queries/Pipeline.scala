@@ -2534,6 +2534,25 @@ object Pipeline {
        |    AS bin
        |FROM o""".stripMargin
 
+  /** Deterministic exact-k per-group sample, oracle-gated: each source
+    * keeps exactly min(k, |group|) docs by (hash32(id), id) rank — the
+    * exact-count companion to the proportional samplers (p18/p27/p31),
+    * what eval-set construction and per-domain caps actually need. The
+    * rank filter compiles to WindowGroupLimit (map-side per-group
+    * top-k, pinned in PlanSpec). */
+  private def p56(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.exactKPerGroup(
+      Tables.df(spark, dir, "documents"), "source", "doc_id", TopK * 4)
+
+  private val p56Sql =
+    s"""SELECT grp, doc_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT source AS grp, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ${hash32Sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+       |      AS rnk
+       |  FROM documents)
+       |WHERE rnk <= ${TopK * 4}""".stripMargin
+
   /** Near-dup survivorship, oracle-gated: p13's connected components
     * (same capped-pair graph) plus a canonical pick per family — max
     * n_chars, min-id tie-break — mapping EVERY doc (singletons map to
@@ -2636,5 +2655,6 @@ object Pipeline {
     QueryDef("p52_canonical_keep", p52, Some(p52Sql)),
     QueryDef("p53_ivf_binary_ann", p53, Some(p53Sql)),
     QueryDef("p54_binary_store", p54, Some(p53Sql)),
-    QueryDef("p55_epoch_pack", p55, Some(p55Sql)))
+    QueryDef("p55_epoch_pack", p55, Some(p55Sql)),
+    QueryDef("p56_exact_sample", p56, Some(p56Sql)))
 }

@@ -1033,6 +1033,21 @@ class PipelineSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("exactKPerGroup: exact counts, deterministic, small groups kept whole") {
+    import spark.implicits._
+    val d = ((1L to 30L).map(i => (i, "big")) ++ Seq((100L, "tiny")))
+      .toDF("doc_id", "source")
+    val out = Corpus.exactKPerGroup(d, "source", "doc_id", 5).collect()
+    val byGrp = out.groupBy(_.getAs[String]("grp"))
+    assert(byGrp("big").length == 5)
+    assert(byGrp("tiny").length == 1) // min(k, |group|)
+    assert(byGrp("big").map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 5))
+    // deterministic: same hash-order pick on re-run and re-layout
+    val again = Corpus.exactKPerGroup(d.repartition(7), "source", "doc_id", 5)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"))).toSet
+    assert(again == out.map(r => (r.getAs[String]("grp"), r.getAs[Long]("doc_id"))).toSet)
+  }
+
   test("canonical keep: max-rank doc survives per family, min-id tie-break, singletons keep themselves") {
     import spark.implicits._
     val d = Seq(

@@ -401,6 +401,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p56: the rank filter compiles to a map-side WindowGroupLimit") {
+    val p = plan("p56_exact_sample")
+    // TWO WindowGroupLimit nodes — the partial (before the exchange,
+    // every map task keeps its local top-k per group) and the final:
+    // the property that makes a skewed mega-group contribute k rows
+    // per upstream partition instead of its whole population
+    assert("(?m)^\\(\\d+\\) WindowGroupLimit\\b".r.findAllIn(p).size >= 2,
+      p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("grants plan: role validation, supabase normalization, quoting") {
     assert(Grants.validRoleName("app_reader"))
     assert(!Grants.validRoleName("x; drop table users--"))
