@@ -1032,14 +1032,20 @@ object Similarity {
     * whole-stage codegen. */
   private[graft] def signPack(vec: Column): Column = {
     val nWords = floor((size(vec) + lit(63)) / lit(64)).cast("int")
-    transform(sequence(lit(0), nWords - 1), w =>
-      aggregate(
-        sequence(w * 64, least(w * 64 + lit(63), size(vec) - 1)),
-        lit(0L),
-        (acc, i) => acc.bitwiseOR(
-          when(element_at(vec, i + 1) >= 0,
-            call_function("shiftleft", lit(1L), pmod(i, lit(64)).cast("int")))
-            .otherwise(lit(0L)))))
+    // size(vec)=0 would make the outer sequence(0, -1) DESCENDING and
+    // the inner fold probe element_at(vec, 0) — a runtime error, not an
+    // empty pack. Short-circuit so the helper is total on any input,
+    // not just withNorm-filtered (norm > 0 ⇒ non-empty) vectors.
+    when(size(vec) > 0,
+      transform(sequence(lit(0), nWords - 1), w =>
+        aggregate(
+          sequence(w * 64, least(w * 64 + lit(63), size(vec) - 1)),
+          lit(0L),
+          (acc, i) => acc.bitwiseOR(
+            when(element_at(vec, i + 1) >= 0,
+              call_function("shiftleft", lit(1L), pmod(i, lit(64)).cast("int")))
+              .otherwise(lit(0L))))))
+      .otherwise(array().cast("array<bigint>"))
   }
 
   /** Hamming distance between two sign-packs: Σ bit_count(xor).

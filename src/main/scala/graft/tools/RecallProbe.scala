@@ -82,6 +82,14 @@ object RecallProbe {
       recall(s"ivf_hash_nProbe$np")(Similarity.ivfTopK(
         queries, embs, "vec_id", "embedding", k, nProbe = np))
     lazy val km = Similarity.kmeansCentroids(embs, "embedding", 64)
+    // force the k-means fit OUTSIDE any timed region when a consumer
+    // survives the variant filter: recall()'s by-name thunk evaluates
+    // after t0, so an unforced lazy km would bill the whole centroid
+    // training to the first kmeans variant's reported latency and skew
+    // cross-round comparisons (kmeansCentroids' .fit is eager, so
+    // touching the val here pays the full cost now)
+    if (wants("ivf_kmeans_nProbe3", "ivfpq_kmeans_kmbooks_nProbe3",
+        "ivf_index_kmeans_nProbe3")) { val _ = km }
     recall("ivf_kmeans_nProbe3")(Similarity.ivfTopK(
       queries, embs, "vec_id", "embedding", k,
       centroidsOverride = Some(km)))

@@ -918,6 +918,13 @@ class PipelineSpec extends AnyFunSuite {
       .crossJoin(d.filter(col("id") === 2L).select(Similarity.signPack(col("v")).as("b")))
       .select(Similarity.hamming(col("a"), col("b"))).head().getInt(0)
     assert(ham == 3)
+    // empty vector packs to an empty array (no element_at(v, 0) probe
+    // from the descending sequence(0, -1)) — the helper is total even
+    // on vectors a withNorm filter never passes it
+    val empty = Seq(Tuple1(Seq.empty[Double])).toDF("v")
+      .select(Similarity.signPack(col("v")).as("b"))
+      .head().getSeq[Long](0)
+    assert(empty.isEmpty)
   }
 
   test("binary ANN: corpus-wide oversample degenerates to exact; recall >= 0.6 at 4x") {
