@@ -350,6 +350,51 @@ object Corpus {
         sum(col("n")).cast("long").as("total_tokens"))
   }
 
+  /** Leakage-safe train/val/test split: hash-split on the near-dup
+    * CLUSTER id, not the document id, so a family of near-duplicates
+    * can never straddle train and test — the standard fix for the
+    * dedup-leakage eval inflation a per-doc hash split silently
+    * allows (a test doc with a train near-twin is a leaked answer).
+    *
+    * `groups` is any (doc_id, cluster_id) assignment — typically
+    * `Clusters.connectedComponents` over near-dup pairs, which labels
+    * only docs that appear in some edge; unclustered docs fall back to
+    * their own id as a singleton group (coalesce), matching CC's
+    * min-id labeling convention. Same determinism contract as
+    * [[splitStats]]: md5-bucket of the group key, no RNG, stable under
+    * corpus growth, and a doc's split can only change if its CLUSTER
+    * membership changes. One record-scale left equi-join + the final
+    * per-split rollup; the group table is dedup output (orders of
+    * magnitude smaller than the corpus at real dup rates).
+    *
+    * @return (split, n_docs, n_groups, total_tokens) — n_groups counts
+    *         distinct group keys, proving every group lands whole
+    */
+  def splitByGroup(docs: DataFrame, idCol: String, textCol: String,
+      groups: DataFrame, cuts: Seq[(String, Int)] = Seq("train" -> 80,
+        "val" -> 90, "test" -> 100)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.head._2 > 0 &&
+      cuts.zip(cuts.tail).forall { case ((_, a), (_, b)) => a < b },
+      s"cuts must be strictly increasing upper bounds ending at 100, got $cuts")
+    val keyed = docs
+      .select(col(idCol).as("doc_id"),
+        size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n"))
+      .join(groups.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .withColumn("grp_key", coalesce(col("cluster_id"), col("doc_id")))
+    val bucket = TextFns.hash32(col("grp_key").cast("string")) % 100
+    val split = when(bucket.isNotNull,
+      cuts.init.foldRight(lit(cuts.last._1)) {
+        case ((name, ub), rest) => when(bucket < ub, lit(name)).otherwise(rest)
+      })
+    keyed
+      .select(split.as("split"), col("grp_key"), col("n"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp_key")).as("n_groups"),
+        sum(col("n")).cast("long").as("total_tokens"))
+  }
+
   /** Per-document compression ratio — the classic repetitiveness /
     * low-entropy quality signal (boilerplate, generated spam, and
     * keyword-stuffed pages compress far better than natural prose; the
@@ -648,6 +693,218 @@ object Corpus {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("grp"), col("doc_id"), col("rnk"))
+  }
+
+  /** BM25 query-by-example retrieval: rank every document against each
+    * query's leading terms and keep the top `k` (self-match excluded) —
+    * the retrieval step of retrieval-augmented curation (find the
+    * corpus documents most relevant to an eval/query set).
+    *
+    * Scoring is BM25 with the Lucene-style idf kept as the RAW odds
+    * ratio `(N - df + 0.5) / (df + 0.5)` instead of its log: the log is
+    * a per-term monotone transform whose libm implementations differ in
+    * the last ulp across engines, while the odds ratio is exact
+    * rational inputs through a fixed sequence of IEEE ops — the same
+    * determinism decision as [[tfidfTopTerms]]' rational idf. (Summing
+    * odds instead of log-odds weights rare terms more strongly; this is
+    * the operator's defined scoring function, stated openly, not an
+    * approximation of the log form.) The per-document sum runs in FIXED
+    * term-position order (pos 1 + pos 2 + …, absent terms add +0.0), so
+    * the double is bit-reproducible — never a merge-order `sum()`.
+    *
+    * Scale shape (100 TB corpus, bounded query set): the corpus
+    * tokenizes and shuffles ONCE on (doc, term) for tf — dl rides along
+    * (max of a per-doc constant), so doc lengths never need a second
+    * corpus join. Everything after that touches only the postings of
+    * the query vocabulary: the query-term set broadcasts into the tf
+    * scan, df comes from the FILTERED postings (no full-vocabulary df
+    * table is ever materialized), and corpus stats are a broadcast
+    * 1-row aggregate. The final top-k is a per-query window. Stop-term
+    * postings are the skew risk — `maxDf` drops query terms whose
+    * posting list exceeds the cap (zero-information terms, the same
+    * df-cap lever as Dedup.cappedIndex).
+    *
+    * @param queryPred picks the query documents (evaluated per row)
+    * @param nQueryTerms leading-token window of each query doc; its
+    *   distinct terms are the query, each carrying its first-occurrence
+    *   position (duplicates leave 0-contribution gaps in 1..n)
+    * @return (query_id, rnk, doc_id, score) with rnk <= k; only docs
+    *   sharing at least one (uncapped) query term are candidates
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryPred: Column, nQueryTerms: Int, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(nQueryTerms >= 1 && k >= 1,
+      s"bm25TopK: need positive nQueryTerms/k, got $nQueryTerms/$k")
+    val toks = docs
+      .select(col(idCol).as("doc_id"), queryPred.as("is_q"),
+        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    // 1-row corpus stats broadcast into the plan (no driver action);
+    // avgdl is ONE division of two exact integers
+    val stats = toks.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // pos = FIRST occurrence position of the term inside the leading
+    // window (min over duplicate slots), never an index into
+    // array_distinct output: Spark's array_distinct preserves first-
+    // occurrence order but DuckDB's list_distinct does not guarantee
+    // any order, and pos drives the fixed-order sum below — duplicate
+    // terms leave gaps in 1..nQueryTerms, which contribute +0.0
+    val qterms = toks.filter(col("is_q"))
+      .select(col("doc_id").as("query_id"),
+        posexplode(slice(col("toks"), 1, nQueryTerms)))
+      .groupBy(col("query_id"), col("col"))
+      .agg((min(col("pos")) + 1).as("pos"))
+      .select(col("query_id"), col("pos"), col("col").as("term"))
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // restrict postings to the query vocabulary BEFORE computing df:
+    // df then comes from the filtered postings for free (every
+    // (doc, term) row of a query term is already here), so the full
+    // term dictionary never materializes
+    val qvocab = qterms.select(col("term")).distinct()
+    val posting = tf.join(broadcast(qvocab), Seq("term"))
+    val dfq0 = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfq = maxDf.fold(dfq0)(cap => dfq0.filter(col("df") <= cap))
+    val kk1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val contrib = posting
+      .join(broadcast(dfq), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("pos"), col("doc_id"),
+        (((col("n_docs").cast("double") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5))) *
+          ((col("tf") * lit(kk1)) /
+            (col("tf") + lit(k1) *
+              (lit(oneMinusB) + lit(b) * (col("dl") / col("avgdl"))))))
+          .as("c"))
+    // fixed-order sum: each (query, doc, pos) contributes at most once
+    // (terms are distinct per query), so the conditional max is exact
+    // and c1 + c2 + … + cn is the same float in any engine
+    val perPos = (1 to nQueryTerms).map(p =>
+      max(when(col("pos") === p, col("c"))).as(s"c$p"))
+    val summed = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(perPos.head, perPos.tail: _*)
+      .select(col("query_id"), col("doc_id"),
+        (1 to nQueryTerms).map(p => coalesce(col(s"c$p"), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    summed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score"))
+  }
+
+  /** Count–min sketch over doc-distinct word n-grams: a `depth` ×
+    * `width` counter matrix answering "how many documents contain this
+    * n-gram?" WITHOUT storing the n-gram dictionary — the frequency
+    * oracle for boilerplate screening at corpus scales where the gram
+    * table itself (trillions of distinct grams at 100 TB) dwarfs the
+    * data that produced it.
+    *
+    * Unlike Space-Saving/Misra–Gries, the CMS is a pure SUM structure:
+    * counters are order- and partition-invariant, every estimate is
+    * deterministic, and the whole sketch replays in SQL — so this is
+    * the rare sketch that can be driver-gated bit-exactly (the same
+    * reason KMV was chosen for distinct counts). Row hashes are
+    * seed-prefixed md5 ("cms<row>:<gram>"), shared with the oracle.
+    *
+    * Scale shape: build is one shuffle keyed on (row, bucket) with
+    * map-side partial counts — the reduce state is at most
+    * depth × width counters per task regardless of corpus size; the
+    * finished matrix is O(depth·width) rows and BROADCASTS to answer
+    * any number of point queries with zero further shuffles.
+    *
+    * @return (rw, bucket, cnt) — at most depth·width rows
+    */
+  def cmsNgramMatrix(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"cmsNgramMatrix: need positive depth/width, got $depth/$width")
+    Dedup.shingleDocs(docs, idCol, textCol, n)
+      .select(explode(col("shingles")).as("ngram"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("rw"), col("ngram"))
+      .select(col("rw"),
+        (TextFns.hash32(concat(lit("cms"), col("rw").cast("string"),
+          lit(":"), col("ngram"))) % width).as("bucket"))
+      .groupBy(col("rw"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS point estimates for a candidate n-gram set: df_est(g) =
+    * min over rows of counter[h_row(g)] — an upper bound on the true
+    * document frequency (counters only ever over-count via collisions;
+    * an absent bucket IS zero, hence the left join + coalesce). The
+    * matrix side broadcasts (O(depth·width) rows); candidates stream
+    * through a pure map + tiny grouped min.
+    *
+    * @return (ngram, df_est) with df_est >= true df, always
+    */
+  def cmsEstimateDf(matrix: DataFrame, candidates: DataFrame,
+      ngramCol: String, depth: Int, width: Int): DataFrame =
+    candidates
+      .select(col(ngramCol).as("ngram"),
+        explode(sequence(lit(0), lit(depth - 1))).as("rw"))
+      .select(col("ngram"), col("rw"),
+        (TextFns.hash32(concat(lit("cms"), col("rw").cast("string"),
+          lit(":"), col("ngram"))) % width).as("bucket"))
+      .join(broadcast(matrix), Seq("rw", "bucket"), "left")
+      .groupBy(col("ngram"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("df_est"))
+
+  /** Two-pass exact heavy hitters through a CMS pre-filter — the
+    * scale-out answer to "which n-grams appear in >= minDf documents?"
+    * when the full gram dictionary is too large to shuffle. Pass 1
+    * builds the [[cmsNgramMatrix]]; pass 2 re-scans the corpus and
+    * filters each (doc, gram) row MAP-SIDE against the sketch (the
+    * depth × width counter matrix rides into the expression as dense
+    * literal arrays — O(depth·width) driver state, the same bounded
+    * class as a centroid broadcast), so the exact groupBy only ever
+    * shuffles grams the sketch says might qualify. CMS never
+    * under-counts (est >= true df, always), so the pre-filter is a
+    * guaranteed superset of the true heavy hitters and the final
+    * result is EXACT — the sketch only decides how much the shuffle
+    * shrinks, never what the answer is.
+    *
+    * Shuffle volume drops from O(distinct grams) to O(true heavy
+    * hitters + collision false positives); size `width` >> expected
+    * distinct heavy grams to keep the false-positive term small.
+    *
+    * @return (ngram, df, df_est) — exact df >= minDf, plus the sketch
+    *         estimate that admitted the gram (df_est >= df)
+    */
+  def cmsHeavyHitters(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, depth: Int, width: Int, minDf: Long): DataFrame = {
+    require(minDf >= 1, s"cmsHeavyHitters: minDf must be >= 1, got $minDf")
+    // dense per-row counter arrays (absent buckets are true zeros)
+    val counters = Array.fill(depth)(new Array[Long](width))
+    cmsNgramMatrix(docs, idCol, textCol, n, depth, width).collect()
+      .foreach { r =>
+        counters(r.getAs[Int]("rw"))(r.getAs[Long]("bucket").toInt) =
+          r.getAs[Long]("cnt")
+      }
+    // pure expression: min over depth of counter[h_row(gram)] — stays
+    // inside whole-stage codegen, no join against the matrix needed
+    def est(g: Column): Column = {
+      val per = (0 until depth).map { d =>
+        element_at(lit(counters(d)),
+          (TextFns.hash32(concat(lit("cms"), lit(d.toString), lit(":"), g))
+            % width).cast("int") + 1)
+      }
+      per.reduceLeft(least(_, _))
+    }
+    Dedup.shingleDocs(docs, idCol, textCol, n)
+      .select(explode(col("shingles")).as("ngram"))
+      .filter(est(col("ngram")) >= minDf) // map-side: before ANY shuffle
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("df_est", est(col("ngram")))
   }
 
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,

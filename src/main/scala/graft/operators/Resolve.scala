@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Entity resolution over dirty string keys — the record-linkage step a
+  * multi-source training corpus needs before any per-entity dedup or
+  * survivorship (two catalogs spelling the same product/author/site
+  * slightly differently must resolve to one entity, or per-entity caps
+  * and dedup silently undercount).
+  *
+  * The classic shape: canonicalize → exact-group → block → match. Exact
+  * grouping FIRST is the 100 TB design decision: the fuzzy join runs on
+  * the DISTINCT canonical names (bounded vocabulary), never on the
+  * records themselves — a corpus with billions of rows but millions of
+  * names fuzzy-joins the millions, and each resolved name pair maps
+  * back to records as a plain equi-join.
+  */
+object Resolve {
+
+  private def par(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
+  /** Blocked fuzzy self-join over canonical names: pairs of DISTINCT
+    * normalized names that (a) share at least one blocking token and
+    * (b) sit within `maxDist` Levenshtein edits — each pair annotated
+    * with the min-id representative and record support of both sides,
+    * ready for the existing CC + survivorship pipeline
+    * ([[Clusters.connectedComponents]] / canonical-keep) to turn edges
+    * into entity ids.
+    *
+    * Blocking is standard token blocking with a size cap: a name enters
+    * the candidate stage once per distinct token, and tokens whose
+    * block exceeds `maxBlock` names are dropped entirely — a stop-token
+    * ("inc", "ltd", "the") blocks half the vocabulary into one O(n²)
+    * block, and a pair sharing ONLY stop-tokens is noise anyway (the
+    * same df-cap reasoning as Dedup.cappedIndex). Pairs are
+    * deduplicated across blocks BEFORE the edit-distance gate, so
+    * Levenshtein (O(len²) per pair, the expensive predicate) runs once
+    * per candidate pair. Spark's `levenshtein` and DuckDB's are both
+    * exact integer DP — the gate is engine-portable.
+    *
+    * Scale: one shuffle to distinct the names, one on the blocking
+    * token (capped, so no block is quadratic-unbounded), one to dedup
+    * candidate pairs; the name table re-joins only on equality.
+    *
+    * @return (name_a, name_b, dist, id_a, id_b, n_a, n_b) with
+    *   name_a < name_b, dist in [1, maxDist]
+    */
+  /** Exact-group step shared by the pair and entity-id operators: one
+    * row per DISTINCT non-empty canonical name, with the min record id
+    * as its representative and the record support count. */
+  private def canonicalNames(recs: DataFrame, idCol: String,
+      nameCol: String): DataFrame =
+    recs
+      .select(TextFns.normText(col(nameCol)).as("name"), col(idCol).as("rid"))
+      .filter(length(col("name")) > 0)
+      .groupBy(col("name"))
+      .agg(min(col("rid")).as("rep_id"), count(lit(1)).as("n_recs"))
+      .repartition(par(recs), col("name"))
+
+  def fuzzyNamePairs(recs: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int, maxBlock: Long = 1000L): DataFrame = {
+    require(maxDist >= 1, s"fuzzyNamePairs: maxDist must be >= 1, got $maxDist")
+    require(maxBlock >= 2, s"fuzzyNamePairs: maxBlock must be >= 2, got $maxBlock")
+    val names = canonicalNames(recs, idCol, nameCol)
+    val blocks = names.select(col("name"),
+      explode(array_distinct(TextFns.tokens(col("name")))).as("blk"))
+    val kept = blocks.join(
+      blocks.groupBy(col("blk")).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") <= maxBlock),
+      Seq("blk"))
+    val cand = kept.select(col("blk"), col("name").as("name_a"))
+      .join(kept.select(col("blk"), col("name").as("name_b")), Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+    cand
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .join(names.select(col("name").as("name_a"), col("rep_id").as("id_a"),
+        col("n_recs").as("n_a")), Seq("name_a"))
+      .join(names.select(col("name").as("name_b"), col("rep_id").as("id_b"),
+        col("n_recs").as("n_b")), Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+  }
+
+  /** End-to-end entity-id assignment: every record whose canonical name
+    * is non-empty gets an `entity_id` — the min record id reachable
+    * through the fuzzy-pair graph (names within `maxDist` edits sharing
+    * a block token resolve to one entity, transitively). The id is
+    * CONTENT-derived (min original record id of the entity), so it is
+    * stable across runs, engines, and cluster layouts — never a
+    * monotonically_increasing_id.
+    *
+    * Composition, all at name-vocabulary (not record) scale:
+    * [[fuzzyNamePairs]] emits rep-id edges → `Clusters
+    * .connectedComponents` closes them transitively (checkpointed
+    * pointer-doubling, holds at 10^9 edges) → names not in any edge
+    * keep their own rep as a singleton entity → ONE record-scale
+    * equi-join maps records to entities through their name. Empty /
+    * NULL canonical names carry no linkage evidence and are excluded
+    * (same contract as the pair stage).
+    *
+    * @return (rid, name, entity_id) — one row per contributing record
+    */
+  def entityIds(recs: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int, maxBlock: Long = 1000L): DataFrame = {
+    val names = canonicalNames(recs, idCol, nameCol)
+    val edges = fuzzyNamePairs(recs, idCol, nameCol, maxDist, maxBlock)
+      .select(col("id_a").as("ida"), col("id_b").as("idb"))
+    val cc = Clusters.connectedComponents(edges)
+      .select(col("doc_id").as("rep_id"), col("cluster_id"))
+    val nameEntity = names
+      .join(cc, Seq("rep_id"), "left")
+      .select(col("name"),
+        coalesce(col("cluster_id"), col("rep_id")).as("entity_id"))
+    recs
+      .select(col(idCol).as("rid"),
+        TextFns.normText(col(nameCol)).as("name"))
+      .join(nameEntity, Seq("name"))
+      .select(col("rid"), col("name"), col("entity_id"))
+  }
+}

@@ -2596,6 +2596,278 @@ object Pipeline {
        |  a.doc_id = k.kept_id AS is_kept
        |FROM al a JOIN k USING (cluster_id)""".stripMargin
 
+  // BM25 query-by-example retrieval: every BmQueryMod-th doc is a
+  // query, its leading-window terms score the whole corpus
+  private val BmQueryMod = 250
+  private val BmTerms = 8
+  private val BmK1 = 1.2
+  private val BmB = 0.75
+  // count-min sketch: depth x width doc-frequency counter matrix;
+  // probe docs supply the candidate n-grams whose df is estimated
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+  private val CmsProbeMod = 250
+  // heavy-hitter df threshold: ~150 trigrams qualify at sf0.01
+  private val HhMinDf = 5L
+  // entity resolution: levenshtein gate on canonical part names
+  private val ResolveMaxDist = 2
+
+  /** BM25 retrieval, oracle-gated: rank the corpus against each query
+    * doc's leading terms, keep the top k. Scoring keeps idf as the RAW
+    * odds ratio (no log — engine libm divergence) and sums per-term
+    * contributions in FIXED first-occurrence-position order, so the
+    * double is bit-identical in both engines (see
+    * [[graft.operators.Corpus.bm25TopK]]). The oracle replays
+    * tokenize → tf/dl → query-vocab df → odds-ratio BM25 → fixed-order
+    * sum → per-query window verbatim. */
+  private def p57(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bm25TopK(
+      Tables.df(spark, dir, "documents"), "doc_id", "text",
+      col("doc_id") % BmQueryMod === 0, BmTerms, TopK,
+      k1 = BmK1, b = BmB)
+
+  private val p57Sql = {
+    val toks = toksSql(normSql("text"))
+    val kk1 = BmK1 + 1.0
+    val omb = 1.0 - BmB
+    val cMax = (1 to BmTerms).map(p =>
+      s"MAX(CASE WHEN pos = $p THEN c END) AS c$p").mkString(", ")
+    val cSum = (1 to BmTerms).map(p => s"coalesce(c$p, CAST(0.0 AS DOUBLE))")
+      .mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |st AS (SELECT COUNT(*) AS n_docs,
+       |        SUM(len(toks))::DOUBLE / COUNT(*) AS avgdl FROM t),
+       |q0 AS (SELECT doc_id AS query_id,
+       |        unnest(toks[1:$BmTerms]) AS term,
+       |        unnest(generate_series(1, least(len(toks), $BmTerms))) AS pos
+       |       FROM t WHERE doc_id % $BmQueryMod = 0),
+       |q AS (SELECT query_id, term, MIN(pos) AS pos FROM q0 GROUP BY 1, 2),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+       |       FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |             FROM t)
+       |       GROUP BY 1, 2),
+       |post AS (SELECT tf.* FROM tf
+       |         JOIN (SELECT DISTINCT term FROM q) v USING (term)),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+       |contrib AS (
+       |  SELECT q.query_id, q.pos, p.doc_id,
+       |    ((st.n_docs::DOUBLE - dfq.df + CAST(0.5 AS DOUBLE))
+       |        / (dfq.df + CAST(0.5 AS DOUBLE))) *
+       |    ((p.tf * CAST($kk1 AS DOUBLE)) /
+       |      (p.tf + CAST($BmK1 AS DOUBLE) * (CAST($omb AS DOUBLE)
+       |        + CAST($BmB AS DOUBLE) * (p.dl / st.avgdl)))) AS c
+       |  FROM post p JOIN dfq USING (term) JOIN q USING (term), st
+       |  WHERE p.doc_id != q.query_id),
+       |summed AS (SELECT query_id, doc_id, $cMax FROM contrib GROUP BY 1, 2),
+       |sc AS (SELECT query_id, doc_id, $cSum AS score FROM summed)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** Count-min sketch df estimation, oracle-gated: build the depth ×
+    * width counter matrix over doc-distinct trigrams, then answer
+    * point df queries for the probe docs' trigrams — the dictionary-
+    * free frequency oracle ([[graft.operators.Corpus.cmsNgramMatrix]]).
+    * Pure integer sums, so the whole sketch (build AND probe) replays
+    * bit-exactly in SQL. */
+  private def p58(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val matrix = graft.operators.Corpus.cmsNgramMatrix(
+      docs, "doc_id", "text", BoilerN, CmsDepth, CmsWidth)
+    val cands = Dedup
+      .shingleDocs(docs.filter(col("doc_id") % CmsProbeMod === 0),
+        "doc_id", "text", BoilerN)
+      .select(explode(col("shingles")).as("ngram")).distinct()
+    graft.operators.Corpus.cmsEstimateDf(
+      matrix, cands, "ngram", CmsDepth, CmsWidth)
+  }
+
+  private val p58Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), BoilerN)
+    def bkt(row: String, g: String) =
+      s"(${hash32Sql(s"'cms' || $row || ':' || $g")} % $CmsWidth)"
+    s"""WITH sh AS (SELECT doc_id, $sh AS shingles FROM documents),
+       |g AS (SELECT unnest(shingles) AS ngram FROM sh),
+       |rg AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS rw,
+       |         ngram FROM g),
+       |m AS (SELECT rw, ${bkt("rw", "ngram")} AS bucket, COUNT(*) AS cnt
+       |      FROM rg GROUP BY 1, 2),
+       |c AS (SELECT DISTINCT ngram FROM (
+       |        SELECT unnest(shingles) AS ngram FROM sh
+       |        WHERE doc_id % $CmsProbeMod = 0)),
+       |cr AS (SELECT ngram, unnest(generate_series(0, ${CmsDepth - 1}))
+       |         AS rw FROM c),
+       |cb AS (SELECT ngram, rw, ${bkt("rw", "ngram")} AS bucket FROM cr)
+       |SELECT ngram, MIN(COALESCE(cnt, 0)) AS df_est
+       |FROM cb LEFT JOIN m USING (rw, bucket)
+       |GROUP BY ngram""".stripMargin
+  }
+
+  /** Entity resolution, oracle-gated: blocked fuzzy self-join over the
+    * DISTINCT canonical part names — token blocking, cross-block pair
+    * dedup, then the exact-integer levenshtein gate
+    * ([[graft.operators.Resolve.fuzzyNamePairs]]). Both engines run
+    * the same DP edit distance, so the pair set matches exactly. */
+  private def p59(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Resolve.fuzzyNamePairs(
+      Tables.df(spark, dir, "part"), "p_partkey", "p_name",
+      ResolveMaxDist)
+
+  /** Shared oracle CTEs for the entity-resolution stages: canonical
+    * name groups over `part`, token blocking with the 1000-name cap,
+    * cross-block-deduped candidate pairs, and the levenshtein gate —
+    * the SQL mirror of Resolve.canonicalNames + fuzzyNamePairs. */
+  private val resolveCtes = {
+    val toks = toksSql("name")
+    s"""names AS (
+       |  SELECT name, MIN(rid) AS rep_id, COUNT(*) AS n_recs FROM (
+       |    SELECT ${normSql("p_name")} AS name, p_partkey AS rid
+       |    FROM part) n
+       |  WHERE length(name) > 0 GROUP BY name),
+       |blocks AS (
+       |  SELECT name, unnest(list_distinct($toks)) AS blk FROM names),
+       |bsz AS (SELECT blk FROM blocks GROUP BY blk
+       |        HAVING COUNT(*) <= 1000),
+       |kept AS (SELECT b.blk, b.name FROM blocks b JOIN bsz USING (blk)),
+       |cand AS (
+       |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+       |  FROM kept a JOIN kept b ON a.blk = b.blk AND a.name < b.name),
+       |d AS (
+       |  SELECT name_a, name_b,
+       |    CAST(levenshtein(name_a, name_b) AS INT) AS dist
+       |  FROM cand)""".stripMargin
+  }
+
+  private val p59Sql =
+    s"""WITH $resolveCtes
+       |SELECT d.name_a, d.name_b, d.dist, na.rep_id AS id_a,
+       |  nb.rep_id AS id_b, na.n_recs AS n_a, nb.n_recs AS n_b
+       |FROM d
+       |JOIN names na ON na.name = d.name_a
+       |JOIN names nb ON nb.name = d.name_b
+       |WHERE d.dist <= $ResolveMaxDist""".stripMargin
+
+  /** Entity-id assignment, oracle-gated: the fuzzy pair graph closed
+    * transitively, every part record labeled with the min reachable
+    * record id of its entity ([[graft.operators.Resolve.entityIds]]).
+    * The Spark side runs the scale-adaptive CC (single-task union-find
+    * here, pointer-doubling at 10^9 edges); the oracle closes the same
+    * rep-id edges with a recursive CTE — both converge to the same
+    * min-id labels, so the match is exact. */
+  private def p60(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Resolve.entityIds(
+      Tables.df(spark, dir, "part"), "p_partkey", "p_name",
+      ResolveMaxDist)
+
+  private val p60Sql =
+    s"""WITH RECURSIVE
+       |$resolveCtes,
+       |e AS (
+       |  SELECT na.rep_id AS id_a, nb.rep_id AS id_b
+       |  FROM d
+       |  JOIN names na ON na.name = d.name_a
+       |  JOIN names nb ON nb.name = d.name_b
+       |  WHERE d.dist <= $ResolveMaxDist),
+       |und AS (SELECT id_a AS u, id_b AS v FROM e
+       |        UNION SELECT id_b, id_a FROM e),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+       |  WHERE r.u != e2.v),
+       |cl AS (
+       |  SELECT n.u AS rep_id, least(n.u, MIN(r.v)) AS cluster_id
+       |  FROM (SELECT DISTINCT u FROM und) n
+       |  JOIN reach r ON r.u = n.u
+       |  GROUP BY n.u),
+       |ne AS (
+       |  SELECT names.name,
+       |    COALESCE(cl.cluster_id, names.rep_id) AS entity_id
+       |  FROM names LEFT JOIN cl USING (rep_id))
+       |SELECT p.rid, p.name, ne.entity_id
+       |FROM (SELECT p_partkey AS rid, ${normSql("p_name")} AS name
+       |      FROM part) p
+       |JOIN ne USING (name)""".stripMargin
+
+  /** CMS-filtered exact heavy hitters, oracle-gated: grams whose
+    * document frequency reaches HhMinDf, found through the map-side
+    * count-min pre-filter ([[graft.operators.Corpus.cmsHeavyHitters]]).
+    * The sketch over-counts only, so the exact recount of survivors is
+    * provably the full answer; the oracle replays matrix, estimates,
+    * and exact df in pure integers. */
+  private def p61(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.cmsHeavyHitters(
+      Tables.df(spark, dir, "documents"), "doc_id", "text",
+      BoilerN, CmsDepth, CmsWidth, HhMinDf)
+
+  private val p61Sql = {
+    val sh = shinglesSql(toksSql(normSql("text")), BoilerN)
+    def bkt(row: String, g: String) =
+      s"(${hash32Sql(s"'cms' || $row || ':' || $g")} % $CmsWidth)"
+    s"""WITH sh AS (SELECT doc_id, $sh AS shingles FROM documents),
+       |g AS (SELECT doc_id, unnest(shingles) AS ngram FROM sh),
+       |rg AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS rw,
+       |         ngram FROM g),
+       |m AS (SELECT rw, ${bkt("rw", "ngram")} AS bucket, COUNT(*) AS cnt
+       |      FROM rg GROUP BY 1, 2),
+       |hh AS (SELECT ngram, COUNT(*) AS df FROM g GROUP BY 1
+       |       HAVING COUNT(*) >= $HhMinDf),
+       |hr AS (SELECT ngram, df,
+       |         unnest(generate_series(0, ${CmsDepth - 1})) AS rw
+       |       FROM hh),
+       |hb AS (SELECT ngram, df, rw, ${bkt("rw", "ngram")} AS bucket
+       |       FROM hr)
+       |SELECT ngram, MAX(df) AS df, MIN(COALESCE(m.cnt, 0)) AS df_est
+       |FROM hb LEFT JOIN m USING (rw, bucket)
+       |GROUP BY ngram""".stripMargin
+  }
+
+  /** Leakage-safe split, oracle-gated: the p13 near-dup clusters become
+    * the split key, so no near-dup family straddles train/test
+    * ([[graft.operators.Corpus.splitByGroup]]). The oracle replays the
+    * capped pair generation, closes clusters with the recursive CTE,
+    * and re-runs the md5 bucket split on the group key. */
+  private def p62(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val clusters = graft.operators.Clusters.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", ShingleN,
+        JaccardNum, JaccardDen, maxDocFreq = Some(JaccardMaxDf)))
+    graft.operators.Corpus.splitByGroup(docs, "doc_id", "text", clusters)
+  }
+
+  private val p62Sql = {
+    val toks = toksSql(normSql("text"))
+    val bucket = s"(${hash32Sql("CAST(grp_key AS VARCHAR)")} % 100)"
+    s"""WITH RECURSIVE
+       |${cappedPairsCtes("documents", JaccardMaxDf)},
+       |und AS (SELECT ida AS u, idb AS v FROM pairs
+       |        UNION SELECT idb, ida FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u
+       |  WHERE r.u != e.v),
+       |cl AS (SELECT n.u AS doc_id, least(n.u, MIN(r.v)) AS cluster_id
+       |       FROM (SELECT DISTINCT u FROM und) n
+       |       JOIN reach r ON r.u = n.u
+       |       GROUP BY n.u),
+       |k AS (SELECT d.doc_id,
+       |        COALESCE(cl.cluster_id, d.doc_id) AS grp_key,
+       |        len($toks) AS n
+       |      FROM documents d LEFT JOIN cl USING (doc_id))
+       |SELECT CASE WHEN $bucket < 80 THEN 'train'
+       |            WHEN $bucket < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT grp_key) AS n_groups,
+       |  SUM(n)::BIGINT AS total_tokens
+       |FROM k GROUP BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -2656,5 +2928,11 @@ object Pipeline {
     QueryDef("p53_ivf_binary_ann", p53, Some(p53Sql)),
     QueryDef("p54_binary_store", p54, Some(p53Sql)),
     QueryDef("p55_epoch_pack", p55, Some(p55Sql)),
-    QueryDef("p56_exact_sample", p56, Some(p56Sql)))
+    QueryDef("p56_exact_sample", p56, Some(p56Sql)),
+    QueryDef("p57_bm25_retrieval", p57, Some(p57Sql)),
+    QueryDef("p58_cms_df_estimate", p58, Some(p58Sql)),
+    QueryDef("p59_entity_resolution", p59, Some(p59Sql)),
+    QueryDef("p60_entity_ids", p60, Some(p60Sql)),
+    QueryDef("p61_cms_heavy_hitters", p61, Some(p61Sql)),
+    QueryDef("p62_leakage_safe_split", p62, Some(p62Sql)))
 }

@@ -1077,4 +1077,201 @@ class PipelineSpec extends AnyFunSuite {
     // exactly one keeper per family
     assert(out.values.count(_._3) == 3)
   }
+
+  test("bm25: rare-term doc outranks common-term doc, self excluded, layout-invariant") {
+    import spark.implicits._
+    // query doc 10 leads with "zebra quark"; zebra appears in ONE other
+    // doc, quark in THREE → the zebra doc must outrank any quark-only doc
+    val d = Seq(
+      (10L, "zebra quark filler words here"),
+      (1L, "zebra walks alone tonight"),
+      (2L, "quark soup again today"),
+      (3L, "quark salad every day"),
+      (4L, "quark stew for dinner"),
+      (5L, "nothing relevant at all"))
+      .toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(d, "doc_id", "text",
+      col("doc_id") === 10L, nQueryTerms = 2, k = 10)
+    val rows = out.collect().map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    // self never scored; doc 5 shares no term → absent
+    assert(!rows.exists(_._3 == 10L) && !rows.exists(_._3 == 5L))
+    assert(rows.map(_._3).toSet == Set(1L, 2L, 3L, 4L))
+    // rare zebra beats common quark
+    assert(rows.find(_._2 == 1).get._3 == 1L)
+    // ties among the quark docs break by doc_id (identical tf/dl/df)
+    assert(rows.sortBy(_._2).map(_._3).toSeq == Seq(1L, 2L, 3L, 4L))
+    // bit-identical scores under a different partition layout
+    val out2 = Corpus.bm25TopK(d.repartition(7), "doc_id", "text",
+      col("doc_id") === 10L, nQueryTerms = 2, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      out2.sortBy(r => (r._1, r._2)).toSeq)
+    // maxDf drops the stop term: cap df at 2 → quark (df 3, counting the
+    // query doc's own posting) is gone, only the zebra doc remains
+    val capped = Corpus.bm25TopK(d, "doc_id", "text",
+      col("doc_id") === 10L, nQueryTerms = 2, k = 10, maxDf = Some(2L))
+    assert(capped.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L))
+  }
+
+  test("cms: df_est >= true df, exact at collision-free width, absent gram = 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma other"),
+      (3L, "alpha beta gamma words"),
+      (4L, "totally unrelated text here"))
+      .toDF("doc_id", "text")
+    // true df: "alpha beta gamma" in 3 docs, "beta gamma delta" in 1
+    val truth = Dedup.shingleDocs(d, "doc_id", "text", 3)
+      .select(col("doc_id"), explode(col("shingles")).as("ngram"))
+      .groupBy("ngram").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cands = (truth.keys.toSeq :+ "never seen anywhere").toDF("ngram")
+    // tiny width forces collisions → estimates only ever OVER-count
+    val tiny = Corpus.cmsEstimateDf(
+      Corpus.cmsNgramMatrix(d, "doc_id", "text", 3, depth = 4, width = 8),
+      cands, "ngram", depth = 4, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (g, df) => assert(tiny(g) >= df, s"under-count $g") }
+    // generous width → collision-free → exact df, absent gram hits an
+    // empty bucket in at least one row → min = 0
+    val wide = Corpus.cmsEstimateDf(
+      Corpus.cmsNgramMatrix(d, "doc_id", "text", 3, depth = 4, width = 65536),
+      cands, "ngram", depth = 4, width = 65536)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (g, df) => assert(wide(g) == df) }
+    assert(wide("never seen anywhere") == 0L)
+    // the matrix never exceeds depth x width rows
+    val m = Corpus.cmsNgramMatrix(d, "doc_id", "text", 3, 4, 8)
+    assert(m.count() <= 4L * 8L)
+  }
+
+  test("fuzzy name pairs: edit-distance gate, block cap, exact-group support counts") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Acme Widget Corp"),
+      (2L, "acme widget corp"),   // exact dup after normText → same name row
+      (3L, "Acme Widgets Corp"),  // dist 1 from "acme widget corp"
+      (4L, "Acme Gadget Corp Limited"), // shares blocks, dist 10 — outside the gate
+      (5L, "Zenith Lamps"),
+      (6L, "Zenith Lampz"))       // dist 1
+      .toDF("id", "name")
+    val out = graft.operators.Resolve
+      .fuzzyNamePairs(d, "id", "name", maxDist = 2)
+    val pairs = out.collect().map(r => (r.getAs[String]("name_a"),
+      r.getAs[String]("name_b"), r.getAs[Int]("dist"),
+      r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+    assert(pairs.length == 2)
+    val acme = pairs.find(_._1.startsWith("acme widget")).get
+    // lexical order, rep = min record id, support counts the exact dups
+    assert(acme == (("acme widget corp", "acme widgets corp", 1, 1L, 3L, 2L, 1L)))
+    assert(pairs.exists(p => p._1 == "zenith lamps" && p._2 == "zenith lampz"
+      && p._3 == 1 && p._6 == 1L && p._7 == 1L))
+    // a tight block cap kills the oversized blocks: "acme" and "corp"
+    // each cover 3 names (> 2) → dropped; the acme pair loses its only
+    // shared tokens, only zenith's 2-name block survives
+    val capped = graft.operators.Resolve
+      .fuzzyNamePairs(d, "id", "name", maxDist = 2, maxBlock = 2)
+    assert(capped.collect().map(r => r.getAs[String]("name_a")).toSet ==
+      Set("zenith lamps"))
+  }
+
+  test("entity ids: transitive closure through a chain, singletons self, dups co-assign") {
+    import spark.implicits._
+    // chain: lampa ~ lampb ~ lampc (a↔c is dist 2, still an edge, but
+    // transitivity is what forces one entity even without it); "acme
+    // widget" far from all; record 6 is an exact dup of record 2's name
+    val d = Seq(
+      (1L, "zenith lampa"),
+      (2L, "zenith lampb"),
+      (3L, "zenith lampc"),
+      (4L, "acme widget"),
+      (5L, ""),                 // empty after norm → excluded
+      (6L, "Zenith LampB"))     // exact dup of 2 after norm
+      .toDF("id", "name")
+    val out = graft.operators.Resolve.entityIds(d, "id", "name", maxDist = 1)
+      .collect().map(r => r.getAs[Long]("rid") ->
+        ((r.getAs[String]("name"), r.getAs[Long]("entity_id")))).toMap
+    // min record id of the connected family labels everyone
+    assert(out(1L)._2 == 1L && out(2L)._2 == 1L && out(3L)._2 == 1L)
+    assert(out(6L) == (("zenith lampb", 1L)))
+    // unlinked name keeps its own rep as a singleton entity
+    assert(out(4L)._2 == 4L)
+    // empty-name record carries no linkage evidence → excluded
+    assert(!out.contains(5L) && out.size == 5)
+  }
+
+  test("cms heavy hitters: exact result through a colliding sketch, est >= df") {
+    import spark.implicits._
+    val d = (1 to 8).map(i => (i.toLong, "the common prefix here"))
+      .toDF("doc_id", "text")
+      .union(Seq((9L, "one rare trigram only"),
+        (10L, "another rare gram text")).toDF("doc_id", "text"))
+    // naive truth: df per trigram
+    val truth = Dedup.shingleDocs(d, "doc_id", "text", 3)
+      .select(explode(col("shingles")).as("ngram"))
+      .groupBy("ngram").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = truth.filter(_._2 >= 3L)
+    // width 4 forces heavy collisions — the answer must not change
+    val out = Corpus.cmsHeavyHitters(d, "doc_id", "text",
+      n = 3, depth = 4, width = 4, minDf = 3L)
+      .collect().map(r => (r.getAs[String]("ngram"), r.getAs[Long]("df"),
+        r.getAs[Long]("df_est")))
+    assert(out.map(h => h._1 -> h._2).toMap == expect)
+    out.foreach(h => assert(h._3 >= h._2, s"sketch under-counted ${h._1}"))
+    // sub-threshold grams never surface even if their sketch cell is hot
+    assert(out.forall(_._2 >= 3L))
+  }
+
+  test("split by group: near-dup families never straddle splits, growth-stable") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"document number $i body words"))
+      .toDF("doc_id", "text")
+    // three families with far-apart member ids — a per-doc hash split
+    // would almost surely scatter at least one of them
+    val groups = Seq((1L, 1L), (31L, 1L), (57L, 1L),
+      (2L, 2L), (44L, 2L), (9L, 9L), (23L, 9L)).toDF("doc_id", "cluster_id")
+    val stats = Corpus.splitByGroup(docs, "doc_id", "text", groups)
+      .collect().map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_groups")))).toMap
+    assert(stats.values.map(_._1).sum == 60L)
+    // 53 singletons + 3 families = 56 distinct groups across all splits
+    assert(stats.values.map(_._2).sum == 56L)
+    // per-doc assignment: every family lands whole
+    val perDoc = docs
+      .join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("k"))
+    val assign = perDoc.withColumn("b",
+        graft.functions.TextFns.hash32(col("k").cast("string")) % 100)
+      .withColumn("s", when(col("b") < 80, "train")
+        .when(col("b") < 90, "val").otherwise("test"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("s"))
+      .toMap
+    Seq(Seq(1L, 31L, 57L), Seq(2L, 44L), Seq(9L, 23L)).foreach { fam =>
+      assert(fam.map(assign).distinct.size == 1, s"family $fam straddles")
+    }
+    // growth stability: doubling the corpus never moves an old doc
+    val grown = (1L to 120L).map(i => (i, s"document number $i body words"))
+      .toDF("doc_id", "text")
+    val assign2 = grown.join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("k"))
+      .withColumn("b",
+        graft.functions.TextFns.hash32(col("k").cast("string")) % 100)
+      .withColumn("s", when(col("b") < 80, "train")
+        .when(col("b") < 90, "val").otherwise("test"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("s"))
+      .toMap
+    assert((1L to 60L).forall(i => assign(i) == assign2(i)))
+    // malformed cuts rejected
+    intercept[IllegalArgumentException] {
+      Corpus.splitByGroup(docs, "doc_id", "text", groups,
+        cuts = Seq("a" -> 50, "b" -> 50, "c" -> 100))
+    }
+  }
 }
