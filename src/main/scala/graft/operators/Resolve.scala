@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFns
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Entity resolution over dirty string keys — the record-linkage step a
@@ -122,5 +123,50 @@ object Resolve {
         TextFns.normText(col(nameCol)).as("name"))
       .join(nameEntity, Seq("name"))
       .select(col("rid"), col("name"), col("entity_id"))
+  }
+
+  /** Survivorship: one golden record per resolved entity. The canonical
+    * name and every requested attribute survive by MODE — the most
+    * frequent non-NULL value across the entity's records, ties broken
+    * by the value itself ascending — so the pick is deterministic,
+    * engine-portable, and content-derived (never "first row wins",
+    * which is partition-order roulette on a cluster).
+    *
+    * Each attribute is its own small aggregation at ENTITY scale
+    * (groupBy (entity, value) + per-entity top-1 window), then the
+    * picks equi-join back — k attributes cost k entity-scale shuffles,
+    * never a record-scale one beyond the initial id mapping. The top-1
+    * window compiles to WindowGroupLimit (map-side per-group limit), so
+    * a mega-entity with millions of records never serializes through
+    * one task's full sort.
+    *
+    * @return (entity_id, n_records, canonical_name, attrs*) — one row
+    *   per entity; an attribute that is NULL on every record of an
+    *   entity stays NULL
+    */
+  def goldenRecords(recs: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int, attrs: Seq[String],
+      maxBlock: Long = 1000L): DataFrame = {
+    val ids = entityIds(recs, idCol, nameCol, maxDist, maxBlock)
+    val joined = recs
+      .select((col(idCol).as("rid") +: attrs.map(col)): _*)
+      .join(ids, Seq("rid"))
+    def modePick(valueCol: String, outName: String): DataFrame = {
+      val w = Window.partitionBy(col("entity_id"))
+        .orderBy(col("cnt").desc, col(valueCol).asc)
+      joined
+        .filter(col(valueCol).isNotNull)
+        .groupBy(col("entity_id"), col(valueCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("entity_id"), col(valueCol).as(outName))
+    }
+    val base = joined.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"))
+    val withName = base.join(modePick("name", "canonical_name"),
+      Seq("entity_id"))
+    attrs.foldLeft(withName)((acc, a) =>
+      acc.join(modePick(a, a), Seq("entity_id"), "left"))
   }
 }

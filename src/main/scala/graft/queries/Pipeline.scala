@@ -2793,6 +2793,73 @@ object Pipeline {
        |      FROM part) p
        |JOIN ne USING (name)""".stripMargin
 
+  /** Survivorship, oracle-gated: one golden record per resolved
+    * entity — canonical name and attributes survive by deterministic
+    * mode (count DESC, value ASC), never first-row-wins
+    * ([[graft.operators.Resolve.goldenRecords]]). The oracle extends
+    * p60's entity CTEs with per-attribute mode windows. */
+  private def p63(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Resolve.goldenRecords(
+      Tables.df(spark, dir, "part"), "p_partkey", "p_name",
+      ResolveMaxDist, Seq("p_brand", "p_size"))
+
+  private val p63Sql =
+    s"""WITH RECURSIVE
+       |$resolveCtes,
+       |e AS (
+       |  SELECT na.rep_id AS id_a, nb.rep_id AS id_b
+       |  FROM d
+       |  JOIN names na ON na.name = d.name_a
+       |  JOIN names nb ON nb.name = d.name_b
+       |  WHERE d.dist <= $ResolveMaxDist),
+       |und AS (SELECT id_a AS u, id_b AS v FROM e
+       |        UNION SELECT id_b, id_a FROM e),
+       |reach AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u
+       |  WHERE r.u != e2.v),
+       |cl AS (
+       |  SELECT n.u AS rep_id, least(n.u, MIN(r.v)) AS cluster_id
+       |  FROM (SELECT DISTINCT u FROM und) n
+       |  JOIN reach r ON r.u = n.u
+       |  GROUP BY n.u),
+       |ne AS (
+       |  SELECT names.name,
+       |    COALESCE(cl.cluster_id, names.rep_id) AS entity_id
+       |  FROM names LEFT JOIN cl USING (rep_id)),
+       |rec AS (
+       |  SELECT ne.entity_id, p.name, p.p_brand, p.p_size
+       |  FROM (SELECT p_partkey AS rid, ${normSql("p_name")} AS name,
+       |          p_brand, p_size FROM part) p
+       |  JOIN ne USING (name)),
+       |base AS (SELECT entity_id, COUNT(*) AS n_records FROM rec
+       |         GROUP BY 1),
+       |nm0 AS (SELECT entity_id, name, COUNT(*) AS cnt FROM rec
+       |        GROUP BY 1, 2),
+       |nm AS (SELECT entity_id, name AS canonical_name FROM (
+       |         SELECT entity_id, name, ROW_NUMBER() OVER (
+       |           PARTITION BY entity_id ORDER BY cnt DESC, name) AS rk
+       |         FROM nm0) WHERE rk = 1),
+       |b0 AS (SELECT entity_id, p_brand, COUNT(*) AS cnt FROM rec
+       |       WHERE p_brand IS NOT NULL GROUP BY 1, 2),
+       |b AS (SELECT entity_id, p_brand FROM (
+       |        SELECT entity_id, p_brand, ROW_NUMBER() OVER (
+       |          PARTITION BY entity_id ORDER BY cnt DESC, p_brand) AS rk
+       |        FROM b0) WHERE rk = 1),
+       |s0 AS (SELECT entity_id, p_size, COUNT(*) AS cnt FROM rec
+       |       WHERE p_size IS NOT NULL GROUP BY 1, 2),
+       |s AS (SELECT entity_id, p_size FROM (
+       |        SELECT entity_id, p_size, ROW_NUMBER() OVER (
+       |          PARTITION BY entity_id ORDER BY cnt DESC, p_size) AS rk
+       |        FROM s0) WHERE rk = 1)
+       |SELECT base.entity_id, base.n_records, nm.canonical_name,
+       |  b.p_brand, s.p_size
+       |FROM base
+       |JOIN nm USING (entity_id)
+       |LEFT JOIN b USING (entity_id)
+       |LEFT JOIN s USING (entity_id)""".stripMargin
+
   /** CMS-filtered exact heavy hitters, oracle-gated: grams whose
     * document frequency reaches HhMinDf, found through the map-side
     * count-min pre-filter ([[graft.operators.Corpus.cmsHeavyHitters]]).
@@ -2934,5 +3001,6 @@ object Pipeline {
     QueryDef("p59_entity_resolution", p59, Some(p59Sql)),
     QueryDef("p60_entity_ids", p60, Some(p60Sql)),
     QueryDef("p61_cms_heavy_hitters", p61, Some(p61Sql)),
-    QueryDef("p62_leakage_safe_split", p62, Some(p62Sql)))
+    QueryDef("p62_leakage_safe_split", p62, Some(p62Sql)),
+    QueryDef("p63_golden_record", p63, Some(p63Sql)))
 }

@@ -1204,6 +1204,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(!out.contains(5L) && out.size == 5)
   }
 
+  test("golden records: mode survivorship with deterministic tie-break, nulls ignored") {
+    import spark.implicits._
+    // entity {1,2,3,6}: brand majority B (2 of 3 non-null), size tie
+    // 10 vs 20 (1 each) → value-asc pick 10; record 3's null brand is
+    // evidence of nothing
+    val d = Seq(
+      (1L, "zenith lampa", Some("A"), Some(10)),
+      (2L, "zenith lampb", Some("B"), Some(20)),
+      (3L, "zenith lampc", None: Option[String], None: Option[Int]),
+      (6L, "zenith lampb", Some("B"), None: Option[Int]),
+      (4L, "acme widget", Some("C"), Some(7)))
+      .toDF("id", "name", "brand", "sz")
+    val out = graft.operators.Resolve.goldenRecords(
+      d, "id", "name", maxDist = 1, attrs = Seq("brand", "sz"))
+      .collect().map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[Long]("n_records"), r.getAs[String]("canonical_name"),
+          r.getAs[String]("brand"), r.get(r.fieldIndex("sz"))))).toMap
+    assert(out.size == 2)
+    // canonical name = most supported variant (lampb appears twice)
+    assert(out(1L) == ((4L, "zenith lampb", "B", 10)))
+    assert(out(4L) == ((1L, "acme widget", "C", 7)))
+    // all-null attribute stays null, never invents a value
+    val allNull = Seq((1L, "solo name", None: Option[String]))
+      .toDF("id", "name", "brand")
+    val g = graft.operators.Resolve.goldenRecords(
+      allNull, "id", "name", maxDist = 1, attrs = Seq("brand")).collect()
+    assert(g.length == 1 && g(0).isNullAt(g(0).fieldIndex("brand")))
+  }
+
   test("cms heavy hitters: exact result through a colliding sketch, est >= df") {
     import spark.implicits._
     val d = (1 to 8).map(i => (i.toLong, "the common prefix here"))

@@ -222,12 +222,49 @@ class PlanSpec extends AnyFunSuite {
     // the no-equi-key band join and the df-capped near-dup pipelines
     // exist precisely to avoid BroadcastNestedLoopJoin/CartesianProduct
     // — a regression to either is the 100 TB failure mode
-    Seq("q23_band_join", "p02b_ngram_jaccard_capped", "p28_containment")
+    Seq("q23_band_join", "p02b_ngram_jaccard_capped", "p28_containment",
+      "p59_entity_resolution", "p60_entity_ids", "p63_golden_record")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans BNLJ")
         assert(!p.contains("CartesianProduct"), s"$q plans cartesian")
       }
+  }
+
+  test("p61: the CMS pre-filter runs map-side, below every shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join}
+    val lp = SparkEntry.queries("p61_cms_heavy_hitters")(spark, sf)
+      .queryExecution.optimizedPlan
+    // the sketch gate is the least(element_at ...) >= minDf predicate;
+    // its subtree must be aggregate- and join-free — grams thin
+    // MAP-SIDE off the scan, only survivors reach the exact groupBy
+    val gates = lp.collect {
+      case f: Filter if f.condition.toString.contains("element_at") => f
+    }
+    assert(gates.nonEmpty, s"no sketch-gate filter in:\n$lp")
+    gates.foreach { f =>
+      assert(f.child.collect { case a: Aggregate => a }.isEmpty &&
+        f.child.collect { case j: Join => j }.isEmpty,
+        s"sketch gate above a shuffle stage:\n${f.treeString.take(1200)}")
+    }
+  }
+
+  test("p57: BM25 joins broadcast the bounded query-side sets, never cartesian") {
+    // node-count on the physical tree (formatted explain prints each
+    // node twice — tree line + detail section — and double-counts)
+    val p = SparkEntry.queries("p57_bm25_retrieval")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "BM25 plans cartesian")
+    // query vocab, df table, query terms: all O(queries) — each must
+    // broadcast into the postings stream, never shuffle the corpus
+    // side on a tiny key set
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected >=3 broadcast joins in BM25 plan:\n${p.take(2000)}")
+    // the only nested-loop is the 1-row corpus-stats broadcast
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "unexpected nested-loop joins beyond the 1-row stats cross")
+    // per-query top-k compiles to the map-side group limit
+    assert(p.contains("WindowGroupLimit"), "no WindowGroupLimit in BM25 plan")
   }
 
   test("q22 as-of join plans as one exchange + window, no join node") {
