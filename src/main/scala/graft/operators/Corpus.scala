@@ -836,6 +836,28 @@ object Corpus {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge count-min matrices by plain counter addition — CMS is a
+    * pure-sum structure, so `merge(matrix(A), matrix(B)) ==
+    * matrix(A ∪ B)` EXACTLY (not approximately; the spec pins
+    * bit-equality). This is the property that makes the sketch
+    * composable at scale: per-source/per-batch/per-day matrices build
+    * independently (each a bounded O(depth·width) aggregate), merge in
+    * O(depth·width), and the merged sketch answers global df queries
+    * without ever re-scanning the inputs — the incremental-ingest
+    * story for frequency stats, the way ShingleIndex appends are for
+    * pair dedup.
+    *
+    * Matrices MUST share (n, depth, width) — counter addition across
+    * different hash geometries is meaningless; the caller owns that
+    * contract (the frames carry no geometry metadata to check).
+    */
+  def cmsMerge(matrices: DataFrame*): DataFrame = {
+    require(matrices.nonEmpty, "cmsMerge: need at least one matrix")
+    matrices.reduceLeft(_ unionByName _)
+      .groupBy(col("rw"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** CMS point estimates for a candidate n-gram set: df_est(g) =
     * min over rows of counter[h_row(g)] — an upper bound on the true
     * document frequency (counters only ever over-count via collisions;
@@ -872,8 +894,13 @@ object Corpus {
     * shrinks, never what the answer is.
     *
     * Shuffle volume drops from O(distinct grams) to O(true heavy
-    * hitters + collision false positives); size `width` >> expected
-    * distinct heavy grams to keep the false-positive term small.
+    * hitters + collision false positives). Sizing law (measured,
+    * SCALE.md): each bucket's collision mass is ~total_gram_rows/width,
+    * so the gate only selects when `minDf >> total_rows/width` — pick
+    * `width ~ total_rows/minDf × 10` for a <10% false-admit rate
+    * (sf0.1, 260k gram rows, minDf 50: width 512 admits everything,
+    * 8192 admits 281, 65536 admits 0). Undersizing never breaks
+    * correctness — it only shrinks the shuffle saving.
     *
     * @return (ngram, df, df_est) — exact df >= minDf, plus the sketch
     *         estimate that admitted the gram (df_est >= df)

@@ -33,31 +33,51 @@ object SketchProbe {
     val matrix = Corpus.cmsNgramMatrix(docs, "doc_id", "text", n, depth, width)
     val est = Corpus.cmsEstimateDf(matrix, grams, "ngram", depth, width)
       .persist()
-    val admitted = est.filter(col("df_est") >= minDf).count()
-    val trueHh = pairs.groupBy(col("ngram")).count()
-      .filter(col("count") >= minDf).count()
-    // rows the exact groupBy actually shuffles under the gate =
-    // pair rows whose gram the sketch admitted
-    val gatedRows = pairs.join(
-      est.filter(col("df_est") >= minDf).select("ngram"), Seq("ngram"))
-      .count()
+    val truth = pairs.groupBy(col("ngram")).count().persist()
+    // threshold ladder: the gate's value depends on how rare "heavy"
+    // is — report selectivity where HH are common AND where rare
+    val ladder = Seq(minDf, 50L, 200L, 500L).distinct.map { t =>
+      val admitted = est.filter(col("df_est") >= t).count()
+      val hh = truth.filter(col("count") >= t).count()
+      val gatedRows = pairs.join(
+        est.filter(col("df_est") >= t).select("ngram"), Seq("ngram")).count()
+      s"""{"min_df":$t,"admitted_grams":$admitted,"true_hh":$hh,""" +
+        s""""gated_shuffle_rows":$gatedRows}"""
+    }
 
-    // BM25: corpus posting volume vs query-vocab-restricted volume
+    // width ladder at a fixed rare-HH threshold: the sizing law is
+    // false-positive mass ≈ pair_rows/width per bucket, so the gate
+    // only selects once width ≫ pair_rows/minDf
+    val widthLadder = Seq(512, 8192, 65536).map { w =>
+      val m = Corpus.cmsNgramMatrix(docs, "doc_id", "text", n, depth, w)
+      val adm = Corpus.cmsEstimateDf(m, grams, "ngram", depth, w)
+        .filter(col("df_est") >= 50L).count()
+      s"""{"width":$w,"admitted_at_min_df_50":$adm}"""
+    }
+
+    // BM25: corpus posting volume vs query-vocab-restricted volume,
+    // at two query-set sizes (the restriction scales with |queries|,
+    // not with corpus vocabulary)
     val toks = docs.select(col("doc_id"),
       TextFns.tokens(TextFns.normText(col("text"))).as("toks"))
     val posting = toks
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").count().persist()
     val fullPostings = posting.count()
-    val qvocab = toks.filter(col("doc_id") % 250 === 0)
-      .select(explode(slice(col("toks"), 1, 8)).as("term")).distinct()
-    val restricted = posting.join(broadcast(qvocab), Seq("term")).count()
+    val bmLadder = Seq(250, 2500).map { mod =>
+      val qvocab = toks.filter(col("doc_id") % mod === 0)
+        .select(explode(slice(col("toks"), 1, 8)).as("term")).distinct()
+      val nq = qvocab.count()
+      val restricted = posting.join(broadcast(qvocab), Seq("term")).count()
+      s"""{"query_mod":$mod,"qvocab_terms":$nq,"posting_rows":$restricted}"""
+    }
 
     println(s"""{"sf":"$sf","cms":{"pair_rows":$totalRows,""" +
-      s""""distinct_grams":$distinctGrams,"admitted_grams":$admitted,""" +
-      s""""true_hh":$trueHh,"gated_shuffle_rows":$gatedRows},""" +
+      s""""distinct_grams":$distinctGrams,""" +
+      s""""ladder":[${ladder.mkString(",")}],""" +
+      s""""width_ladder":[${widthLadder.mkString(",")}]},""" +
       s""""bm25":{"full_posting_rows":$fullPostings,""" +
-      s""""query_vocab_rows":$restricted}}""")
+      s""""ladder":[${bmLadder.mkString(",")}]}}""")
     spark.stop()
   }
 }

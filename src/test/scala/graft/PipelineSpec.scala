@@ -1148,6 +1148,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.count() <= 4L * 8L)
   }
 
+  test("cms merge: per-batch matrices sum to exactly the whole-corpus matrix") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma other")).toDF("doc_id", "text")
+    val b = Seq((3L, "alpha beta gamma words"),
+      (4L, "totally unrelated text here")).toDF("doc_id", "text")
+    val whole = a.union(b)
+    def mx(df: org.apache.spark.sql.DataFrame) =
+      Corpus.cmsNgramMatrix(df, "doc_id", "text", 3, depth = 4, width = 16)
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("rw"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    // bit-exact distributivity: merge of the batch sketches IS the
+    // whole-corpus sketch — the property every incremental use relies on
+    assert(cells(Corpus.cmsMerge(mx(a), mx(b))) == cells(mx(whole)))
+    // merged matrix answers estimates identically to the direct one
+    val cands = Seq("alpha beta gamma", "never seen anywhere").toDF("ngram")
+    val viaMerge = Corpus.cmsEstimateDf(
+        Corpus.cmsMerge(mx(a), mx(b)), cands, "ngram", 4, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Corpus.cmsEstimateDf(mx(whole), cands, "ngram", 4, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaMerge == direct)
+  }
+
   test("fuzzy name pairs: edit-distance gate, block cap, exact-group support counts") {
     import spark.implicits._
     val d = Seq(
