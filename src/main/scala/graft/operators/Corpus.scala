@@ -737,6 +737,14 @@ object Corpus {
       maxDf: Option[Long] = None): DataFrame = {
     require(nQueryTerms >= 1 && k >= 1,
       s"bm25TopK: need positive nQueryTerms/k, got $nQueryTerms/$k")
+    // the fixed-order sum compiles to nQueryTerms aggregate columns —
+    // a deliberate determinism/width trade whose codegen cost grows
+    // linearly in n; refuse widths that would degrade the whole
+    // aggregate to interpreted mode instead of silently crawling
+    require(nQueryTerms <= 128,
+      s"bm25TopK: nQueryTerms=$nQueryTerms exceeds 128 — the per-position " +
+        "aggregate is codegen-bounded; chunk the query or raise k1/b " +
+        "selectivity instead")
     val toks = docs
       .select(col(idCol).as("doc_id"), queryPred.as("is_q"),
         TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
@@ -908,6 +916,14 @@ object Corpus {
   def cmsHeavyHitters(docs: DataFrame, idCol: String, textCol: String,
       n: Int, depth: Int, width: Int, minDf: Long): DataFrame = {
     require(minDf >= 1, s"cmsHeavyHitters: minDf must be >= 1, got $minDf")
+    // the counters ride to the driver and into every task as plan
+    // literals — bound that state explicitly (16M cells = 128 MB of
+    // longs) rather than let an oversized sketch OOM the driver with a
+    // stack trace that names neither the operator nor the knob
+    require(depth.toLong * width <= (1L << 24),
+      s"cmsHeavyHitters: depth*width = ${depth.toLong * width} exceeds " +
+        s"2^24 literal counters; for larger sketches use cmsNgramMatrix " +
+        "+ cmsEstimateDf (broadcast-join path, no driver materialization)")
     // dense per-row counter arrays (absent buckets are true zeros)
     val counters = Array.fill(depth)(new Array[Long](width))
     cmsNgramMatrix(docs, idCol, textCol, n, depth, width).collect()

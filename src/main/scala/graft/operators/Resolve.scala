@@ -76,10 +76,15 @@ object Resolve {
       .join(kept.select(col("blk"), col("name").as("name_b")), Seq("blk"))
       .filter(col("name_a") < col("name_b"))
       .select(col("name_a"), col("name_b")).distinct()
+    // threshold form: the DP abandons a pair the moment its running
+    // band exceeds maxDist (returns -1) — O(len·maxDist) per pair
+    // instead of O(len²), and the exact distance is still returned for
+    // every pair inside the gate (identical to the unbounded form
+    // there, which is what the oracle replays)
     cand
       .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("name_a"), col("name_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 1)
       .join(names.select(col("name").as("name_a"), col("rep_id").as("id_a"),
         col("n_recs").as("n_a")), Seq("name_a"))
       .join(names.select(col("name").as("name_b"), col("rep_id").as("id_b"),

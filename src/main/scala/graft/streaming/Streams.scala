@@ -475,6 +475,47 @@ object Streams {
       .start()
   }
 
+  /** One micro-batch of the streaming FREQUENCY-STATS ingest — the
+    * [[graft.operators.CmsStore]] mirror of [[ingestBatch]], same
+    * convergent-exactly-once ledger contract. Unlike the index loops
+    * there is no triage/route: the batch contributes ONLY its
+    * depth × width counter matrix (bounded rows per append no matter
+    * how large the batch), so this is the cheapest member of the
+    * family — and the one whose torn-batch window is benign by the
+    * sketch's own contract (a half-committed batch can only
+    * OVER-estimate, which the CMS read API already promises). */
+  def statsIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String,
+      lease: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ledger = s"${name}_batches"
+    val replayed = spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!replayed) {
+      lease.foreach(graft.operators.WriterLease.check(spark, name, _))
+      graft.operators.CmsStore.pruneBatch(spark, name, batchId)
+      graft.operators.CmsStore.append(batch, idCol, textCol, name, batchId)
+      Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
+    }
+  }
+
+  /** The streaming frequency-stats loop: a foreachBatch sink driving
+    * [[statsIngestBatch]] against a [[graft.operators.CmsStore]] built
+    * over the seed corpus. Same single-writer lease rule as the other
+    * ingest loops; compact between restarts via [[compactIndex]]. */
+  def statsIngest(docs: DataFrame, idCol: String, textCol: String,
+      name: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.operators.WriterLease.take(docs.sparkSession, name)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        statsIngestBatch(b, id, idCol, textCol, name, Some(lease)))
+      .start()
+  }
+
   /** Ledger-aware index compaction for a STOPPED ingest stream: folds
     * every ledger-committed batch partition into the index's base
     * corpus while leaving any appended-but-uncommitted batch (a crash
@@ -491,7 +532,10 @@ object Streams {
     * ledger's committed ids. Run between stream restarts — compaction
     * is a writer, and it TAKES the writer lease, so an ingest stream
     * mistakenly left running fails loudly at its next batch instead of
-    * interleaving with the rewrite. */
+    * interleaving with the rewrite. (A third family dispatches the
+    * same way: a CMS stats store has `{name}_cms` —
+    * [[graft.operators.CmsStore.compact]] additionally MERGES folded
+    * counters so the base partition shrinks back to one matrix.) */
   def compactIndex(spark: SparkSession, indexName: String): Unit = {
     val ledger = s"${indexName}_batches"
     val (partTable, runCompact) =
@@ -503,9 +547,14 @@ object Streams {
         (s"${indexName}_cells",
           (u: Set[Long]) => graft.operators.IvfIndex.compact(
             spark, indexName, u))
+      else if (spark.catalog.tableExists(s"${indexName}_cms"))
+        (s"${indexName}_cms",
+          (u: Set[Long]) => graft.operators.CmsStore.compact(
+            spark, indexName, u))
       else throw new IllegalArgumentException(
-        s"no persisted index named '$indexName' — neither " +
-          s"${indexName}_idx (shingle) nor ${indexName}_cells (IVF) exists")
+        s"no persisted index named '$indexName' — none of " +
+          s"${indexName}_idx (shingle), ${indexName}_cells (IVF), or " +
+          s"${indexName}_cms (CMS stats) exists")
     graft.operators.WriterLease.take(spark, indexName)
     val appended = spark.sql(s"SHOW PARTITIONS $partTable")
       .collect()

@@ -658,4 +658,60 @@ class StreamsSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("cms stats store: store ≡ rebuild bit-for-bit, torn batch converges, compact merges to one matrix") {
+    import graft.operators.{CmsStore, Corpus}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val name = "graft_cmsstore"
+    val seed = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma other words")).toDF("doc_id", "text")
+    val b0 = Seq((10L, "alpha beta gamma again here")).toDF("doc_id", "text")
+    val b1 = Seq((20L, "totally new content flows in")).toDF("doc_id", "text")
+    val cands = Seq("alpha beta gamma", "totally new content",
+      "never seen anywhere").toDF("ngram")
+    // tiny width on purpose: collisions must not break any equality
+    val (n, depth, width) = (3, 4, 16)
+    def fromScratch(dfs: org.apache.spark.sql.DataFrame*) = {
+      val whole = dfs.reduceLeft(_ union _)
+      Corpus.cmsEstimateDf(
+        Corpus.cmsNgramMatrix(whole, "doc_id", "text", n, depth, width),
+        cands, "ngram", depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    def fromStore() = CmsStore.estimateDf(cands, "ngram", name)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      CmsStore.build(seed, "doc_id", "text", name, n, depth, width)
+      assert(fromStore() == fromScratch(seed))
+      // committed ingest batch: store must equal a rebuild over the union
+      Streams.statsIngestBatch(b0, 0L, "doc_id", "text", name)
+      assert(fromStore() == fromScratch(seed, b0))
+      // replayed committed batch is a no-op (no double counting)
+      Streams.statsIngestBatch(b0, 0L, "doc_id", "text", name)
+      assert(fromStore() == fromScratch(seed, b0))
+      // torn batch: counters appended, JVM "dies" before the ledger row
+      CmsStore.append(b1, "doc_id", "text", name, batchId = 1L)
+      // replay with the same id and data: prune-then-append converges
+      Streams.statsIngestBatch(b1, 1L, "doc_id", "text", name)
+      assert(fromStore() == fromScratch(seed, b0, b1))
+      // ledger-aware compaction folds every committed batch into base,
+      // MERGING counters: one batch_id=-1 partition, ≤ depth·width rows
+      spark.catalog.clearCache()
+      Streams.compactIndex(spark, name)
+      val t = spark.table(s"${name}_cms")
+      assert(t.select("batch_id").distinct().collect()
+        .map(_.getLong(0)).toSet == Set(-1L))
+      assert(t.count() <= depth.toLong * width)
+      assert(t.groupBy("rw", "bucket").count()
+        .filter(col("count") > 1).count() == 0,
+        "compaction must merge duplicate (rw, bucket) counters")
+      assert(fromStore() == fromScratch(seed, b0, b1),
+        "compaction must not change any estimate")
+    } finally {
+      Seq(s"${name}_cms", s"${name}_meta", s"${name}_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
 }
