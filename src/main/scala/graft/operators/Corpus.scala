@@ -769,10 +769,36 @@ object Corpus {
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    // restrict postings to the query vocabulary BEFORE computing df:
-    // df then comes from the filtered postings for free (every
-    // (doc, term) row of a query term is already here), so the full
-    // term dictionary never materializes
+    bm25Score(tf, qterms, stats, nQueryTerms, k, k1, b, maxDf)
+  }
+
+  /** The query-term extraction shared with [[PostingIndex]]: distinct
+    * leading-window terms per query, each carrying its FIRST-occurrence
+    * position (min over duplicate slots — never an index into
+    * array_distinct output, whose order DuckDB does not guarantee). */
+  private[operators] def bm25QueryTerms(queries: DataFrame, idCol: String,
+      textCol: String, nQueryTerms: Int): DataFrame =
+    queries
+      .select(col(idCol).as("query_id"),
+        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+      .select(col("query_id"), posexplode(slice(col("toks"), 1, nQueryTerms)))
+      .groupBy(col("query_id"), col("col"))
+      .agg((min(col("pos")) + 1).as("pos"))
+      .select(col("query_id"), col("pos"), col("col").as("term"))
+
+  /** The scoring core shared by [[bm25TopK]] (in-memory) and
+    * [[PostingIndex.topK]] (served from disk) — ONE implementation, so
+    * store ≡ in-memory is true by construction, not by parallel
+    * maintenance. Inputs: `tf` (doc_id, term, tf, dl) — may already be
+    * restricted to the query vocabulary; `qterms` (query_id, pos,
+    * term); `stats` 1-row (n_docs, avgdl). df is computed from the
+    * vocabulary-filtered postings (the full term dictionary never
+    * materializes), idf stays the raw odds ratio, and the per-document
+    * sum runs in fixed position order — see [[bm25TopK]]'s scaladoc for
+    * the determinism rationale. */
+  private[operators] def bm25Score(tf: DataFrame, qterms: DataFrame,
+      stats: DataFrame, nQueryTerms: Int, k: Int, k1: Double, b: Double,
+      maxDf: Option[Long]): DataFrame = {
     val qvocab = qterms.select(col("term")).distinct()
     val posting = tf.join(broadcast(qvocab), Seq("term"))
     val dfq0 = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -2668,6 +2668,29 @@ object Pipeline {
        |WHERE rnk <= $TopK""".stripMargin
   }
 
+  /** Store-served BM25, oracle-gated by p57's SQL: the SAME queries
+    * answered from the persisted posting index
+    * ([[graft.operators.PostingIndex.topK]]) instead of the in-memory
+    * corpus scan. Serving goes through the identical scoring core
+    * ([[graft.operators.Corpus.bm25Score]] — shared, not re-derived),
+    * so the doubles match the oracle bit-for-bit; the index build is
+    * memoized on the corpus fingerprint like every store query. */
+  private def p64(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    import spark.implicits._
+    val fp = docs.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
+        col("text")))).cast("long").as("ids")).head()
+    memoizedBuild(spark, "graft_p64_fp", fp,
+        Seq("graft_p64_post", "graft_p64_stats", "graft_p64_meta")) {
+      graft.operators.PostingIndex.build(docs, "doc_id", "text", "graft_p64")
+    }
+    graft.operators.PostingIndex.topK(
+      docs.filter(col("doc_id") % BmQueryMod === 0),
+      "doc_id", "text", "graft_p64", BmTerms, TopK, k1 = BmK1, b = BmB)
+  }
+
   /** Count-min sketch df estimation, oracle-gated: build the depth ×
     * width counter matrix over doc-distinct trigrams, then answer
     * point df queries for the probe docs' trigrams — the dictionary-
@@ -3002,5 +3025,6 @@ object Pipeline {
     QueryDef("p60_entity_ids", p60, Some(p60Sql)),
     QueryDef("p61_cms_heavy_hitters", p61, Some(p61Sql)),
     QueryDef("p62_leakage_safe_split", p62, Some(p62Sql)),
-    QueryDef("p63_golden_record", p63, Some(p63Sql)))
+    QueryDef("p63_golden_record", p63, Some(p63Sql)),
+    QueryDef("p64_bm25_store", p64, Some(p57Sql)))
 }

@@ -516,6 +516,44 @@ object Streams {
       .start()
   }
 
+  /** One micro-batch of the streaming RETRIEVAL-INDEX ingest — the
+    * [[graft.operators.PostingIndex]] member of the family, same
+    * ledger contract. Postings and the per-batch stats row land under
+    * one `batch_id`, so the torn window prunes as one unit; like the
+    * CMS loop there is no triage, only accumulation. */
+  def postingIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String,
+      lease: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ledger = s"${name}_batches"
+    val replayed = spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!replayed) {
+      lease.foreach(graft.operators.WriterLease.check(spark, name, _))
+      graft.operators.PostingIndex.pruneBatch(spark, name, batchId)
+      graft.operators.PostingIndex.append(batch, idCol, textCol, name, batchId)
+      Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
+    }
+  }
+
+  /** The streaming retrieval-index loop: foreachBatch driving
+    * [[postingIngestBatch]] against a [[graft.operators.PostingIndex]]
+    * built over the seed corpus. Queries served mid-stream see every
+    * committed batch (df and corpus stats grow together — both live
+    * under the same batch partitions). */
+  def postingIngest(docs: DataFrame, idCol: String, textCol: String,
+      name: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.operators.WriterLease.take(docs.sparkSession, name)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        postingIngestBatch(b, id, idCol, textCol, name, Some(lease)))
+      .start()
+  }
+
   /** Ledger-aware index compaction for a STOPPED ingest stream: folds
     * every ledger-committed batch partition into the index's base
     * corpus while leaving any appended-but-uncommitted batch (a crash
@@ -551,10 +589,14 @@ object Streams {
         (s"${indexName}_cms",
           (u: Set[Long]) => graft.operators.CmsStore.compact(
             spark, indexName, u))
+      else if (spark.catalog.tableExists(s"${indexName}_post"))
+        (s"${indexName}_post",
+          (u: Set[Long]) => graft.operators.PostingIndex.compact(
+            spark, indexName, u))
       else throw new IllegalArgumentException(
         s"no persisted index named '$indexName' — none of " +
-          s"${indexName}_idx (shingle), ${indexName}_cells (IVF), or " +
-          s"${indexName}_cms (CMS stats) exists")
+          s"${indexName}_idx (shingle), ${indexName}_cells (IVF), " +
+          s"${indexName}_cms (CMS stats), or ${indexName}_post (BM25) exists")
     graft.operators.WriterLease.take(spark, indexName)
     val appended = spark.sql(s"SHOW PARTITIONS $partTable")
       .collect()

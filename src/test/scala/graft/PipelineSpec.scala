@@ -1148,6 +1148,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.count() <= 4L * 8L)
   }
 
+  test("posting index: serves bm25TopK row-for-row through build, append, and compact") {
+    import graft.operators.PostingIndex
+    import spark.implicits._
+    val name = "graft_postidx"
+    val all = Seq(
+      (10L, "zebra quark filler words here"),
+      (1L, "zebra walks alone tonight"),
+      (2L, "quark soup again today"),
+      (3L, "quark salad every day"),
+      (4L, "quark stew for dinner"),
+      (5L, "nothing relevant at all"))
+      .toDF("doc_id", "text")
+    val queries = all.filter(col("doc_id") === 10L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+        .sortBy(t => (t._1, t._2)).toSeq
+    // the in-memory truth — scores must match BIT-FOR-BIT, not by rank
+    val mem = rows(Corpus.bm25TopK(all, "doc_id", "text",
+      col("doc_id") === 10L, nQueryTerms = 2, k = 10))
+    try {
+      PostingIndex.build(all, "doc_id", "text", name, buckets = 4)
+      assert(rows(PostingIndex.topK(queries, "doc_id", "text", name,
+        nQueryTerms = 2, k = 10)) == mem)
+      // grown store: base holds half the corpus, the rest appended —
+      // stats and df must come out identical to the one-shot build
+      PostingIndex.build(all.filter(col("doc_id") <= 2L),
+        "doc_id", "text", name, buckets = 4)
+      PostingIndex.append(all.filter(col("doc_id") > 2L),
+        "doc_id", "text", name, batchId = 0L)
+      assert(rows(PostingIndex.topK(queries, "doc_id", "text", name,
+        nQueryTerms = 2, k = 10)) == mem)
+      // torn-batch repair: a half-committed batch prunes away cleanly
+      PostingIndex.append(Seq((99L, "zebra zebra zebra"))
+        .toDF("doc_id", "text"), "doc_id", "text", name, batchId = 1L)
+      PostingIndex.pruneBatch(spark, name, 1L)
+      assert(rows(PostingIndex.topK(queries, "doc_id", "text", name,
+        nQueryTerms = 2, k = 10)) == mem)
+      // compaction folds the committed batch into base, answers frozen
+      spark.catalog.clearCache()
+      PostingIndex.compact(spark, name)
+      assert(spark.table(s"${name}_post").select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-1L))
+      assert(spark.table(s"${name}_stats").count() == 1L)
+      assert(rows(PostingIndex.topK(queries, "doc_id", "text", name,
+        nQueryTerms = 2, k = 10)) == mem)
+    } finally {
+      Seq(s"${name}_post", s"${name}_stats", s"${name}_meta")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("cms merge: per-batch matrices sum to exactly the whole-corpus matrix") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta gamma delta"),

@@ -659,6 +659,52 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("posting store ledger: torn batch converges, compactIndex dispatches the BM25 family") {
+    import graft.operators.{Corpus, PostingIndex}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val name = "graft_postledger"
+    val seed = Seq((10L, "zebra quark filler words here"),
+      (1L, "zebra walks alone tonight")).toDF("doc_id", "text")
+    val b0 = Seq((2L, "quark soup again today")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "quark salad every day")).toDF("doc_id", "text")
+    val queries = seed.filter(col("doc_id") === 10L)
+    def served() = PostingIndex.topK(queries, "doc_id", "text", name, 2, 10)
+      .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).sortBy(_._1).toSeq
+    def mem(dfs: org.apache.spark.sql.DataFrame*) = {
+      val whole = dfs.reduceLeft(_ union _)
+      Corpus.bm25TopK(whole, "doc_id", "text", col("doc_id") === 10L, 2, 10)
+        .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"))).sortBy(_._1).toSeq
+    }
+    try {
+      PostingIndex.build(seed, "doc_id", "text", name, buckets = 4)
+      Streams.postingIngestBatch(b0, 0L, "doc_id", "text", name)
+      assert(served() == mem(seed, b0))
+      // replay of the committed batch: no double-counted postings/stats
+      Streams.postingIngestBatch(b0, 0L, "doc_id", "text", name)
+      assert(served() == mem(seed, b0))
+      // torn batch: postings + stats appended, no ledger row; the
+      // replay prunes both and converges
+      PostingIndex.append(b1, "doc_id", "text", name, batchId = 1L)
+      Streams.postingIngestBatch(b1, 1L, "doc_id", "text", name)
+      assert(served() == mem(seed, b0, b1))
+      // family dispatch: compactIndex finds {name}_post and folds the
+      // committed batches to base without changing any score
+      spark.catalog.clearCache()
+      Streams.compactIndex(spark, name)
+      assert(spark.table(s"${name}_post").select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-1L))
+      assert(served() == mem(seed, b0, b1))
+    } finally {
+      Seq(s"${name}_post", s"${name}_stats", s"${name}_meta",
+        s"${name}_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("cms stats store: store ≡ rebuild bit-for-bit, torn batch converges, compact merges to one matrix") {
     import graft.operators.{CmsStore, Corpus}
     import org.apache.spark.sql.functions.col
