@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite, DotRange, HammingDistance, KMin, KmvSketch, L2Range}
+import graft.expressions.{DotProduct, DotProductRewrite, DotRange, HammingDistance, KMin, KmvSketch, L2Range, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -41,6 +41,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_l2_range takes (a, b, aOff, bOff, len)")
         L2Range(children(0), children(1), children(2), children(3),
           children(4))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_normalize takes (str, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        val form = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_normalize form must be a string literal, got $other")
+        }
+        UnicodeNormalize(children.head, form)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_hamming"),

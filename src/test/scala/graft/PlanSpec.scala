@@ -418,6 +418,56 @@ class PlanSpec extends AnyFunSuite {
       "no WholeStageCodegen stage")
   }
 
+  test("graft_normalize: golden codepoints, ASCII pass-through, hash unification, codegen'd") {
+    import graft.functions.TextFns
+    import spark.implicits._
+    val composed = "caf\u00e9"       // e-acute as one codepoint
+    val decomposed = "cafe\u0301"    // e + combining acute
+    val compat = "\ufb01ne \uff21\u2460" // fi-ligature, fullwidth A, circled 1
+    val d = Seq(
+      (1L, composed), (2L, decomposed),
+      (3L, compat),
+      (4L, "plain ascii stays put"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val out = d.select(col("id"),
+        TextFns.unicodeNorm(col("s"), "NFC").as("nfc"),
+        TextFns.unicodeNorm(col("s")).as("nfkc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2)))).toMap
+    // canonical equivalence unifies under BOTH forms
+    assert(out(1L)._1 == out(2L)._1 && out(1L)._2 == out(2L)._2)
+    assert(out(1L)._1 == composed, "NFC must pick the composed form")
+    // compatibility folds only under NFKC
+    assert(out(3L)._2 == "fine A1")
+    assert(out(3L)._1 == compat, "NFC must NOT compat-fold")
+    // ASCII identity; NULL propagates
+    assert(out(4L) == (("plain ascii stays put", "plain ascii stays put")))
+    assert(!out.contains(5L) || out(5L) == ((null, null)))
+    assert(d.filter(col("id") === 5L).select(
+      TextFns.unicodeNorm(col("s"))).head().isNullAt(0))
+    // the point of the operator: md5 keys unify after normalization
+    val hashes = d.filter(col("id").isin(1L, 2L))
+      .select(md5(TextFns.unicodeNorm(col("s"))).as("h"),
+        md5(col("s")).as("raw"))
+      .collect()
+    assert(hashes.map(_.getString(0)).distinct.length == 1,
+      "normalized md5s must collide")
+    assert(hashes.map(_.getString(1)).distinct.length == 2,
+      "raw md5s must differ — that is the bug this fixes")
+    // stays inside whole-stage codegen over a real scan (the local
+    // fixture above constant-folds to a LocalTableScan, proving nothing)
+    val plan = Tables.df(spark, sf, "documents")
+      .select(TextFns.unicodeNorm(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(") && plan.contains("graft_normalize"),
+      "normalize must run inside a WholeStageCodegen stage")
+    // invalid form fails at analysis, loudly
+    intercept[Exception] {
+      d.select(TextFns.unicodeNorm(col("s"), "NFX")).collect()
+    }
+  }
+
   test("p50: the Hamming scan streams 8-byte packs, never the float vectors") {
     val p = plan("p50_binary_ann")
     // candidate generation is the broadcast(query-packs) nested-loop
