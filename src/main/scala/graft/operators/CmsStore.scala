@@ -109,6 +109,24 @@ object CmsStore {
       depth, width)
   }
 
+  /** Exact heavy hitters of `docs` gated by the STORED matrix — the
+    * incremental-ingest completion of [[Corpus.cmsHeavyHitters]]: the
+    * sketch accumulated batch-by-batch during ingest (each append
+    * O(depth·width)), and the single exact pass at the end reuses it
+    * instead of re-building. Pass `docs` = everything the store has
+    * ingested; the stored counters are exactly the from-scratch
+    * matrix of that union ([[Corpus.cmsMerge]] distributivity), so
+    * the result is identical to the one-shot operator. A SUPERSET
+    * matrix (store ingested more than `docs`) only widens the gate —
+    * still exact, the recount is authoritative. */
+  def heavyHitters(docs: DataFrame, idCol: String, textCol: String,
+      name: String, minDf: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val (n, depth, width) = meta(spark, name)
+    Corpus.cmsGateRecount(docs, idCol, textCol, n, minDf,
+      Corpus.collectCounters(matrix(spark, name), depth, width))
+  }
+
   private def meta(spark: SparkSession, name: String): (Int, Int, Int) = {
     val r = spark.table(s"${name}_meta").head()
     (r.getInt(0), r.getInt(1), r.getInt(2))

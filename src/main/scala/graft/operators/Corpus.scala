@@ -940,25 +940,43 @@ object Corpus {
     *         estimate that admitted the gram (df_est >= df)
     */
   def cmsHeavyHitters(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, depth: Int, width: Int, minDf: Long): DataFrame = {
-    require(minDf >= 1, s"cmsHeavyHitters: minDf must be >= 1, got $minDf")
-    // the counters ride to the driver and into every task as plan
-    // literals — bound that state explicitly (16M cells = 128 MB of
-    // longs) rather than let an oversized sketch OOM the driver with a
-    // stack trace that names neither the operator nor the knob
+      n: Int, depth: Int, width: Int, minDf: Long): DataFrame =
+    cmsGateRecount(docs, idCol, textCol, n, minDf,
+      collectCounters(cmsNgramMatrix(docs, idCol, textCol, n, depth, width),
+        depth, width))
+
+  /** Materialize a matrix frame as dense per-row counter arrays
+    * (absent buckets are true zeros) for the literal-expression gate.
+    * Bounded explicitly: the counters ride to the driver and into
+    * every task as plan literals (16M cells = 128 MB of longs) — an
+    * oversized sketch must fail HERE, naming the knob, not OOM the
+    * driver anonymously. */
+  private[operators] def collectCounters(matrix: DataFrame,
+      depth: Int, width: Int): Array[Array[Long]] = {
     require(depth.toLong * width <= (1L << 24),
-      s"cmsHeavyHitters: depth*width = ${depth.toLong * width} exceeds " +
-        s"2^24 literal counters; for larger sketches use cmsNgramMatrix " +
-        "+ cmsEstimateDf (broadcast-join path, no driver materialization)")
-    // dense per-row counter arrays (absent buckets are true zeros)
+      s"CMS gate: depth*width = ${depth.toLong * width} exceeds 2^24 " +
+        "literal counters; for larger sketches use cmsEstimateDf " +
+        "(broadcast-join path, no driver materialization)")
     val counters = Array.fill(depth)(new Array[Long](width))
-    cmsNgramMatrix(docs, idCol, textCol, n, depth, width).collect()
-      .foreach { r =>
-        counters(r.getAs[Int]("rw"))(r.getAs[Long]("bucket").toInt) =
-          r.getAs[Long]("cnt")
-      }
-    // pure expression: min over depth of counter[h_row(gram)] — stays
-    // inside whole-stage codegen, no join against the matrix needed
+    matrix.collect().foreach { r =>
+      counters(r.getAs[Int]("rw"))(r.getAs[Long]("bucket").toInt) =
+        r.getAs[Long]("cnt")
+    }
+    counters
+  }
+
+  /** The shared pass-2 of the heavy-hitter operators: map-side sketch
+    * gate (pure expression — min over depth of counter[h_row(gram)],
+    * inside whole-stage codegen, no join) followed by the exact
+    * recount of survivors. Used with a freshly-built matrix
+    * ([[cmsHeavyHitters]]) or a persisted one
+    * ([[CmsStore.heavyHitters]]). */
+  private[operators] def cmsGateRecount(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDf: Long,
+      counters: Array[Array[Long]]): DataFrame = {
+    require(minDf >= 1, s"CMS gate: minDf must be >= 1, got $minDf")
+    val depth = counters.length
+    val width = counters.head.length
     def est(g: Column): Column = {
       val per = (0 until depth).map { d =>
         element_at(lit(counters(d)),

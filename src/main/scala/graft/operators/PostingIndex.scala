@@ -126,7 +126,10 @@ object PostingIndex {
     *
     * Self-exclusion carries over: a query whose id matches a stored
     * doc id never scores against itself — ingested eval/query docs
-    * behave exactly as they do in the in-memory operator. */
+    * behave exactly as they do in the in-memory operator. The flip
+    * side is the caller's contract: EXTERNAL queries must use an id
+    * space disjoint from the corpus, or an accidental id collision
+    * silently drops that one candidate. */
   def topK(queries: DataFrame, idCol: String, textCol: String,
       name: String, nQueryTerms: Int, k: Int,
       k1: Double = 1.2, b: Double = 0.75,

@@ -152,6 +152,15 @@ object Resolve {
   def goldenRecords(recs: DataFrame, idCol: String, nameCol: String,
       maxDist: Int, attrs: Seq[String],
       maxBlock: Long = 1000L): DataFrame = {
+    // the pipeline introduces working columns; an attribute shadowing
+    // one would produce an ambiguous-column error naming neither the
+    // operator nor the offending attr — refuse up front instead
+    val reserved = Set("rid", "name", "entity_id", "cnt", "rk",
+      "n_records", "canonical_name")
+    require(!attrs.exists(reserved), s"goldenRecords: attribute names " +
+      s"${attrs.filter(reserved).mkString(", ")} collide with the " +
+      s"operator's working columns (${reserved.mkString(", ")}) — " +
+      "alias them before calling")
     val ids = entityIds(recs, idCol, nameCol, maxDist, maxBlock)
     val joined = recs
       .select((col(idCol).as("rid") +: attrs.map(col)): _*)

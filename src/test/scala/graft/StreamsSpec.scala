@@ -754,6 +754,15 @@ class StreamsSpec extends AnyFunSuite {
         "compaction must merge duplicate (rw, bucket) counters")
       assert(fromStore() == fromScratch(seed, b0, b1),
         "compaction must not change any estimate")
+      // store-gated heavy hitters == the one-shot operator over the
+      // same union (the sketch only decides the gate; recount is exact)
+      val union = seed.union(b0).union(b1)
+      def hhRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      assert(hhRows(CmsStore.heavyHitters(union, "doc_id", "text", name, 2L))
+        == hhRows(Corpus.cmsHeavyHitters(union, "doc_id", "text",
+          n, depth, width, 2L)))
     } finally {
       Seq(s"${name}_cms", s"${name}_meta", s"${name}_batches")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
