@@ -2916,6 +2916,31 @@ object Pipeline {
        |GROUP BY ngram""".stripMargin
   }
 
+  /** Store-served heavy hitters, oracle-gated by p61's SQL: the same
+    * exact answer, but the gate counters come from the PERSISTED
+    * [[graft.operators.CmsStore]] (accumulated once, memoized on the
+    * corpus fingerprint) instead of a per-query matrix build — the
+    * incremental-ingest serving shape. Exactness does not depend on
+    * the store being fresh (the recount is authoritative); the oracle
+    * equality here additionally pins that the stored counters ARE the
+    * from-scratch matrix, i.e. cmsMerge distributivity survived the
+    * store round-trip. */
+  private def p65(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    import spark.implicits._
+    val fp = docs.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
+        col("text")))).cast("long").as("ids")).head()
+    memoizedBuild(spark, "graft_p65_fp", fp,
+        Seq("graft_p65_cms", "graft_p65_meta")) {
+      graft.operators.CmsStore.build(docs, "doc_id", "text", "graft_p65",
+        BoilerN, CmsDepth, CmsWidth)
+    }
+    graft.operators.CmsStore.heavyHitters(
+      docs, "doc_id", "text", "graft_p65", HhMinDf)
+  }
+
   /** Leakage-safe split, oracle-gated: the p13 near-dup clusters become
     * the split key, so no near-dup family straddles train/test
     * ([[graft.operators.Corpus.splitByGroup]]). The oracle replays the
@@ -3026,5 +3051,6 @@ object Pipeline {
     QueryDef("p61_cms_heavy_hitters", p61, Some(p61Sql)),
     QueryDef("p62_leakage_safe_split", p62, Some(p62Sql)),
     QueryDef("p63_golden_record", p63, Some(p63Sql)),
-    QueryDef("p64_bm25_store", p64, Some(p57Sql)))
+    QueryDef("p64_bm25_store", p64, Some(p57Sql)),
+    QueryDef("p65_cms_store_hh", p65, Some(p61Sql)))
 }
