@@ -47,7 +47,8 @@ object CmsStore {
       n: Int = 3, depth: Int = 4, width: Int = 65536): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq(s"${name}_cms", s"${name}_meta")
+    // ledger dropped with the data: see ShingleIndex.build
+    Seq(s"${name}_cms", s"${name}_meta", s"${name}_batches")
       .foreach(ShingleIndex.dropTable(spark, _))
     Corpus.cmsNgramMatrix(docs, idCol, textCol, n, depth, width)
       .withColumn("batch_id", lit(ShingleIndex.BaseBatch))

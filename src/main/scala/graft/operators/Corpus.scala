@@ -713,10 +713,15 @@ object Corpus {
     * the double is bit-reproducible — never a merge-order `sum()`.
     *
     * Scale shape (100 TB corpus, bounded query set): the corpus
-    * tokenizes and shuffles ONCE on (doc, term) for tf — dl rides along
-    * (max of a per-doc constant), so doc lengths never need a second
-    * corpus join. Everything after that touches only the postings of
-    * the query vocabulary: the query-term set broadcasts into the tf
+    * SHUFFLES once — on (doc, term) for tf; dl rides along (max of a
+    * per-doc constant), so doc lengths never need a second corpus
+    * join. It SCANS twice: the 1-row stats aggregate and the tf build
+    * are separate consumers of the tokenization (persisting the full
+    * token arrays to share them would materialize more than the corpus
+    * itself — the wrong trade; [[PostingIndex]] is the amortized form
+    * that tokenizes once at build time and serves any number of
+    * queries from the stored postings). Everything after tf touches
+    * only the postings of the query vocabulary: the query-term set broadcasts into the tf
     * scan, df comes from the FILTERED postings (no full-vocabulary df
     * table is ever materialized), and corpus stats are a broadcast
     * 1-row aggregate. The final top-k is a per-query window. Stop-term
@@ -746,25 +751,15 @@ object Corpus {
         "aggregate is codegen-bounded; chunk the query or raise k1/b " +
         "selectivity instead")
     val toks = docs
-      .select(col(idCol).as("doc_id"), queryPred.as("is_q"),
+      .select(col(idCol).as("doc_id"),
         TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")))
     // 1-row corpus stats broadcast into the plan (no driver action);
     // avgdl is ONE division of two exact integers
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // pos = FIRST occurrence position of the term inside the leading
-    // window (min over duplicate slots), never an index into
-    // array_distinct output: Spark's array_distinct preserves first-
-    // occurrence order but DuckDB's list_distinct does not guarantee
-    // any order, and pos drives the fixed-order sum below — duplicate
-    // terms leave gaps in 1..nQueryTerms, which contribute +0.0
-    val qterms = toks.filter(col("is_q"))
-      .select(col("doc_id").as("query_id"),
-        posexplode(slice(col("toks"), 1, nQueryTerms)))
-      .groupBy(col("query_id"), col("col"))
-      .agg((min(col("pos")) + 1).as("pos"))
-      .select(col("query_id"), col("pos"), col("col").as("term"))
+    val qterms = bm25QueryTerms(docs.filter(queryPred), idCol, textCol,
+      nQueryTerms)
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -985,13 +980,20 @@ object Corpus {
       }
       per.reduceLeft(least(_, _))
     }
+    // est is instantiated ONCE, in the map-side projection: each use
+    // site embeds the dense counter arrays into the plan as literals,
+    // so a second instantiation (e.g. recomputing df_est after the
+    // groupBy) would double the plan/task payload — at the 2^24-cell
+    // cap that is an extra 128 MB for nothing. The per-gram constant
+    // rides through the aggregate as max() instead.
     Dedup.shingleDocs(docs, idCol, textCol, n)
       .select(explode(col("shingles")).as("ngram"))
-      .filter(est(col("ngram")) >= minDf) // map-side: before ANY shuffle
+      .select(col("ngram"), est(col("ngram")).as("df_est"))
+      .filter(col("df_est") >= minDf) // map-side: before ANY shuffle
       .groupBy(col("ngram"))
-      .agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("df"), max(col("df_est")).as("df_est"))
       .filter(col("df") >= minDf)
-      .withColumn("df_est", est(col("ngram")))
+      .select(col("ngram"), col("df"), col("df_est"))
   }
 
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,

@@ -78,7 +78,9 @@ object IvfIndex {
     // ShingleIndex.dropTable also clears stale warehouse directories —
     // an in-memory catalog forgets tables across JVMs, and a leftover
     // dir fails saveAsTable with LOCATION_ALREADY_EXISTS
-    Seq(s"${name}_cells", s"${name}_cent", s"${name}_books")
+    // ledger dropped with the data: see ShingleIndex.build
+    Seq(s"${name}_cells", s"${name}_cent", s"${name}_books",
+        s"${name}_batches")
       .foreach(ShingleIndex.dropTable(spark, _))
     val c = Similarity
       .withNorm(corpus, idCol, vecCol, "neighbor_id", "cv")

@@ -63,7 +63,9 @@ object PostingIndex {
       buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq(s"${name}_post", s"${name}_stats", s"${name}_meta")
+    // ledger dropped with the data: see ShingleIndex.build
+    Seq(s"${name}_post", s"${name}_stats", s"${name}_meta",
+        s"${name}_batches")
       .foreach(ShingleIndex.dropTable(spark, _))
     postings(docs, idCol, textCol)
       .withColumn("batch_id", lit(ShingleIndex.BaseBatch))

@@ -62,10 +62,16 @@ object Resolve {
       .repartition(par(recs), col("name"))
 
   def fuzzyNamePairs(recs: DataFrame, idCol: String, nameCol: String,
-      maxDist: Int, maxBlock: Long = 1000L): DataFrame = {
+      maxDist: Int, maxBlock: Long = 1000L): DataFrame =
+    pairsFromNames(canonicalNames(recs, idCol, nameCol), maxDist, maxBlock)
+
+  /** The block–pair–gate stages over an already-built names frame —
+    * shared so [[entityIds]] computes the record-scale exact-group scan
+    * ONCE (persisted) instead of once per consumer. */
+  private def pairsFromNames(names: DataFrame, maxDist: Int,
+      maxBlock: Long): DataFrame = {
     require(maxDist >= 1, s"fuzzyNamePairs: maxDist must be >= 1, got $maxDist")
     require(maxBlock >= 2, s"fuzzyNamePairs: maxBlock must be >= 2, got $maxBlock")
-    val names = canonicalNames(recs, idCol, nameCol)
     val blocks = names.select(col("name"),
       explode(array_distinct(TextFns.tokens(col("name")))).as("blk"))
     val kept = blocks.join(
@@ -114,8 +120,14 @@ object Resolve {
     */
   def entityIds(recs: DataFrame, idCol: String, nameCol: String,
       maxDist: Int, maxBlock: Long = 1000L): DataFrame = {
-    val names = canonicalNames(recs, idCol, nameCol)
-    val edges = fuzzyNamePairs(recs, idCol, nameCol, maxDist, maxBlock)
+    // persisted: the names frame is name-vocabulary-scale (tiny) but
+    // its LINEAGE is the record-scale exact-group scan, and it feeds
+    // three consumers (blocking, the pair-side rejoins, nameEntity) —
+    // without the pin each consumer re-runs the record scan. Persisted
+    // under the repo's caller-clears-cache convention (Verify/the
+    // ingest loops clear per call).
+    val names = canonicalNames(recs, idCol, nameCol).persist()
+    val edges = pairsFromNames(names, maxDist, maxBlock)
       .select(col("id_a").as("ida"), col("id_b").as("idb"))
     val cc = Clusters.connectedComponents(edges)
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
@@ -162,9 +174,15 @@ object Resolve {
       s"operator's working columns (${reserved.mkString(", ")}) — " +
       "alias them before calling")
     val ids = entityIds(recs, idCol, nameCol, maxDist, maxBlock)
+    // persisted: every mode pick below is an entity-scale aggregation,
+    // but each one CONSUMES this record-scale join — k attributes would
+    // re-execute it k+2 times without the pin (ReuseExchange does not
+    // reliably dedupe repeated subtrees; see Clusters). Caller-clears-
+    // cache convention, as above.
     val joined = recs
       .select((col(idCol).as("rid") +: attrs.map(col)): _*)
       .join(ids, Seq("rid"))
+      .persist()
     def modePick(valueCol: String, outName: String): DataFrame = {
       val w = Window.partitionBy(col("entity_id"))
         .orderBy(col("cnt").desc, col(valueCol).asc)

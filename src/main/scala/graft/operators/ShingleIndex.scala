@@ -77,7 +77,11 @@ object ShingleIndex {
       n: Int = 5, buckets: Int = 32, parts: Int = 64): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq(s"${name}_idx", s"${name}_sh", s"${name}_meta")
+    // the ledger goes too: a rebuilt index starts a NEW batch-id
+    // history, and a stale ledger would make a fresh stream silently
+    // skip ids it believes committed (data loss) or compactIndex fold
+    // a torn new batch it believes committed (permanent half-write)
+    Seq(s"${name}_idx", s"${name}_sh", s"${name}_meta", s"${name}_batches")
       .foreach(dropTable(spark, _))
     // persisted across the two writes: without it the whole corpus
     // normalize/tokenize/shingle scan runs twice — once per table
