@@ -151,9 +151,18 @@ object Bench {
       }
       (name, bestAll._1, bestAll._2, bestAll._3)
     }
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // Locale-pinned 2-decimal formatting: raw Double.toString emits up
+    // to 17 significant digits per timing (sub-microsecond noise), which
+    // bloated the r9 results line to ~10 KB — and the harness that
+    // collects this output keeps only the LAST 2000 characters of
+    // stdout, so the r9 per-query timings were cut out of the recorded
+    // artifact entirely. 10 ms resolution is already below run-to-run
+    // noise on every query here.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val cpus_ = results.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
+    val cpus_ = results.map { case (k, _, c, _) => s"\"" + k + "\":" + fmt(c) }
       .mkString("{", ",", "}")
     val gcs = results.map { case (k, _, _, g) => s"\"" + k + "\":" + g }
       .mkString("{", ",", "}")
@@ -168,10 +177,40 @@ object Bench {
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpu":$cpus_,"gc_ms":$gcs,"suspect_contended":$suspect,"suspect_gc":$suspectGc,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"cpu":$cpus_,"gc_ms":$gcs,"suspect_contended":$suspect,"suspect_gc":$suspectGc,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_results.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
+    // Compact summary as the LAST stdout line, size-capped so the
+    // whole line survives a 2000-character tail capture (the recorded
+    // r5-r9 artifacts all have parsed=null and the r9 tail contains no
+    // timings at all — the full line above is ~100 queries wide and can
+    // never fit). Slowest-first greedy fill: the omitted entries are by
+    // construction the fastest, and their count + summed seconds are
+    // reported so nothing is silently dropped; the full map is always
+    // in bench_results.json (cwd) and in the full line above.
+    val budget = 1800
+    val ordered = results.sortBy { case (_, v, _, _) => -v }
+    val head =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failed":$failedJson,"suspect_contended":$suspect,"suspect_gc":$suspectGc,"detail":"bench_results.json","""
+    val tailFixedMax = // worst-case closing: omitted count + seconds
+      s""""queries_omitted":${results.size},"omitted_sec":${fmt(total)}}""".length
+    val kept = scala.collection.mutable.ListBuffer[String]()
+    var used = head.length + """"queries":{},""".length + tailFixedMax
+    var keptN = 0
+    var full = false // strict prefix: omitted = exactly the fastest tail
+    ordered.foreach { case (k, v, _, _) =>
+      val piece = "\"" + k + "\":" + fmt(v)
+      if (!full && used + piece.length + 1 <= budget) {
+        kept += piece; used += piece.length + 1; keptN += 1
+      } else full = true
+    }
+    val omitted = ordered.drop(keptN)
+    val omittedSec =
+      omitted.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val compact = head + "\"queries\":" + kept.mkString("{", ",", "}") +
+      s""","queries_omitted":${omitted.size},"omitted_sec":${fmt(omittedSec)}}"""
+    println(compact)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

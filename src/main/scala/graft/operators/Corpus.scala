@@ -996,6 +996,191 @@ object Corpus {
       .select(col("ngram"), col("df"), col("df_est"))
   }
 
+  /** One learned BPE merge: in round `rnd`, the adjacent symbol pair
+    * (lft, rgt) had the highest corpus frequency `cnt` (weighted by
+    * word occurrences) and was fused into the new symbol lft+rgt. */
+  final case class BpeMerge(rnd: Int, lft: String, rgt: String, cnt: Long)
+
+  /** Symbol-list separator for the BPE fold: outside the normalized
+    * token alphabet ([a-z0-9]), so `acc ends-with SEP+lft` is a true
+    * last-symbol test — a symbol can never smuggle the separator. */
+  private val BpeSep = "\u001f"
+
+  private def bpeResplit(sym: Column): Column =
+    filter(split(sym, BpeSep), s => s =!= "")
+
+  /** Apply ONE merge to a symbol array via a left fold that re-encodes
+    * the list as a SEP-joined string: if the accumulator ends with
+    * SEP+lft and the next symbol is rgt, appending rgt WITHOUT a
+    * separator fuses the pair in place; otherwise append SEP+symbol.
+    * A left fold IS greedy left-to-right non-overlapping merging — the
+    * standard BPE application order ("aaaa" → "aa","aa") — and the
+    * identical `list_reduce` replays it in the oracle. */
+  private def bpeMergeFold(syms: Column, lft: String, rgt: String): Column =
+    bpeResplit(aggregate(syms, lit(""), (acc, s) =>
+      when(acc.endsWith(lit(BpeSep + lft)) && s === rgt, concat(acc, s))
+        .otherwise(concat(acc, lit(BpeSep), s))))
+
+  /** The word-frequency table BPE training actually runs on:
+    * (word, cnt, syms) with syms the word's current symbol list
+    * (initially its characters). ONE corpus-scale shuffle; everything
+    * after is vocabulary-scale. */
+  private def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextFns.tokens(TextFns.normText(col(textCol))))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        filter(split(col("word"), ""), s => s =!= "").as("syms"))
+
+  /** Distributed byte-pair-encoding merge learning — the tokenizer-
+    * training step of a data pipeline, run the way production BPE
+    * trainers run it: on the word-FREQUENCY table, never on the raw
+    * corpus. The corpus is scanned exactly once (the word-count
+    * shuffle); each merge round is then a vocabulary-scale job —
+    * adjacent-pair counts weighted by word frequency, one bounded
+    * argmax to the driver (1 row — the same bounded-collect class as
+    * a centroid pick), and a pure-map fold applying the winner. At
+    * 100 TB the vocabulary table is orders of magnitude smaller than
+    * the corpus and the rounds never rescan it.
+    *
+    * Rounds are inherently sequential (merge i+1's pair statistics
+    * depend on merge i having been applied — that is the definition
+    * of BPE), so `rounds` driver-blocking jobs is the honest cost; a
+    * full 30k-merge tokenizer would hoist the loop onto a collected
+    * frequency table once it fits one node, which the vocab-scale
+    * reduction here is exactly the preparation for.
+    *
+    * Ties (equal pair counts) break lexicographically on (lft, rgt) —
+    * binary string order, identical in both engines. Stops early if
+    * no pair remains (every word fused to one symbol).
+    */
+  def bpeLearn(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): Seq[BpeMerge] = {
+    require(rounds >= 1 && rounds <= 256,
+      s"bpeLearn: rounds must be in [1, 256], got $rounds — beyond " +
+        "that, collect the word-frequency table and loop locally")
+    var vocab = bpeVocab(docs, textCol).persist()
+    vocab.count() // materialize before the rounds re-read it
+    val merges = scala.collection.mutable.ListBuffer[BpeMerge]()
+    var done = false
+    (1 to rounds).foreach { rnd =>
+      if (!done) {
+        val n = size(col("syms"))
+        val best = vocab
+          .select(col("cnt"),
+            explode(zip_with(slice(col("syms"), lit(1), n - 1),
+              slice(col("syms"), lit(2), n - 1),
+              (l, r) => struct(l.as("l"), r.as("r")))).as("pr"))
+          .groupBy(col("pr.l").as("lft"), col("pr.r").as("rgt"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("lft"), col("rgt"))
+          .limit(1).collect()
+        if (best.isEmpty) done = true
+        else {
+          val b = best.head
+          val (l, r) = (b.getString(0), b.getString(1))
+          merges += BpeMerge(rnd, l, r, b.getLong(2))
+          val next = vocab
+            .select(col("word"), col("cnt"),
+              bpeMergeFold(col("syms"), l, r).as("syms"))
+            .persist()
+          next.count() // materialize, then free the previous round
+          vocab.unpersist()
+          vocab = next
+        }
+      }
+    }
+    vocab.unpersist()
+    merges.toList
+  }
+
+  /** The learned merges as a gateable frame: (rnd, lft, rgt, cnt). */
+  def bpeMergeFrame(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLearn(docs, idCol, textCol, rounds)
+      .toDF().select(col("rnd"), col("lft"), col("rgt"), col("cnt"))
+  }
+
+  /** Tokenize the corpus under learned BPE merges and count tokens per
+    * document — the encode side of [[bpeLearn]], shaped for scale the
+    * same way: the merge folds run once per DISTINCT word (a
+    * vocabulary-scale map), and the corpus only pays a word → length
+    * equi join plus a per-doc sum. Documents with no tokens produce no
+    * row (nothing to encode), identically in the oracle.
+    *
+    * @return (doc_id, n_words, n_tokens): words in the doc, and BPE
+    *         symbols after all merges (n_tokens <= chars, >= n_words)
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFns.tokens(TextFns.normText(col(textCol))))
+          .as("word"))
+    val folded = merges.foldLeft(
+      filter(split(col("word"), ""), s => s =!= "")) { (syms, m) =>
+      bpeMergeFold(syms, m.lft, m.rgt)
+    }
+    val enc = words.select(col("word")).distinct()
+      .select(col("word"), size(folded).as("n_syms"))
+    words.join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_tokens"))
+  }
+
+  /** Reciprocal-rank fusion of N ranked retrieval lists — the standard
+    * hybrid-retrieval combiner (lexical BM25 + dense ANN, or any mix of
+    * rankers): fused(q, d) = Σ_branch 1/(c + rank_branch(q, d)), items
+    * missing from a branch contribute +0.0. Rank-based fusion needs no
+    * score calibration across branches (BM25 odds vs cosine live on
+    * incomparable scales), which is exactly why RRF is the default
+    * fuser in hybrid search engines.
+    *
+    * Determinism: 1/(c + rank) is one IEEE division of exact integers,
+    * and the per-item sum runs in FIXED branch order (branch 0 + branch
+    * 1 + …, the bm25TopK fixed-position-sum pattern) — never a
+    * merge-order `sum()` — so the fused double is bit-reproducible in
+    * the oracle. Ties (items sharing a fused score) break on item id.
+    * If an item appears more than once within one branch, its BEST
+    * (lowest) rank wins — max of 1/(c+rank) — so upstream rankers with
+    * duplicate rows degrade gracefully rather than double-counting.
+    *
+    * Scale shape: inputs are already top-k lists — O(queries × k ×
+    * branches) rows total, shuffled once on (query_id, item_id); the
+    * final per-query top-k is a bounded window. The expensive work
+    * (corpus-scale retrieval) happened upstream; fusion itself is
+    * negligible at any corpus size.
+    *
+    * @param rankings one DataFrame per branch, each with columns
+    *   (query_id, item_id, rnk) — rnk 1-based
+    * @return (query_id, rnk, item_id, rrf) with rnk <= k
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 1 && c >= 0, s"rrfFuse: need k >= 1, c >= 0, got $k/$c")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("item_id"), lit(i).as("br"),
+        (lit(1.0) / (lit(c.toDouble) + col("rnk").cast("double")))
+          .as("contrib"))
+    }.reduceLeft(_ unionByName _)
+    val perBranch = rankings.indices.map(i =>
+      max(when(col("br") === i, col("contrib"))).as(s"b$i"))
+    val fused = tagged.groupBy(col("query_id"), col("item_id"))
+      .agg(perBranch.head, perBranch.tail: _*)
+      .select(col("query_id"), col("item_id"),
+        rankings.indices.map(i => coalesce(col(s"b$i"), lit(0.0)))
+          .reduceLeft(_ + _).as("rrf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("item_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("item_id"), col("rrf"))
+  }
+
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, minDf: Int = 2): DataFrame = {
     require(n > 0 && k > 0, s"need positive n/k, got n=$n k=$k")

@@ -1155,6 +1155,91 @@ object Similarity {
       q.select(col("query_id"), col("qv"), col("qv_n")), k)
   }
 
+  /** Maximal-marginal-relevance rerank: greedily diversify each
+    * query's cosine shortlist — pick argmax of
+    * `mmr = λ·rel(q, d) − (1 − λ)·max_{s ∈ selected} cos(d, s)`
+    * one item at a time (the Carbonell–Goldstein criterion; the
+    * dedup-at-serving-time step of retrieval pipelines, so a near-dup
+    * family can't monopolize a result page the way it monopolizes a
+    * training batch). The first pick sees an empty selected set —
+    * max-sim is defined as +0.0 there, so every round scores through
+    * the SAME expression.
+    *
+    * Greedy selection is inherently sequential in k, so it is
+    * expressed as k UNROLLED relational rounds, each a bounded
+    * window/join over the per-query shortlist — never a driver loop
+    * over collected rows. Corpus-scale work happens exactly once (the
+    * shortlist build, one broadcast nested-loop like
+    * [[bruteForceTopK]]); the shortlist (queries × poolK rows) is
+    * persisted and every later round touches only it, so cost is
+    * O(k · Q · poolK²) on an O(Q·poolK) frame regardless of corpus
+    * size.
+    *
+    * Determinism: rel and the pairwise cosines are the shared
+    * [[dot]]-fold; MAX over doubles is merge-order-free; λ·rel −
+    * (1−λ)·maxSim is a fixed IEEE sequence (λ = 0.5 halves exactly);
+    * ties break on item id — the oracle replays all k rounds verbatim.
+    *
+    * @return (query_id, rnk, item_id, mmr): rnk = selection order,
+    *         1 <= rnk <= min(k, |shortlist(q)|)
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, poolK: Int, k: Int,
+      lambda: Double = 0.5): DataFrame = {
+    require(poolK >= k && k >= 1,
+      s"mmrRerank: need poolK >= k >= 1, got poolK=$poolK k=$k")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"mmrRerank: need 0 < lambda <= 1, got $lambda") // λ=0 ignores rel
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv")
+    val c = withNorm(corpus, idCol, vecCol, "item_id", "cv")
+      .repartition(par(corpus), col("item_id"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("item_id"))
+    val short = c.join(broadcast(q), col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"),
+        (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")))
+          .as("rel"),
+        col("cv"), col("cv_n"))
+      .withColumn("r0", row_number().over(wRel))
+      .filter(col("r0") <= poolK)
+      .drop("r0")
+      .persist() // reused by every greedy round — never rescan the corpus
+    val lam = lit(lambda)
+    val oneMinusLam = lit(1.0 - lambda)
+    def pickTop(cands: DataFrame, rnk: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("item_id"))
+      cands
+        .select(col("query_id"), col("item_id"),
+          (lam * col("rel") - oneMinusLam * col("msim")).as("mmr"),
+          col("cv"), col("cv_n"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("query_id"), lit(rnk).as("rnk"), col("item_id"),
+          col("mmr"), col("cv"), col("cv_n"))
+    }
+    val firstPick = pickTop(short.withColumn("msim", lit(0.0)), 1)
+    val selected = (2 to k).foldLeft(firstPick) { (sel, i) =>
+      val rem = short.join(sel.select(col("query_id"), col("item_id")),
+        Seq("query_id", "item_id"), "left_anti")
+      val ms = rem
+        .join(sel.select(col("query_id"), col("cv").as("sv"),
+          col("cv_n").as("sv_n")), Seq("query_id"))
+        .groupBy(col("query_id"), col("item_id"))
+        .agg(max(col("rel")).as("rel"), // per-(q, item) constants: max
+          max(dot(col("cv"), col("sv")) / (col("cv_n") * col("sv_n")))
+            .as("msim"), // MAX over doubles — merge-order-free
+          first(col("cv")).as("cv"), // constant within the group
+          max(col("cv_n")).as("cv_n"))
+      // each round references the previous selection twice (anti join +
+      // pairwise-sim join); persisting keeps the recursive plan from
+      // re-running every earlier round's windows 2^i times
+      sel.unionByName(pickTop(ms, i)).persist()
+    }
+    selected.select(col("query_id"), col("rnk"), col("item_id"),
+      col("mmr"))
+  }
+
   /** Symmetric per-vector int8 quantization audit: scale = 127/max|x_i|,
     * q_i = floor(x_i·scale + 0.5) (explicit floor arithmetic — Spark's
     * round() is HALF_UP, DuckDB's rounds half away from zero; floor

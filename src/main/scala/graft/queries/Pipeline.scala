@@ -2626,7 +2626,12 @@ object Pipeline {
       col("doc_id") % BmQueryMod === 0, BmTerms, TopK,
       k1 = BmK1, b = BmB)
 
-  private val p57Sql = {
+  /** The full BM25 CTE chain ending in `lexr(query_id, doc_id, score,
+    * rnk)` — ranked but NOT yet cut to k. Shared verbatim by p57/p64
+    * (their gate IS these CTEs + `rnk <= TopK`) and spliced into p66's
+    * hybrid fusion as the lexical branch, so the fused contributions
+    * come from the exact doubles the BM25 gates already proved. */
+  private def bm25RankedCtes: String = {
     val toks = toksSql(normSql("text"))
     val kk1 = BmK1 + 1.0
     val omb = 1.0 - BmB
@@ -2634,7 +2639,7 @@ object Pipeline {
       s"MAX(CASE WHEN pos = $p THEN c END) AS c$p").mkString(", ")
     val cSum = (1 to BmTerms).map(p => s"coalesce(c$p, CAST(0.0 AS DOUBLE))")
       .mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
        |st AS (SELECT COUNT(*) AS n_docs,
        |        SUM(len(toks))::DOUBLE / COUNT(*) AS avgdl FROM t),
        |q0 AS (SELECT doc_id AS query_id,
@@ -2659,14 +2664,18 @@ object Pipeline {
        |  FROM post p JOIN dfq USING (term) JOIN q USING (term), st
        |  WHERE p.doc_id != q.query_id),
        |summed AS (SELECT query_id, doc_id, $cMax FROM contrib GROUP BY 1, 2),
-       |sc AS (SELECT query_id, doc_id, $cSum AS score FROM summed)
-       |SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score FROM (
+       |sc AS (SELECT query_id, doc_id, $cSum AS score FROM summed),
+       |lexr AS (
        |  SELECT query_id, doc_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score DESC, doc_id) AS rnk
-       |  FROM sc)
-       |WHERE rnk <= $TopK""".stripMargin
+       |  FROM sc)""".stripMargin
   }
+
+  private val p57Sql =
+    s"""WITH $bm25RankedCtes
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id, score
+       |FROM lexr WHERE rnk <= $TopK""".stripMargin
 
   /** Store-served BM25, oracle-gated by p57's SQL: the SAME queries
     * answered from the persisted posting index
@@ -2983,6 +2992,221 @@ object Pipeline {
        |FROM k GROUP BY 1""".stripMargin
   }
 
+  // hybrid retrieval: each branch contributes its top-RrfPoolK list,
+  // fused by reciprocal rank with the standard c = 60
+  private val RrfPoolK = 10
+  private val RrfC = 60
+
+  /** Hybrid retrieval, oracle-gated: BM25 (p57's lexical branch over
+    * `documents`) and exact cosine (p06's dense branch over the
+    * id-aligned `embeddings`) each rank the corpus for the SAME query
+    * docs; [[graft.operators.Corpus.rrfFuse]] combines the two
+    * top-[[RrfPoolK]] lists by reciprocal rank. The oracle splices the
+    * shared [[bm25RankedCtes]] block with a p06-style cosine ranking
+    * and replays the fixed-branch-order 1/(c+rank) sum exactly — ranks
+    * are integers, so the fused doubles are bit-identical. A query doc
+    * whose embedding is zero-norm (cosine undefined) simply has no
+    * dense branch, identically in both engines. */
+  private def p66(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    val emb = Tables.df(spark, dir, "embeddings")
+    val lex = graft.operators.Corpus
+      .bm25TopK(docs, "doc_id", "text",
+        col("doc_id") % BmQueryMod === 0, BmTerms, RrfPoolK,
+        k1 = BmK1, b = BmB)
+      .select(col("query_id"), col("doc_id").as("item_id"), col("rnk"))
+    val vec = Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") % BmQueryMod === 0), emb,
+        "vec_id", "embedding", RrfPoolK)
+      .select(col("query_id"), col("neighbor_id").as("item_id"),
+        col("rank").as("rnk"))
+    graft.operators.Corpus.rrfFuse(Seq(lex, vec), TopK, c = RrfC)
+  }
+
+  private val p66Sql =
+    s"""WITH $bm25RankedCtes,
+       |ev AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE ${dotSql("embedding", "embedding")} > 0),
+       |evq AS (SELECT * FROM ev WHERE vec_id % $BmQueryMod = 0),
+       |vsc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM evq q JOIN ev c ON q.vec_id != c.vec_id),
+       |vecr AS (
+       |  SELECT query_id, item_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, item_id) AS rnk
+       |  FROM vsc),
+       |u AS (
+       |  SELECT query_id, doc_id AS item_id, 0 AS br,
+       |    CAST(1.0 AS DOUBLE) / ($RrfC + rnk) AS contrib
+       |  FROM lexr WHERE rnk <= $RrfPoolK
+       |  UNION ALL
+       |  SELECT query_id, item_id, 1 AS br,
+       |    CAST(1.0 AS DOUBLE) / ($RrfC + rnk) AS contrib
+       |  FROM vecr WHERE rnk <= $RrfPoolK),
+       |f AS (
+       |  SELECT query_id, item_id,
+       |    coalesce(MAX(CASE WHEN br = 0 THEN contrib END),
+       |             CAST(0.0 AS DOUBLE))
+       |  + coalesce(MAX(CASE WHEN br = 1 THEN contrib END),
+       |             CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM u GROUP BY 1, 2)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, item_id, rrf FROM (
+       |  SELECT query_id, item_id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, item_id) AS rnk
+       |  FROM f)
+       |WHERE rnk <= $TopK""".stripMargin
+
+  // MMR diversification: shortlist depth and trade-off weight
+  private val MmrPoolK = 15
+  private val MmrLambda = 0.5
+
+  /** MMR diversified rerank, oracle-gated: greedy
+    * maximal-marginal-relevance selection over each query's cosine
+    * shortlist ([[graft.operators.Similarity.mmrRerank]]). Greedy
+    * selection is sequential in k, so the oracle unrolls the k rounds
+    * as CTE layers — anti-join away the picks so far, per-candidate
+    * MAX pairwise cosine against them, λ·rel − (1−λ)·maxSim argmax —
+    * exactly the relational rounds the Spark plan runs. λ = 0.5 halves
+    * exactly, MAX over doubles is merge-order-free, and all cosines
+    * are the shared sequential fold, so every mmr double matches
+    * bit-for-bit. */
+  private def p67(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.df(spark, dir, "embeddings")
+    Similarity.mmrRerank(emb.filter(col("vec_id") % 50 === 0), emb,
+      "vec_id", "embedding", MmrPoolK, TopK, MmrLambda)
+  }
+
+  private val p67Sql = {
+    def mmr(rel: String, ms: String) =
+      s"CAST($MmrLambda AS DOUBLE) * $rel" +
+        s" - CAST(${1.0 - MmrLambda} AS DOUBLE) * $ms"
+    def pick(i: Int, src: String, msim: String) =
+      s"""s$i AS (
+         |  SELECT query_id, item_id, mmr, CAST($i AS INT) AS rnk FROM (
+         |    SELECT query_id, item_id, mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY mmr DESC, item_id) AS r
+         |    FROM (SELECT query_id, item_id, ${mmr("rel", msim)} AS mmr
+         |          FROM $src))
+         |  WHERE r = 1)""".stripMargin
+    val rounds = (2 to TopK).map { i =>
+      s"""rem$i AS (
+         |  SELECT s.query_id, s.item_id, s.rel FROM sh s
+         |  ANTI JOIN a${i - 1} p
+         |    ON s.query_id = p.query_id AND s.item_id = p.item_id),
+         |ms$i AS (
+         |  SELECT r.query_id, r.item_id, r.rel,
+         |    MAX(${cosSql("vc.embedding", "vs.embedding")}) AS msim
+         |  FROM rem$i r
+         |  JOIN a${i - 1} p ON p.query_id = r.query_id
+         |  JOIN ev vc ON vc.vec_id = r.item_id
+         |  JOIN ev vs ON vs.vec_id = p.item_id
+         |  GROUP BY 1, 2, 3),
+         |${pick(i, s"ms$i", "msim")},
+         |a$i AS (SELECT * FROM a${i - 1} UNION ALL SELECT * FROM s$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE ${dotSql("embedding", "embedding")} > 0),
+       |evq AS (SELECT * FROM ev WHERE vec_id % 50 = 0),
+       |sh0 AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS item_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS rel
+       |  FROM evq q JOIN ev c ON q.vec_id != c.vec_id),
+       |sh AS (SELECT query_id, item_id, rel FROM (
+       |    SELECT query_id, item_id, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY rel DESC, item_id) AS r
+       |    FROM sh0)
+       |  WHERE r <= $MmrPoolK),
+       |${pick(1, "sh", "CAST(0.0 AS DOUBLE)")},
+       |a1 AS (SELECT * FROM s1),
+       |$rounds
+       |SELECT query_id, rnk, item_id, mmr FROM a$TopK""".stripMargin
+  }
+
+  // BPE tokenizer training: learned merge rounds for the driver gate
+  private val BpeRounds = 3
+
+  /** BPE merge learning, oracle-gated: the first [[BpeRounds]] learned
+    * merges — pair, round, weighted count
+    * ([[graft.operators.Corpus.bpeLearn]]). BPE rounds are inherently
+    * sequential, so the oracle unrolls them: each layer re-derives the
+    * best pair itself (weighted adjacent-pair counts over the word
+    * vocabulary, ORDER BY cnt DESC, lft, rgt LIMIT 1) and applies it
+    * with the identical left-fold — `list_reduce` over
+    * separator-joined symbols, fusing when the accumulator ends with
+    * SEP+lft — so the oracle proves the LEARNING, not just a replay of
+    * Spark's choices. Counts are pure integers; ties break on binary
+    * string order in both engines. */
+  private def p68(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.bpeMergeFrame(
+      Tables.df(spark, dir, "documents"), "doc_id", "text", BpeRounds)
+
+  /** The shared BPE CTE chain: w0/c0 (word vocab + initial chars),
+    * then per round i: pair counts p{i}, argmax b{i}, folded vocab
+    * c{i}. Ends with c[rounds] holding the final symbol lists. */
+  private def bpeCtes(rounds: Int): String = {
+    val toks = toksSql(normSql("text"))
+    def fold(b: String) =
+      s"list_filter(string_split(list_reduce(list_prepend('', syms), " +
+        s"(acc, s) -> CASE WHEN ends_with(acc, chr(31) || $b.lft) " +
+        s"AND s = $b.rgt THEN acc || s ELSE acc || chr(31) || s END), " +
+        "chr(31)), x -> x != '')"
+    val rounds_ = (1 to rounds).map { i =>
+      s"""p$i AS (
+         |  SELECT pr.l AS lft, pr.r AS rgt, SUM(cnt)::BIGINT AS cnt
+         |  FROM (SELECT cnt,
+         |          unnest(list_transform(generate_series(1, len(syms) - 1),
+         |            i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+         |        FROM c${i - 1})
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lft, rgt, cnt FROM p$i
+         |        ORDER BY cnt DESC, lft, rgt LIMIT 1),
+         |c$i AS (SELECT word, c${i - 1}.cnt, ${fold("b")} AS syms
+         |        FROM c${i - 1} CROSS JOIN b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT word, COUNT(*) AS cnt
+       |       FROM (SELECT unnest($toks) AS word FROM documents)
+       |       GROUP BY 1),
+       |c0 AS (SELECT word, cnt,
+       |        list_filter(string_split(word, ''), s -> s != '') AS syms
+       |       FROM w0),
+       |$rounds_""".stripMargin
+  }
+
+  private val p68Sql = {
+    val union = (1 to BpeRounds).map(i =>
+      s"SELECT $i AS rnd, lft, rgt, cnt FROM b$i").mkString("\nUNION ALL\n")
+    s"""WITH ${bpeCtes(BpeRounds)}
+       |SELECT CAST(rnd AS INT) AS rnd, lft, rgt, cnt FROM ($union)"""
+      .stripMargin
+  }
+
+  /** BPE encode, oracle-gated: per-document word and token counts
+    * under the [[BpeRounds]] learned merges
+    * ([[graft.operators.Corpus.bpeTokenCounts]]) — the folds run once
+    * per distinct word, the corpus pays one word → length join. The
+    * oracle extends [[bpeCtes]] with the same join + sums. */
+  private def p68b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    graft.operators.Corpus.bpeTokenCounts(docs, "doc_id", "text",
+      graft.operators.Corpus.bpeLearn(docs, "doc_id", "text", BpeRounds))
+  }
+
+  private val p68bSql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |enc AS (SELECT word, len(syms) AS n_syms FROM c$BpeRounds),
+       |dw AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words, SUM(e.n_syms)::BIGINT AS n_tokens
+       |FROM dw JOIN enc e USING (word)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -3052,5 +3276,9 @@ object Pipeline {
     QueryDef("p62_leakage_safe_split", p62, Some(p62Sql)),
     QueryDef("p63_golden_record", p63, Some(p63Sql)),
     QueryDef("p64_bm25_store", p64, Some(p57Sql)),
-    QueryDef("p65_cms_store_hh", p65, Some(p61Sql)))
+    QueryDef("p65_cms_store_hh", p65, Some(p61Sql)),
+    QueryDef("p66_hybrid_rrf", p66, Some(p66Sql)),
+    QueryDef("p67_mmr_rerank", p67, Some(p67Sql)),
+    QueryDef("p68_bpe_merges", p68, Some(p68Sql)),
+    QueryDef("p68b_bpe_encode", p68b, Some(p68bSql)))
 }

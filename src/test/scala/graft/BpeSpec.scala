@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Corpus
+import graft.operators.Corpus.BpeMerge
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics tests for BPE merge learning and encoding on planted
+  * vocabularies where every round's winning pair and every fold result
+  * is hand-checkable. Value parity at corpus scale is the oracle gate's
+  * job (p68/p68b); these pin the algorithmic contract: frequency-
+  * weighted pair counts, lexicographic tie-breaks, greedy left-to-right
+  * non-overlapping merge application, early stop, and the
+  * vocabulary-scale encode join.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = Sessions.local(4)
+  import spark.implicits._
+
+  private def docsOf(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("learned merges: frequency-weighted argmax per round, early stop when no pair remains") {
+    // vocab: "ab" x3 (two docs), "cd" x1 → round 1 fuses (a,b) w=3,
+    // round 2 fuses (c,d) w=1, round 3 finds nothing and stops early
+    val docs = docsOf("ab ab cd", "ab")
+    val merges = Corpus.bpeLearn(docs, "doc_id", "text", rounds = 3)
+    assert(merges == Seq(BpeMerge(1, "a", "b", 3L), BpeMerge(2, "c", "d", 1L)))
+  }
+
+  test("greedy left-to-right application: aaaa -> (aa)(aa), aaa -> (aa)(a)") {
+    // "aaaa": pairs (a,a) x3 → merge (a,a). Greedy non-overlapping
+    // application leaves [aa, aa]; round 2's best pair is then (aa,aa).
+    val m1 = Corpus.bpeLearn(docsOf("aaaa"), "doc_id", "text", 2)
+    assert(m1 == Seq(BpeMerge(1, "a", "a", 3L), BpeMerge(2, "aa", "aa", 1L)))
+    // "aaa": [aa, a] after round 1 → round 2 fuses (aa, a)
+    val m2 = Corpus.bpeLearn(docsOf("aaa"), "doc_id", "text", 2)
+    assert(m2 == Seq(BpeMerge(1, "a", "a", 2L), BpeMerge(2, "aa", "a", 1L)))
+  }
+
+  test("tie-break: equal counts resolve lexicographically on (lft, rgt)") {
+    // "ba" and "ab" each once: pairs (a,b) x1 and (b,a) x1 → (a,b) wins
+    val merges = Corpus.bpeLearn(docsOf("ba ab"), "doc_id", "text", 1)
+    assert(merges == Seq(BpeMerge(1, "a", "b", 1L)))
+  }
+
+  test("single-character vocabulary learns nothing") {
+    assert(Corpus.bpeLearn(docsOf("a b a", "c"), "doc_id", "text", 3).isEmpty)
+  }
+
+  test("encode: per-doc word/token counts under the learned merges; fold runs per distinct word") {
+    val docs = docsOf("abab abab cd", "ab q")
+    // round 1: (a,b) w=5 [abab x2 contributes 2 each? no: abab has
+    // pairs (a,b),(b,a),(a,b) → (a,b) x2 per occurrence, x2 occurrences
+    // = 4, plus "ab" x1 = 5]; round 2: (ab,ab) w=2
+    val merges = Corpus.bpeLearn(docs, "doc_id", "text", 2)
+    assert(merges == Seq(BpeMerge(1, "a", "b", 5L), BpeMerge(2, "ab", "ab", 2L)))
+    val counts = Corpus.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 0: abab→[abab](1) x2, cd→[c,d](2): 3 words, 4 tokens
+    // doc 1: ab→[ab](1), q→[q](1): 2 words, 2 tokens
+    assert(counts == Map(0L -> ((3L, 4L)), 1L -> ((2L, 2L))))
+  }
+
+  test("no merges: token count equals character count per word") {
+    val counts = Corpus.bpeTokenCounts(docsOf("abc de"), "doc_id", "text", Nil)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(counts == ((2L, 5L)))
+  }
+
+  test("determinism: merges are partition-layout invariant") {
+    val docs = docsOf("abab abab cd", "ab q", "zz zz yx")
+    val a = Corpus.bpeLearn(docs.repartition(1), "doc_id", "text", 3)
+    val b = Corpus.bpeLearn(docs.repartition(7), "doc_id", "text", 3)
+    assert(a.nonEmpty && a == b)
+  }
+}

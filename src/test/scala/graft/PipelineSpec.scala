@@ -1381,4 +1381,71 @@ class PipelineSpec extends AnyFunSuite {
         cuts = Seq("a" -> 50, "b" -> 50, "c" -> 100))
     }
   }
+
+  test("rrfFuse: fixed-branch-order sums, absent branch adds zero, within-branch dup keeps best rank") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "item_id", "rnk")
+    val vec = Seq((1L, 20L, 1), (1L, 40L, 2), (1L, 40L, 5)) // 40 duplicated
+      .toDF("query_id", "item_id", "rnk")
+    val out = Corpus.rrfFuse(Seq(lex, vec), k = 4, c = 60)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    // hand-computed: 20 in both lists, 40's duplicate keeps rank 2
+    assert(out == Seq(
+      (1, 20L, 1.0 / 62 + 1.0 / 61),
+      (2, 10L, 1.0 / 61 + 0.0),
+      (3, 40L, 0.0 + 1.0 / 62),
+      (4, 30L, 1.0 / 63 + 0.0)))
+  }
+
+  test("rrfFuse: single branch preserves the input order; k cuts the tail") {
+    import spark.implicits._
+    val lex = Seq((1L, 5L, 1), (1L, 9L, 2), (1L, 7L, 3), (2L, 9L, 1))
+      .toDF("query_id", "item_id", "rnk")
+    val out = Corpus.rrfFuse(Seq(lex), k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(out == Seq((1L, 1, 5L), (1L, 2, 9L), (2L, 1, 9L)))
+  }
+
+  test("mmrRerank: diversity beats redundancy; lambda=1 reduces to relevance order") {
+    import spark.implicits._
+    // query points at x; A and A' are near-identical high-relevance
+    // twins, B is moderately relevant but orthogonal to them
+    val q = Seq((1L, Seq(1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (10L, Seq(0.995, 0.0998, 0.0)), // A   rel ~ 0.995
+      (11L, Seq(0.995, 0.0999, 0.0)), // A'  rel ~ 0.995, cos(A,A') ~ 1
+      (12L, Seq(0.6, 0.0, 0.8))) // B   rel = 0.6, cos(B,A) ~ 0.6
+      .toDF("vec_id", "embedding")
+    val picks = Similarity
+      .mmrRerank(q, c, "vec_id", "embedding", poolK = 3, k = 3, lambda = 0.5)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // greedy: A first (top rel), then B (A' is redundant), A' last
+    assert(picks == Map(1 -> 10L, 2 -> 12L, 3 -> 11L))
+    // λ = 1: the diversity term vanishes — pure relevance order
+    val rel = Similarity
+      .mmrRerank(q, c, "vec_id", "embedding", poolK = 3, k = 3, lambda = 1.0)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(rel == Map(1 -> 10L, 2 -> 11L, 3 -> 12L))
+  }
+
+  test("mmrRerank: short shortlists yield min(k, candidates) picks; results are layout-invariant") {
+    import spark.implicits._
+    val q = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val c = Seq((10L, Seq(0.9, 0.1)), (11L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(q, c, "vec_id", "embedding",
+      poolK = 5, k = 5, lambda = 0.5).collect()
+    assert(out.length == 2) // only two candidates exist
+    // layout invariance on a real corpus slice
+    val e = embs.limit(60)
+    def run(parts: Int) = Similarity
+      .mmrRerank(e.filter(col("vec_id") % 20 === 0), e.repartition(parts),
+        "vec_id", "embedding", poolK = 10, k = 4, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(run(1) == run(7) && run(1).nonEmpty)
+  }
 }
