@@ -996,6 +996,127 @@ object Corpus {
       .select(col("ngram"), col("df"), col("df_est"))
   }
 
+  /** Distribution-drift monitor between a reference corpus snapshot and
+    * a current batch — the ingest-time health check that catches a
+    * source silently changing shape (truncated scrapes, a new spam
+    * pattern, an encoding regression) before it trains into a model.
+    * Per group: Pearson's chi-square of the current batch's value
+    * histogram against add-one-smoothed expected masses from the
+    * reference,
+    * `chi2 = Σ_bins (o_b − e_b)² / e_b`,
+    * `e_b = (r_b + 1) · n_cur / (n_ref + B)` (B = bins present in
+    * either side — the add-one keeps every e_b > 0, so a bin that is
+    * new in the batch contributes a large, finite term instead of a
+    * division by zero; the smoothing is part of the operator's stated
+    * statistic, not an approximation of an unsmoothed one).
+    *
+    * Determinism: counts are integers; e_b is one double division of
+    * exact integer products; each bin's term is a fixed IEEE sequence;
+    * and the per-group sum folds the terms in BIN ORDER over a
+    * sort_array'd collect_list — never a merge-order `sum()` — so chi2
+    * replays bit-exactly in SQL. The collect is bounded by bins per
+    * group (value-range / binWidth — the caller's knob), the same
+    * bounded-state argument as [[tokenQuantiles]]' histogram.
+    *
+    * Scale shape: both inputs reduce to (group, bin) histograms before
+    * anything joins — two corpus-scale map + count shuffles, then all
+    * arithmetic runs at histogram scale.
+    *
+    * @param valueCol a non-negative integral column (token counts,
+    *   byte lengths, …); bin = value div binWidth
+    * @return (grp, n_ref, n_cur, n_bins, dof, chi2)
+    */
+  def histogramDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valueCol: String, binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"histogramDrift: binWidth must be >= 1, got $binWidth")
+    def hist(df: DataFrame, cntName: String) = df
+      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("_v"))
+      .select(col("grp"), expr(s"_v div ${binWidth}L").as("bin"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as(cntName))
+    val joined = hist(ref, "r").join(hist(cur, "o"),
+        Seq("grp", "bin"), "full_outer")
+      .select(col("grp"), col("bin"), coalesce(col("r"), lit(0L)).as("r"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val tot = joined.groupBy(col("grp"))
+      .agg(sum(col("r")).as("n_ref"), sum(col("o")).as("n_cur"),
+        count(lit(1)).as("n_bins"))
+    val term = joined.join(broadcast(tot), Seq("grp"))
+      .withColumn("e", ((col("r") + 1) * col("n_cur")).cast("double")
+        / (col("n_ref") + col("n_bins")).cast("double"))
+      .select(col("grp"), col("bin"), col("n_ref"), col("n_cur"),
+        col("n_bins"),
+        ((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .as("t"))
+    term.groupBy(col("grp"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        max(col("n_bins")).as("n_bins"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("bin").as("b"),
+            col("t").as("t")))), s => s.getField("t")),
+          lit(0.0), (acc, x) => acc + x).as("chi2"))
+      .select(col("grp"), col("n_ref"), col("n_cur"), col("n_bins"),
+        (col("n_bins") - 1).as("dof"), col("chi2"))
+  }
+
+  /** Per-group quantiles of a CONTINUOUS column via a deterministic
+    * hash sample — the companion to [[tokenQuantiles]] for values
+    * where the exact-histogram state bound breaks: quality scores,
+    * ratios, compression signals have as many distinct values as rows,
+    * so at 100 TB the histogram IS the corpus. Sampling by
+    * `hash32(id) % sampleMod == 0` bounds the state to the sample
+    * (n/sampleMod rows — quantile error O(1/√sample), the standard
+    * trade), is engine- and layout-independent (the same md5-derived
+    * selector as every deterministic sampler here), and the
+    * interpolation then reuses tokenQuantiles' exact rank arithmetic
+    * ON THE SAMPLE — so the reported numbers are bit-reproducible even
+    * though they estimate the population.
+    *
+    * No mean is reported: a double mean needs a merge-order-dependent
+    * sum (or a lossy decimal quantization); min/max/quantiles are
+    * order-free.
+    *
+    * @return (grp, n_sampled, min_v, max_v, q_<label> …)
+    */
+  def sampledQuantiles(rows: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, sampleMod: Int,
+      probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
+        "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+    require(sampleMod >= 1, s"sampledQuantiles: sampleMod >= 1, got $sampleMod")
+    require(probs.nonEmpty && probs.forall(p => p._2 >= 0 && p._2 <= 1),
+      s"sampledQuantiles probs must lie in [0, 1], got $probs")
+    val sample = rows
+      .filter(TextFns.hash32(col(idCol).cast("string")) % sampleMod === 0)
+      .select(col(groupCol).as("grp"), col(valueCol).cast("double").as("v"))
+    val hist = sample.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("total"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(wCum))
+      .join(tot, "grp")
+    val aggs: Seq[Column] = Seq(
+      first(col("total")).as("total"),
+      first(col("min_v")).as("min_v"),
+      first(col("max_v")).as("max_v")) ++
+      probs.flatMap { case (label, p) =>
+        val idx = lit(p) * (col("total") - 1)
+        Seq(min(when(col("cum") >= floor(idx) + 1, col("v"))).as(s"_lo_$label"),
+          min(when(col("cum") >= ceil(idx) + 1, col("v"))).as(s"_hi_$label"))
+      }
+    val ranked = cum.groupBy(col("grp")).agg(aggs.head, aggs.tail: _*)
+    ranked.select(
+      Seq(col("grp"), col("total").as("n_sampled"), col("min_v"),
+        col("max_v")) ++
+      probs.map { case (label, p) =>
+        val idx = lit(p) * (col("total") - 1)
+        (col(s"_lo_$label") + (idx - floor(idx)) *
+          (col(s"_hi_$label") - col(s"_lo_$label"))).as(label)
+      }: _*)
+  }
+
   /** One learned BPE merge: in round `rnd`, the adjacent symbol pair
     * (lft, rgt) had the highest corpus frequency `cnt` (weighted by
     * word occurrences) and was fused into the new symbol lft+rgt. */

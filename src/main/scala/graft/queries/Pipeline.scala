@@ -3128,6 +3128,214 @@ object Pipeline {
        |SELECT query_id, rnk, item_id, mmr FROM a$TopK""".stripMargin
   }
 
+  /** Store-served hybrid retrieval, oracle-gated: the SAME fusion as
+    * p66 but with BOTH branches answered from persisted indexes — BM25
+    * from the posting index (p64's `graft_p64`, shared fingerprint →
+    * shared build) and dense ANN from a full-corpus IVF cell store
+    * ([[graft.operators.IvfIndex.topK]], hash centroids, nProbe
+    * probes). This is the end-to-end serving story: retrieval never
+    * re-tokenizes the corpus and never re-reads raw embeddings outside
+    * the probed cells. The dense branch is IVF-approximate, and the
+    * oracle replays exactly that — p14's centroid/assignment/probe
+    * CTEs at the hybrid query set — fused with the shared
+    * [[bm25RankedCtes]] block by the same fixed-branch-order
+    * reciprocal-rank sum. */
+  private def p66b(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val embs = Tables.df(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    import spark.implicits._
+    val fpD = docs.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
+        col("text")))).cast("long").as("ids")).head()
+    memoizedBuild(spark, "graft_p64_fp", fpD,
+        Seq("graft_p64_post", "graft_p64_stats", "graft_p64_meta")) {
+      graft.operators.PostingIndex.build(docs, "doc_id", "text", "graft_p64")
+    }
+    val lex = graft.operators.PostingIndex.topK(
+        docs.filter(col("doc_id") % BmQueryMod === 0), "doc_id", "text",
+        "graft_p64", BmTerms, RrfPoolK, k1 = BmK1, b = BmB)
+      .select(col("query_id"), col("doc_id").as("item_id"), col("rnk"))
+    // vector-content fingerprint, p44's discipline (id-only keys reuse
+    // the wrong corpus' index after a same-JVM SF switch)
+    val fpV = embs.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
+        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    memoizedBuild(spark, "graft_p66_fp", fpV,
+        Seq("graft_p66_cells", "graft_p66_cent")) {
+      graft.operators.IvfIndex.build(embs, "vec_id", "embedding",
+        "graft_p66", nCells = IvfCells)
+    }
+    val vec = graft.operators.IvfIndex.topK(
+        embs.filter(col("vec_id") % BmQueryMod === 0), "vec_id",
+        "embedding", "graft_p66", RrfPoolK, nProbe = IvfProbe)
+      .select(col("query_id"), col("neighbor_id").as("item_id"),
+        col("rank").as("rnk"))
+    graft.operators.Corpus.rrfFuse(Seq(lex, vec), TopK, c = RrfC)
+  }
+
+  private val p66bSql =
+    s"""WITH $bm25RankedCtes,
+       |ev AS (SELECT vec_id, embedding FROM embeddings
+       |       WHERE ${dotSql("embedding", "embedding")} > 0),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM ev
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |assigned AS (
+       |  SELECT list_id, vec_id, embedding FROM (
+       |    SELECT c.list_id, v.vec_id, v.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.embedding", "c.centroid")} DESC, c.list_id) AS r
+       |    FROM ev v, cent c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qv, list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC, c.list_id) AS r
+       |    FROM ev q, cent c WHERE q.vec_id % $BmQueryMod = 0)
+       |  WHERE r <= $IvfProbe),
+       |vecr AS (
+       |  SELECT query_id, neighbor_id AS item_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      ${cosSql("p.qv", "a.embedding")} AS cos
+       |    FROM probes p JOIN assigned a USING (list_id)
+       |    WHERE p.query_id != a.vec_id)),
+       |u AS (
+       |  SELECT query_id, doc_id AS item_id, 0 AS br,
+       |    CAST(1.0 AS DOUBLE) / ($RrfC + rnk) AS contrib
+       |  FROM lexr WHERE rnk <= $RrfPoolK
+       |  UNION ALL
+       |  SELECT query_id, item_id, 1 AS br,
+       |    CAST(1.0 AS DOUBLE) / ($RrfC + rnk) AS contrib
+       |  FROM vecr WHERE rnk <= $RrfPoolK),
+       |f AS (
+       |  SELECT query_id, item_id,
+       |    coalesce(MAX(CASE WHEN br = 0 THEN contrib END),
+       |             CAST(0.0 AS DOUBLE))
+       |  + coalesce(MAX(CASE WHEN br = 1 THEN contrib END),
+       |             CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM u GROUP BY 1, 2)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, item_id, rrf FROM (
+       |  SELECT query_id, item_id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, item_id) AS rnk
+       |  FROM f)
+       |WHERE rnk <= $TopK""".stripMargin
+
+  // drift monitor: token-count histogram bin width
+  private val DriftBinW = 8L
+
+  /** Corpus drift monitor, oracle-gated: per-language chi-square of the
+    * odd-doc half's token-length histogram against the even-doc half
+    * ([[graft.operators.Corpus.histogramDrift]] — in production the
+    * two sides are yesterday's snapshot and today's batch; the halves
+    * make a deterministic fixture). Counts are integers, expected
+    * masses one exact division each, and the per-group sum folds terms
+    * in bin order (sort_array + aggregate ↔ list_sort + list_reduce),
+    * so the chi-square doubles replay bit-exactly. */
+  private def p69(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(TextFns.tokens(TextFns.normText(col("text")))).cast("long")
+          .as("ntok"))
+    graft.operators.Corpus.histogramDrift(
+      t.filter(col("doc_id") % 2 === 0), t.filter(col("doc_id") % 2 =!= 0),
+      "lang", "ntok", DriftBinW)
+  }
+
+  private val p69Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH t AS (SELECT doc_id, lang, len($toks) AS ntok FROM documents),
+       |hr AS (SELECT lang AS grp, ntok // $DriftBinW AS bin, COUNT(*) AS r
+       |       FROM t WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+       |hc AS (SELECT lang AS grp, ntok // $DriftBinW AS bin, COUNT(*) AS o
+       |       FROM t WHERE doc_id % 2 != 0 GROUP BY 1, 2),
+       |j AS (SELECT COALESCE(hr.grp, hc.grp) AS grp,
+       |        COALESCE(hr.bin, hc.bin) AS bin,
+       |        COALESCE(r, 0) AS r, COALESCE(o, 0) AS o
+       |      FROM hr FULL OUTER JOIN hc
+       |        ON hr.grp = hc.grp AND hr.bin = hc.bin),
+       |tt AS (SELECT grp, SUM(r)::BIGINT AS n_ref, SUM(o)::BIGINT AS n_cur,
+       |         COUNT(*) AS n_bins
+       |       FROM j GROUP BY 1),
+       |tm AS (SELECT grp, bin, n_ref, n_cur, n_bins,
+       |         (o - e) * (o - e) / e AS t2
+       |       FROM (SELECT j.grp, j.bin, j.o, tt.n_ref, tt.n_cur, tt.n_bins,
+       |               ((j.r + 1) * tt.n_cur)::DOUBLE
+       |                 / (tt.n_ref + tt.n_bins)::DOUBLE AS e
+       |             FROM j JOIN tt USING (grp)))
+       |SELECT grp, n_ref, n_cur, n_bins, n_bins - 1 AS dof,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list_sort(list({'b': bin, 't': t2})), s -> s.t)),
+       |    (x, y) -> x + y) AS chi2
+       |FROM tm GROUP BY grp, n_ref, n_cur, n_bins""".stripMargin
+  }
+
+  // sampled quantiles: every 2nd doc by id-hash enters the sample
+  private val SampleQMod = 2
+
+  /** Sampled continuous quantiles, oracle-gated: per-language quartiles
+    * of chars-per-token (a genuinely continuous ratio — distinct
+    * values ≈ rows, where p24's exact histogram would degenerate)
+    * over the deterministic hash sample
+    * ([[graft.operators.Corpus.sampledQuantiles]]). The oracle replays
+    * the selector, the sample histogram, and the exact rank/lerp
+    * arithmetic of p24 on the sampled doubles. */
+  private def p70(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(TextFns.normText(col("text")))
+    val t = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), size(toks).as("nt"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars").cast("double") / col("nt").cast("double"))
+          .as("cpt"))
+    graft.operators.Corpus.sampledQuantiles(t, "lang", "doc_id", "cpt",
+      SampleQMod)
+  }
+
+  private val p70Sql = {
+    val toks = toksSql(normSql("text"))
+    val probs = Seq("p25" -> "0.25", "p50" -> "0.5", "p90" -> "0.9",
+      "p99" -> "0.99")
+    def idx(p: String, total: String) = s"CAST($p AS DOUBLE)*($total-1)"
+    val los = probs.map { case (l, p) =>
+      s"""    MIN(CASE WHEN cum >= floor(${idx(p, "total")})+1 THEN v END) AS lo_$l,
+         |    MIN(CASE WHEN cum >= ceil(${idx(p, "total")})+1 THEN v END) AS hi_$l"""
+        .stripMargin
+    }.mkString(",\n")
+    val qs = probs.map { case (l, p) =>
+      s"""  lo_$l + (${idx(p, "tt.total")} - floor(${idx(p, "tt.total")}))
+         |    * (hi_$l - lo_$l) AS $l""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t0 AS (SELECT doc_id, lang, n_chars, len($toks) AS nt
+       |            FROM documents),
+       |s AS (SELECT lang AS grp,
+       |        CAST(n_chars AS DOUBLE) / CAST(nt AS DOUBLE) AS v
+       |      FROM t0
+       |      WHERE nt > 0
+       |        AND ${hash32Sql("CAST(doc_id AS VARCHAR)")} % $SampleQMod = 0),
+       |h AS (SELECT grp, v, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+       |tt AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS total,
+       |         MIN(v) AS min_v, MAX(v) AS max_v
+       |       FROM h GROUP BY 1),
+       |c AS (SELECT h.grp, h.v, h.cnt, tt.total,
+       |        SUM(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.v
+       |          ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM h JOIN tt USING (grp)),
+       |a AS (SELECT grp,
+       |$los
+       |  FROM c GROUP BY grp)
+       |SELECT a.grp, tt.total AS n_sampled, tt.min_v, tt.max_v,
+       |$qs
+       |FROM a JOIN tt USING (grp)""".stripMargin
+  }
+
   // BPE tokenizer training: learned merge rounds for the driver gate
   private val BpeRounds = 3
 
@@ -3280,5 +3488,8 @@ object Pipeline {
     QueryDef("p66_hybrid_rrf", p66, Some(p66Sql)),
     QueryDef("p67_mmr_rerank", p67, Some(p67Sql)),
     QueryDef("p68_bpe_merges", p68, Some(p68Sql)),
-    QueryDef("p68b_bpe_encode", p68b, Some(p68bSql)))
+    QueryDef("p68b_bpe_encode", p68b, Some(p68bSql)),
+    QueryDef("p66b_hybrid_store", p66b, Some(p66bSql)),
+    QueryDef("p69_drift_chi2", p69, Some(p69Sql)),
+    QueryDef("p70_sampled_quantiles", p70, Some(p70Sql)))
 }

@@ -1382,6 +1382,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("histogramDrift: hand-computed chi-square, smoothing keeps new bins finite, shift raises the stat") {
+    import spark.implicits._
+    val ref = Seq(0L, 0L, 1L).map(("g", _)).toDF("src", "v")
+    val cur = Seq(0L, 1L, 1L, 5L).map(("g", _)).toDF("src", "v")
+    val row = Corpus.histogramDrift(ref, cur, "src", "v", 1L).collect().head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+      == ((3L, 4L, 3L, 2L)))
+    // bins {0,1,5}: r=(2,1,0), o=(1,2,1), e_b=(r+1)*4/6 — bin 5 exists
+    // only in cur and stays finite through the add-one smoothing
+    val e = Seq(2L, 1L, 0L).map(r => ((r + 1) * 4L).toDouble / 6L.toDouble)
+    val t = Seq(1L, 2L, 1L).zip(e).map { case (o, eb) =>
+      (o - eb) * (o - eb) / eb
+    }
+    val expected = t.foldLeft(0.0)(_ + _) // bin-order fold, like the plan
+    assert(row.getDouble(5) == expected)
+    // identical halves drift less than a shifted batch
+    val base = (1L to 200L).map(i => ("g", (i % 17) + 1))
+    val shifted = (1L to 200L).map(i => ("g", (i % 17) + 30))
+    val same = Corpus.histogramDrift(base.toDF("src", "v"),
+      base.toDF("src", "v"), "src", "v", 4L).collect().head.getDouble(5)
+    val moved = Corpus.histogramDrift(base.toDF("src", "v"),
+      shifted.toDF("src", "v"), "src", "v", 4L).collect().head.getDouble(5)
+    assert(moved > same * 10)
+  }
+
+  test("sampledQuantiles: sampleMod=1 matches exact quantiles; selector and results are deterministic") {
+    import spark.implicits._
+    val rows = (0L until 101L).map(i => (i, "g", i.toDouble / 4.0))
+      .toDF("id", "src", "v")
+    val full = Corpus.sampledQuantiles(rows, "src", "id", "v", 1)
+      .collect().head
+    // 101 evenly spaced values: q(p) = lerp over ranks = 100p/4 exactly
+    assert(full.getLong(1) == 101L && full.getDouble(2) == 0.0 &&
+      full.getDouble(3) == 25.0)
+    assert(full.getDouble(4) == 25.0 / 4 && full.getDouble(5) == 50.0 / 4 &&
+      full.getDouble(6) == 90.0 / 4 && full.getDouble(7) == 99.0 / 4)
+    // mod-3 sample: a strict, deterministic, layout-independent subset
+    val s1 = Corpus.sampledQuantiles(rows.repartition(1), "src", "id", "v", 3)
+      .collect().head
+    val s7 = Corpus.sampledQuantiles(rows.repartition(7), "src", "id", "v", 3)
+      .collect().head
+    assert(s1 == s7)
+    assert(s1.getLong(1) > 0 && s1.getLong(1) < 101L)
+  }
+
   test("rrfFuse: fixed-branch-order sums, absent branch adds zero, within-branch dup keeps best rank") {
     import spark.implicits._
     val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
