@@ -1027,14 +1027,30 @@ object Corpus {
     * @return (grp, n_ref, n_cur, n_bins, dof, chi2)
     */
   def histogramDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
-      valueCol: String, binWidth: Long): DataFrame = {
-    require(binWidth >= 1, s"histogramDrift: binWidth must be >= 1, got $binWidth")
-    def hist(df: DataFrame, cntName: String) = df
-      .select(col(groupCol).as("grp"), col(valueCol).cast("long").as("_v"))
+      valueCol: String, binWidth: Long): DataFrame =
+    chiSquareFromHists(valueHistogram(ref, groupCol, valueCol, binWidth, "r"),
+      valueHistogram(cur, groupCol, valueCol, binWidth, "o"))
+
+  /** The binned (grp, bin, count) rollup both drift sides reduce to —
+    * exposed so a PERSISTED reference histogram ([[DriftStore]]) can
+    * feed [[chiSquareFromHists]] without rescanning the reference
+    * corpus per micro-batch. */
+  private[graft] def valueHistogram(df: DataFrame, groupCol: String,
+      valueCol: String, binWidth: Long, cntName: String): DataFrame = {
+    require(binWidth >= 1,
+      s"histogramDrift: binWidth must be >= 1, got $binWidth")
+    df.select(col(groupCol).as("grp"), col(valueCol).cast("long").as("_v"))
       .select(col("grp"), expr(s"_v div ${binWidth}L").as("bin"))
       .groupBy(col("grp"), col("bin"))
       .agg(count(lit(1)).as(cntName))
-    val joined = hist(ref, "r").join(hist(cur, "o"),
+  }
+
+  /** The chi-square core over pre-aggregated histograms `(grp, bin, r)`
+    * and `(grp, bin, o)` — see [[histogramDrift]] for the statistic's
+    * definition and determinism argument. */
+  private[graft] def chiSquareFromHists(refHist: DataFrame,
+      curHist: DataFrame): DataFrame = {
+    val joined = refHist.join(curHist,
         Seq("grp", "bin"), "full_outer")
       .select(col("grp"), col("bin"), coalesce(col("r"), lit(0L)).as("r"),
         coalesce(col("o"), lit(0L)).as("o"))

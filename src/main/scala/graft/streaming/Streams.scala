@@ -554,6 +554,50 @@ object Streams {
       .start()
   }
 
+  /** One micro-batch of the streaming DRIFT monitor — the
+    * [[graft.operators.DriftStore]] member of the family, same
+    * convergent-exactly-once ledger contract as [[statsIngestBatch]]:
+    * replayed batches are skipped via the ledger, torn batches are
+    * pruned before re-reporting. The batch contributes one report row
+    * per group (histogram-scale work against the FROZEN reference
+    * histogram — the reference corpus is never rescanned), so like the
+    * CMS loop this is accumulation only, no triage/route. */
+  def driftIngestBatch(batch: DataFrame, batchId: Long, groupCol: String,
+      valueCol: String, name: String,
+      lease: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ledger = s"${name}_batches"
+    val replayed = spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!replayed) {
+      lease.foreach(graft.operators.WriterLease.check(spark, name, _))
+      graft.operators.DriftStore.pruneBatch(spark, name, batchId)
+      graft.operators.DriftStore.appendReport(batch, groupCol, valueCol,
+        name, batchId)
+      Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
+    }
+  }
+
+  /** The streaming drift-monitor loop: foreachBatch driving
+    * [[driftIngestBatch]] against a [[graft.operators.DriftStore]]
+    * built over the reference corpus — per-micro-batch chi-square
+    * health reports with the same single-writer lease rule as the
+    * other loops. The monitor only APPENDS reports; acting on them
+    * (alerting, re-baselining via DriftStore.build) is the consumer's
+    * policy. */
+  def driftIngest(rows: DataFrame, groupCol: String, valueCol: String,
+      name: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.operators.WriterLease.take(rows.sparkSession, name)
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        driftIngestBatch(b, id, groupCol, valueCol, name, Some(lease)))
+      .start()
+  }
+
   /** Ledger-aware index compaction for a STOPPED ingest stream: folds
     * every ledger-committed batch partition into the index's base
     * corpus while leaving any appended-but-uncommitted batch (a crash

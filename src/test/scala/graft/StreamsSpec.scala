@@ -769,4 +769,49 @@ class StreamsSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("drift store: batch reports ≡ the one-shot operator bit-for-bit, replay and torn batch converge") {
+    import graft.operators.{Corpus, DriftStore}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val name = "graft_driftstore"
+    val ref = (1L to 60L).map(i => ("s" + (i % 2), i % 23)).toDF("src", "v")
+    val b0 = (1L to 30L).map(i => ("s" + (i % 2), i % 19)).toDF("src", "v")
+    val b1 = (1L to 25L).map(i => ("s" + (i % 2), (i % 7) + 40)) // shifted
+      .toDF("src", "v")
+    def oneShot(cur: org.apache.spark.sql.DataFrame) =
+      Corpus.histogramDrift(ref, cur, "src", "v", 4L)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    def stored(batchId: Long) =
+      DriftStore.reports(spark, name)
+        .filter(col("batch_id") === batchId)
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_ref"),
+          r.getAs[Long]("n_cur"), r.getAs[Long]("n_bins"),
+          r.getAs[Long]("dof"), r.getAs[Double]("chi2"))).toSet
+    try {
+      DriftStore.build(ref, "src", "v", name, 4L)
+      // the stored-histogram path must match the one-shot operator
+      // bit-for-bit, including the chi-square doubles
+      Streams.driftIngestBatch(b0, 0L, "src", "v", name)
+      assert(stored(0L) == oneShot(b0) && stored(0L).nonEmpty)
+      // replaying a committed batch is a no-op (no duplicate reports)
+      Streams.driftIngestBatch(b0, 0L, "src", "v", name)
+      assert(DriftStore.reports(spark, name)
+        .filter(col("batch_id") === 0L).count() == stored(0L).size)
+      // torn batch: report appended, JVM "dies" before the ledger row;
+      // replay prunes and re-reports — converges to exactly one set
+      DriftStore.appendReport(b1, "src", "v", name, 1L)
+      Streams.driftIngestBatch(b1, 1L, "src", "v", name)
+      assert(stored(1L) == oneShot(b1))
+      // the shifted batch visibly drifts more than the in-family one
+      val chi = (id: Long) => stored(id).map(_._6).sum
+      assert(chi(1L) > chi(0L))
+    } finally {
+      Seq(s"${name}_ref", s"${name}_meta", s"${name}_drift",
+        s"${name}_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
 }
