@@ -569,4 +569,57 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("kept_id"),
         (col("doc_id") === col("kept_id")).as("is_kept"))
   }
+
+  /** Near-dup pairs over 64-bit perceptual/locality hashes (image
+    * dHash — [[Multimodal.imageDHashes]] — audio fingerprints, or any
+    * single-long sketch): band the hash into `bands` equal bit
+    * windows, candidate-join on any shared (band, key), then verify
+    * the TRUE Hamming distance — the single-long sibling of
+    * [[simhashPairs]]' multi-band scheme.
+    *
+    * Recall contract (pigeonhole): a pair with hamming < `bands` has
+    * fewer differing bits than bands, so at least one band matches —
+    * recall is EXACTLY 1 for `maxHamming <= bands - 1`. Beyond that
+    * the banding is a candidate generator like every LSH (a pair can
+    * spread its differing bits across all bands); raise `bands` to
+    * chase recall at the cost of candidate volume.
+    *
+    * Scale shape: one shuffle on (band, key) — the same O(n·bands)
+    * candidate structure as MinHash banding; verification is a pure
+    * xor+popcount on the pair. A key shared by m hashes yields
+    * O(m²) candidates: near-identical media clusters are REAL
+    * duplicates (the thing being hunted), but an adversarial constant
+    * key (e.g. all-black thumbnails hashing to 0) should be
+    * pre-filtered the way stop-shingles are df-capped.
+    *
+    * @return (ida, idb, hamming) with ida < idb, hamming <= maxHamming
+    */
+  def hammingNearDupPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && bands <= 64 && 64 % bands == 0,
+      s"hammingNearDupPairs: bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"hammingNearDupPairs: maxHamming in [0, 64), got $maxHamming")
+    val w = 64 / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val keyed = hashes
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .select(col("id"), col("h"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("h"), b * w).bitwiseAND(lit(mask))
+              .as("key"))
+        }: _*)).as("bk"))
+      .select(col("id"), col("h"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct() // a pair can match in several bands
+      .select(col("ida"), col("idb"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -146,6 +146,61 @@ object Multimodal {
       Features(row.media_id, row.kind, row.payload.length, sum, w, h)
     }
 
+    /** 64-bit perceptual difference hash (dHash) of the decoded
+      * raster: integer luma (299r+587g+114b, never divided — the scale
+      * cancels in comparisons) area-averaged onto a 9×8 grid, bit
+      * (r·8+c) set iff cell[r][c] > cell[r][c+1]. ALL-INTEGER
+      * arithmetic — block bounds by exact long division, sums and the
+      * final integer average — so the hash is bit-deterministic across
+      * JVMs (a float resample would not be). Robust to re-encoding,
+      * small noise and brightness shifts (comparisons see relative
+      * luma only); [[Dedup.hammingNearDupPairs]] turns the hashes into
+      * near-dup pairs at corpus scale. */
+    def dHashOf(row: MediaRow): Long = dHash(read(row))
+
+    private[operators] def dHash(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w >= 9 && h >= 8,
+        s"dHash needs at least a 9x8 raster, got ${w}x$h")
+      val rowBuf = new Array[Int](w)
+      // per-cell luma sums + pixel counts over the 9x8 block grid
+      val sums = Array.ofDim[Long](8, 9)
+      val cnts = Array.ofDim[Long](8, 9)
+      val cxOf = new Array[Int](w) // pixel column -> grid column
+      var x = 0
+      while (x < w) { cxOf(x) = ((x.toLong * 9) / w).toInt; x += 1 }
+      var y = 0
+      while (y < h) {
+        val cy = ((y.toLong * 8) / h).toInt
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        x = 0
+        while (x < w) {
+          val rgb = rowBuf(x)
+          val lum = 299L * ((rgb >> 16) & 0xff) +
+            587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+          val cx = cxOf(x)
+          sums(cy)(cx) += lum
+          cnts(cy)(cx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          // integer block averages; every block is non-empty (w>=9,h>=8)
+          if (sums(r)(c) / cnts(r)(c) > sums(r)(c + 1) / cnts(r)(c + 1))
+            hash |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
     def resize(row: MediaRow, targetW: Int, targetH: Int): Array[Byte] = {
       val src = read(row)
       val dst = new java.awt.image.BufferedImage(
@@ -281,6 +336,24 @@ object Multimodal {
       if (partitions > 0) media.repartition(partitions, col("media_id"))
       else media
     spread.mapPartitions { it => it.map(codec.decode) }.toDF()
+  }
+
+  /** Per-image perceptual hashes, decoded map-only like
+    * [[extractFeatures]] (same blob-shuffle opt-in, same one-decoder-
+    * per-partition shape): (media_id, dhash). Feed the result to
+    * [[Dedup.hammingNearDupPairs]] for image near-dup detection — the
+    * visual analog of the SimHash text path (p04), with the pixel
+    * decode necessarily spec-gated (no SQL engine decodes PNG). */
+  def imageDHashes(media: Dataset[MediaRow], partitions: Int = 0)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val spread =
+      if (partitions > 0) media.repartition(partitions, col("media_id"))
+      else media
+    spread.mapPartitions { it =>
+      it.map(r => (r.media_id, ImageIoCodec.dHashOf(r)))
+    }.toDF("media_id", "dhash")
   }
 
   /** The real-video contract: a container format that can enumerate

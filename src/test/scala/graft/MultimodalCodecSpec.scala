@@ -422,4 +422,68 @@ class MultimodalCodecSpec extends AnyFunSuite {
       if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
     assert(messages(e).exists(_.contains("not a decodable")), messages(e))
   }
+
+  /** Gray horizontal gradient with optional direction flip and a
+    * deterministic ±1 noise floor — the dHash fixture family. */
+  private def gradient(w: Int, h: Int, reversed: Boolean,
+      noisy: Boolean): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val xx = if (reversed) w - 1 - x else x
+      val base = math.min(255, xx * 256 / w)
+      val n = if (noisy) (x * 7 + y * 13) % 3 - 1 else 0
+      val v = math.max(0, math.min(255, base + n))
+      img.setRGB(x, y, 0xff000000 | v << 16 | v << 8 | v)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: re-encode invariant, noise tolerant, direction sensitive; banded pairs find the visual near-dups") {
+    def rowOf(id: Long, b: Array[Byte]) = MediaRow(id, "image", b, "t")
+    def h(b: Array[Byte]) = ImageIoCodec.dHashOf(rowOf(0L, b))
+    val base = gradient(72, 40, reversed = false, noisy = false)
+    val noisyB = gradient(72, 40, reversed = false, noisy = true)
+    val far = gradient(72, 40, reversed = true, noisy = false)
+    // lossless re-encode (BMP of the same raster) hashes identically
+    val raster = ImageIO.read(new ByteArrayInputStream(base))
+    val bgr = new BufferedImage(72, 40, BufferedImage.TYPE_3BYTE_BGR)
+    val g = bgr.createGraphics(); g.drawImage(raster, 0, 0, null); g.dispose()
+    val bos = new ByteArrayOutputStream(); ImageIO.write(bgr, "bmp", bos)
+    assert(h(base) == h(bos.toByteArray))
+    // ±1 pixel noise moves few bits; reversing the gradient flips most
+    assert(java.lang.Long.bitCount(h(base) ^ h(noisyB)) <= 6)
+    assert(java.lang.Long.bitCount(h(base) ^ h(far)) >= 32)
+    // end-to-end through Spark: decode map-only, band, verify
+    import spark.implicits._
+    val media = Seq(rowOf(1L, base), rowOf(2L, noisyB), rowOf(3L, far))
+      .toDS()
+    val hashes = Multimodal.imageDHashes(media)
+    val pairs = graft.operators.Dedup
+      .hammingNearDupPairs(hashes, "media_id", "dhash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("hammingNearDupPairs: pigeonhole recall exact below bands; multi-band match yields one pair") {
+    import spark.implicits._
+    // flip 3 bits spread across 3 different 16-bit bands: one band
+    // stays clean, so the pair MUST be found (hamming 3 < 4 bands)
+    val h0 = 0x0123456789abcdefL
+    val h1 = h0 ^ (1L << 2) ^ (1L << 20) ^ (1L << 40)
+    // 16 flips confined to band 0: bands 1-3 all match (a multi-band
+    // candidate) but true hamming 16 fails the verify
+    val h2 = h0 ^ 0xffffL
+    val hashes = Seq((1L, h0), (2L, h1), (3L, h2)).toDF("id", "h")
+    val got = graft.operators.Dedup
+      .hammingNearDupPairs(hashes, "id", "h", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 3)))
+    // identical hashes: every band matches, distinct keeps one pair
+    val dup = Seq((1L, h0), (2L, h0)).toDF("id", "h")
+    val one = graft.operators.Dedup
+      .hammingNearDupPairs(dup, "id", "h", maxHamming = 0).collect()
+    assert(one.length == 1 && one.head.getInt(2) == 0)
+  }
 }
