@@ -498,6 +498,43 @@ class PlanSpec extends AnyFunSuite {
       p.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
 
+  test("p66 hybrid fusion: no cartesian anywhere; fusion adds one (query, item) shuffle over top-k rows") {
+    val p = plan("p66_hybrid_rrf")
+    // the dense branch's broadcast nested loop (bounded query set ×
+    // corpus, p06's shape) is expected; a CartesianProduct is not
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the fused per-item sum is a real aggregate, not a window over
+    // a re-sorted corpus
+    assert(p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("p68b BPE encode: fold runs per distinct word; corpus join is an equi join, never a cartesian") {
+    val p = plan("p68b_bpe_encode")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the word -> symbol-length mapping joins back on the word key
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      p.take(800))
+  }
+
+  test("p70 sampled quantiles: the hash selector filters below the histogram aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    val lp = SparkEntry.queries("p70_sampled_quantiles")(spark, sf)
+      .queryExecution.optimizedPlan
+    // the md5 selector must sit directly over the scan projection: a
+    // selector above the histogram groupBy would shuffle the FULL
+    // corpus to compute a sampled statistic
+    val sel = lp.collect {
+      case f: Filter if f.condition.toString.contains("md5") => f
+    }
+    assert(sel.nonEmpty, s"no md5 sample selector in:\n$lp")
+    sel.foreach { f =>
+      val aggsBelow = f.child.collect { case a: Aggregate => a }
+      assert(aggsBelow.isEmpty,
+        s"sample selector sits above an aggregate:\n${f.treeString.take(1200)}")
+    }
+  }
+
   test("grants plan: role validation, supabase normalization, quoting") {
     assert(Grants.validRoleName("app_reader"))
     assert(!Grants.validRoleName("x; drop table users--"))
