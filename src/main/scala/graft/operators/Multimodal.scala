@@ -291,6 +291,83 @@ object Multimodal {
           if (count > 0) math.sqrt(sumSq / count) else 0.0)
       } finally in.close()
     }
+
+    /** 64-bit perceptual audio fingerprint — the sound twin of
+      * [[ImageIoCodec.dHashOf]]: the decoded sample stream splits into
+      * 65 equal windows, per-window energy is the EXACT integer sum of
+      * squared raw sample values (16-bit² ≤ 2³⁰ — a window would need
+      * ~2³³ samples, ~50 hours at 48 kHz, to overflow a long), and bit
+      * w is set iff energy[w] > energy[w+1]. Comparisons see relative
+      * energy only, so the print is invariant to uniform gain within
+      * integer precision and to container re-encoding (WAV↔AIFF of the
+      * same PCM), and all-integer arithmetic makes it bit-deterministic.
+      * Channels are interleaved as-is (a stereo file fingerprints its
+      * interleaved stream — deterministic, stated). Feed
+      * [[Dedup.hammingNearDupPairs]] for near-dup audio detection. */
+    def fingerprint(row: MediaRow): Long = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(row.payload))
+        catch {
+          case e: javax.sound.sampled.UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"media_id=${row.media_id}: payload is not a decodable " +
+                "audio stream (javax.sound recognizes WAV/AIFF/AU)", e)
+        }
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding._
+        require(
+          (bits == 16 && enc == PCM_SIGNED) ||
+            (bits == 8 && (enc == PCM_SIGNED || enc == PCM_UNSIGNED)),
+          s"media_id=${row.media_id}: unsupported PCM shape " +
+            s"($enc/$bits-bit) — only 16-bit signed and 8-bit PCM decode")
+        val bytes = in.readAllBytes()
+        val big = fmt.isBigEndian
+        val n = if (bits == 16) bytes.length / 2 else bytes.length
+        require(n >= 65,
+          s"media_id=${row.media_id}: fingerprint needs >= 65 samples, got $n")
+        val energy = new Array[Long](65)
+        var idx = 0
+        while (idx < n) {
+          val s =
+            if (bits == 16) {
+              val i = idx * 2
+              val lo = bytes(if (big) i + 1 else i) & 0xff
+              val hi = bytes(if (big) i else i + 1)
+              ((hi << 8) | lo).toShort.toLong
+            } else if (enc == PCM_UNSIGNED) ((bytes(idx) & 0xff) - 128).toLong
+            else bytes(idx).toLong
+          energy(((idx.toLong * 65) / n).toInt) += s * s
+          idx += 1
+        }
+        var hash = 0L
+        var w = 0
+        while (w < 64) {
+          if (energy(w) > energy(w + 1)) hash |= 1L << w
+          w += 1
+        }
+        hash
+      } finally in.close()
+    }
+  }
+
+  /** Per-clip audio fingerprints, decoded map-only like
+    * [[extractAudioFeatures]]: (media_id, afp). The audio member of
+    * the perceptual-dedup family — pair with
+    * [[Dedup.hammingNearDupPairs]] exactly like [[imageDHashes]]. */
+  def audioFingerprints(media: Dataset[MediaRow], partitions: Int = 0)
+      : DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val spread =
+      if (partitions > 0) media.repartition(partitions, col("media_id"))
+      else media
+    spread.mapPartitions { it =>
+      it.map(r => (r.media_id, WavCodec.fingerprint(r)))
+    }.toDF("media_id", "afp")
   }
 
   /** The audio decode stage — same contract as [[extractFeatures]]

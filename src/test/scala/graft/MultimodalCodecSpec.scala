@@ -466,6 +466,64 @@ class MultimodalCodecSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  /** 16-bit mono PCM with a per-sample amplitude envelope, written as
+    * WAV (little-endian) or AIFF (big-endian) — same samples, different
+    * container, for the re-encode-invariance check. */
+  private def envAudio(n: Int, env: Int => Double,
+      aiff: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440.0 * i / 8000) * env(i) * 32767).toInt
+      if (aiff) { pcm(2 * i) = ((s >> 8) & 0xff).toByte
+        pcm(2 * i + 1) = (s & 0xff).toByte }
+      else { pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte }
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, aiff)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong),
+      if (aiff) AudioFileFormat.Type.AIFF else AudioFileFormat.Type.WAVE,
+      bos)
+    bos.toByteArray
+  }
+
+  test("audio fingerprint: container invariant, gain tolerant, envelope sensitive; pairs through the same Hamming operator") {
+    import graft.operators.Multimodal.WavCodec
+    def rowOf(id: Long, b: Array[Byte]) = MediaRow(id, "audio", b, "t")
+    val n = 6400
+    val zig = (i: Int) => if ((i / (n / 16)) % 2 == 0) 0.8 else 0.2
+    val zigHalf = (i: Int) => zig(i) * 0.5
+    val flat = (i: Int) => 1.0 - zig(i) // inverted loud/quiet pattern
+    val wav = envAudio(n, zig)
+    val aiffSame = envAudio(n, zig, aiff = true)
+    val half = envAudio(n, zigHalf)
+    val other = envAudio(n, flat)
+    def fp(b: Array[Byte]) = WavCodec.fingerprint(rowOf(0L, b))
+    // identical samples, different container → identical fingerprint
+    assert(fp(wav) == fp(aiffSame))
+    // -6 dB gain scales every window's energy uniformly → comparisons
+    // survive (boundary windows may flip on integer rounding)
+    assert(java.lang.Long.bitCount(fp(wav) ^ fp(half)) <= 4)
+    // the inverted envelope flips most comparisons
+    assert(java.lang.Long.bitCount(fp(wav) ^ fp(other)) >= 24)
+    // end-to-end: decode map-only, band, verify — same pairing
+    // operator as the image path
+    import spark.implicits._
+    val m = Seq(rowOf(1L, wav), rowOf(2L, half), rowOf(3L, other)).toDS()
+    val pairs = graft.operators.Dedup
+      .hammingNearDupPairs(Multimodal.audioFingerprints(m),
+        "media_id", "afp", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+    // too-short clips fail loudly, never a garbage fingerprint
+    val e = intercept[IllegalArgumentException] {
+      WavCodec.fingerprint(rowOf(9L, envAudio(40, zig)))
+    }
+    assert(e.getMessage.contains(">= 65 samples"))
+  }
+
   test("hammingNearDupPairs: pigeonhole recall exact below bands; multi-band match yields one pair") {
     import spark.implicits._
     // flip 3 bits spread across 3 different 16-bit bands: one band
