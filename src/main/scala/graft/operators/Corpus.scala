@@ -667,6 +667,39 @@ object Corpus {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Padding-efficient length-bucketed batching — the batch-assembly
+    * step before training/inference on fixed-shape accelerators: docs
+    * sort by (token length, id) and consecutive runs of `batchSize`
+    * become one batch, so each batch pads to its own max length
+    * instead of the corpus max (the dynamic-batching / bucketing trick
+    * every serving stack uses). Returns the per-batch efficiency
+    * report: row count, max/total token length, and the padding waste
+    * `n·max − Σlen` the bucketing is there to minimize.
+    *
+    * The global row number comes from [[orderedPrefixSum]] of ones
+    * over the (len, id) total order — range partition + two-phase
+    * scan, never a single-partition window — so a trillion-doc corpus
+    * batches without serializing through one task. Batch ids are
+    * 0-based in length order (batch 0 = shortest docs).
+    *
+    * @return (batch, n_docs, max_len, sum_len, padding)
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"lengthBatches: batchSize >= 1, got $batchSize")
+    val t = docs.select(col(idCol).as("doc_id"),
+      size(TextFns.tokens(TextFns.normText(col(textCol)))).cast("long")
+        .as("len"))
+      .withColumn("one", lit(1L))
+    orderedPrefixSum(t, Seq("len", "doc_id"), "one", "rn")
+      .withColumn("batch", expr(s"(rn - 1) div ${batchSize}L"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"), max(col("len")).as("max_len"),
+        sum(col("len")).as("sum_len"))
+      .select(col("batch"), col("n_docs"), col("max_len"), col("sum_len"),
+        (col("n_docs") * col("max_len") - col("sum_len")).as("padding"))
+  }
+
   /** Deterministic exact-k per-group sample: each group keeps its
     * min(k, |group|) members with the smallest (hash32(id), id) — the
     * exact-count companion to the PROPORTIONAL samplers

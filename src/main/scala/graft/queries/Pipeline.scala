@@ -3336,6 +3336,32 @@ object Pipeline {
        |FROM a JOIN tt USING (grp)""".stripMargin
   }
 
+  // length-bucketed batching: rows per accelerator batch
+  private val LenBatchSize = 16
+
+  /** Length-bucketed batching, oracle-gated: per-batch padding
+    * efficiency under (len, id)-ordered runs of [[LenBatchSize]]
+    * ([[graft.operators.Corpus.lengthBatches]] — the global order via
+    * the distributed prefix sum, never a single-partition window; the
+    * oracle replays it as the one-partition ROW_NUMBER it is
+    * semantically, the p51/p55 precedent). Pure integers. */
+  private def p71(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.lengthBatches(
+      Tables.df(spark, dir, "documents"), "doc_id", "text", LenBatchSize)
+
+  private val p71Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH t AS (SELECT doc_id, len($toks) AS len FROM documents),
+       |r AS (SELECT doc_id, len,
+       |        ROW_NUMBER() OVER (ORDER BY len, doc_id) AS rn
+       |      FROM t),
+       |b AS (SELECT (rn - 1) // $LenBatchSize AS batch, len FROM r)
+       |SELECT batch, COUNT(*) AS n_docs, MAX(len) AS max_len,
+       |  SUM(len)::BIGINT AS sum_len,
+       |  (COUNT(*) * MAX(len) - SUM(len))::BIGINT AS padding
+       |FROM b GROUP BY 1""".stripMargin
+  }
+
   // BPE tokenizer training: learned merge rounds for the driver gate
   private val BpeRounds = 3
 
@@ -3491,5 +3517,6 @@ object Pipeline {
     QueryDef("p68b_bpe_encode", p68b, Some(p68bSql)),
     QueryDef("p66b_hybrid_store", p66b, Some(p66bSql)),
     QueryDef("p69_drift_chi2", p69, Some(p69Sql)),
-    QueryDef("p70_sampled_quantiles", p70, Some(p70Sql)))
+    QueryDef("p70_sampled_quantiles", p70, Some(p70Sql)),
+    QueryDef("p71_length_batching", p71, Some(p71Sql)))
 }

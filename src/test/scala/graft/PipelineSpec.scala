@@ -1382,6 +1382,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("lengthBatches: length-ordered runs, hand-computed padding, layout invariance") {
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"),
+      (4L, "a b c d"), (5L, "a b c d e")).toDF("doc_id", "text")
+    def run(parts: Int) = Corpus
+      .lengthBatches(d.repartition(parts), "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    // (len,id) order → batches {1,2} {3,4} {5}: padding 1, 1, 0
+    val expected = Seq((0L, 2L, 2L, 3L, 1L), (1L, 2L, 4L, 7L, 1L),
+      (2L, 1L, 5L, 5L, 0L))
+    assert(run(1) == expected && run(7) == expected)
+  }
+
   test("histogramDrift: hand-computed chi-square, smoothing keeps new bins finite, shift raises the stat") {
     import spark.implicits._
     val ref = Seq(0L, 0L, 1L).map(("g", _)).toDF("src", "v")
