@@ -65,6 +65,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // local-iteration filter, Verify's SPARK_GRAFT_ONLY twin (the
+    // driver never sets it): time only the named queries — for
+    // re-measuring one suspect entry in isolation without the warm-up
+    // history of 100 predecessors
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = SparkEntry.orderedQueries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val spark = Sessions.local(cpus)
     // JIT/classloader warmup at the sf0.01 SIBLING of the target dir
     // (not a hardcoded absolute path — on any other layout that path is
@@ -78,7 +86,7 @@ object Bench {
         .filter(java.nio.file.Files.isDirectory(_))
         .map(_.toString).getOrElse(sfDir)
     }
-    SparkEntry.orderedQueries.foreach { case (name, f) =>
+    selected.foreach { case (name, f) =>
       try {
         f(spark, warmDir).count()
       } catch {
@@ -128,7 +136,7 @@ object Bench {
       spark.catalog.clearCache() // isolate queries: no cross-query caches
       (if (ok) t else -1.0, c, g)
     }
-    val results = SparkEntry.orderedQueries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val r1 = timeOnce(name, fn)
       val best2 =
         if (r1._1 < 0) r1 // failed: don't re-run, keep the sentinel
