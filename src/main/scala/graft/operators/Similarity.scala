@@ -1232,9 +1232,15 @@ object Similarity {
           first(col("cv")).as("cv"), // constant within the group
           max(col("cv_n")).as("cv_n"))
       // each round references the previous selection twice (anti join +
-      // pairwise-sim join); persisting keeps the recursive plan from
-      // re-running every earlier round's windows 2^i times
-      sel.unionByName(pickTop(ms, i)).persist()
+      // pairwise-sim join), so without intervention the logical plan
+      // doubles per round — measured: a 4,200-line plan whose
+      // compile + cache-materialization cascade cost ~12 s at sf0.001.
+      // localCheckpoint TRUNCATES the lineage each round (the frame is
+      // Q×i rows — trivial to store), keeping every round's plan
+      // constant-size. Eager, so round i's job runs before round i+1
+      // plans. On a cluster with executor churn, reliable checkpoint()
+      // is the drop-in hardening; local mode has no such loss window.
+      sel.unionByName(pickTop(ms, i)).localCheckpoint()
     }
     selected.select(col("query_id"), col("rnk"), col("item_id"),
       col("mmr"))
