@@ -1091,6 +1091,11 @@ object Corpus {
       .agg(sum(col("r")).as("n_ref"), sum(col("o")).as("n_cur"),
         count(lit(1)).as("n_bins"))
     val term = joined.join(broadcast(tot), Seq("grp"))
+      // a group the current batch never touched has every e_b = 0 —
+      // chi-square is undefined there, and "no data" is no evidence of
+      // drift: the group simply has no report row this batch (the
+      // streaming monitor's next batch with data reports it again)
+      .filter(col("n_cur") > 0)
       .withColumn("e", ((col("r") + 1) * col("n_cur")).cast("double")
         / (col("n_ref") + col("n_bins")).cast("double"))
       .select(col("grp"), col("bin"), col("n_ref"), col("n_cur"),

@@ -3269,7 +3269,8 @@ object Pipeline {
        |       FROM (SELECT j.grp, j.bin, j.o, tt.n_ref, tt.n_cur, tt.n_bins,
        |               ((j.r + 1) * tt.n_cur)::DOUBLE
        |                 / (tt.n_ref + tt.n_bins)::DOUBLE AS e
-       |             FROM j JOIN tt USING (grp)))
+       |             FROM j JOIN tt USING (grp)
+       |             WHERE tt.n_cur > 0))
        |SELECT grp, n_ref, n_cur, n_bins, n_bins - 1 AS dof,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(list_sort(list({'b': bin, 't': t2})), s -> s.t)),

@@ -770,6 +770,56 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming drift monitor: per-micro-batch reports via writeStream, frozen reference, lease takeover on restart") {
+    import graft.operators.{Corpus, DriftStore}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = "graft_driftlive"
+    val ref = (1L to 60L).map(i => ("s" + (i % 2), i % 23)).toDF("src", "v")
+    try {
+      DriftStore.build(ref, "src", "v", name, 4L)
+      val in = MemoryStream[(String, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_drift_ckpt")
+      val q = Streams.driftIngest(in.toDF().toDF("src", "v"),
+        "src", "v", name, ckpt.toString)
+      val b0 = (1L to 30L).map(i => ("s" + (i % 2), i % 19))
+      val b1 = (1L to 25L).map(i => ("s" + (i % 2), (i % 7) + 40))
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      q.stop()
+      // one report row per (batch, group); each batch equals its
+      // one-shot operator bit-for-bit (the frozen-histogram path)
+      def stored(id: Long) = DriftStore.reports(spark, name)
+        .filter(col("batch_id") === id)
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("n_cur"),
+          r.getAs[Double]("chi2"))).toSet
+      def oneShot(rows: Seq[(String, Long)]) =
+        Corpus.histogramDrift(ref, rows.toDF("src", "v"), "src", "v", 4L)
+          .collect().map(r => (r.getString(0), r.getLong(2),
+            r.getDouble(5))).toSet
+      assert(stored(0L) == oneShot(b0) && stored(0L).size == 2)
+      assert(stored(1L) == oneShot(b1))
+      // the stream's ledger committed both batches
+      assert(spark.table(s"${name}_batches").count() == 2)
+      // takeover semantics: a new monitor (e.g. after re-baseline)
+      // claims the lease on start — no manual cleanup after a stop
+      // or crash (WriterLease.take overwrites)
+      val q2 = Streams.driftIngest(in.toDF().toDF("src", "v"),
+        "src", "v", name, ckpt.toString)
+      in.addData(("s0", 5L))
+      q2.processAllAvailable()
+      q2.stop()
+    } finally {
+      Seq(s"${name}_ref", s"${name}_meta", s"${name}_drift",
+        s"${name}_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("drift store: batch reports ≡ the one-shot operator bit-for-bit, replay and torn batch converge") {
     import graft.operators.{Corpus, DriftStore}
     import org.apache.spark.sql.functions.col
