@@ -1356,6 +1356,122 @@ object Corpus {
       .select(col("query_id"), col("rnk"), col("item_id"), col("rrf"))
   }
 
+  /** Hashed DSIR feature buckets of a token array, in a FIXED position
+    * order: every unigram bucket first (token order), then every
+    * bigram bucket (position order). The fixed order is load-bearing —
+    * [[dsirWeights]] folds per-feature doubles in this order, so the
+    * oracle can replay the sum bit-for-bit (the p40 position-order
+    * trick). hash32 % buckets keeps the feature space bounded at
+    * `buckets` regardless of vocabulary size — the hashing that makes
+    * DSIR's bag-of-ngrams model a fixed-size histogram at 100 TB. */
+  private[operators] def dsirFeatures(toks: Column, buckets: Int): Column = {
+    val uni = transform(toks, t => TextFns.hash32(t) % buckets)
+    // bigrams via zip_with(toks, tail(toks)) — NEVER element_at(toks, i)
+    // inside a lambda: optimizer rules substitute `toks` by its full
+    // tokenize expression (predicate pushdown through the projection
+    // does exactly that for the n_feats filter), and a per-index
+    // element_at then re-evaluates the tokenizer once PER ELEMENT —
+    // O(len²) per row, measured 33 s vs 1.4 s on the sf0.1 scoring
+    // pass. zip_with walks both arrays once, so even a fully-inlined
+    // copy of this expression stays O(len). The one-short tail pads
+    // with null; the null bigram is filtered, which also makes <2-token
+    // docs fall out naturally (no CSE-blocking when() branch).
+    val tail = slice(toks, lit(2), greatest(size(toks) - 1, lit(0)))
+    val bi = filter(zip_with(toks, tail, (a, b) =>
+      when(b.isNotNull, TextFns.hash32(concat_ws(" ", a, b)) % buckets)),
+      h => h.isNotNull)
+    concat(uni, bi)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-n-gram profile is, using
+    * add-one-smoothed bucket histograms fit on the target and raw
+    * corpora. The paper's weight is exp Σ log(p_t(b)/p_s(b)); libm log
+    * differs across engines in the last ulp, so the engine-exact form
+    * here is the MEAN of the per-feature probability ratios
+    *   ratio(b) = ((t_b+1)·(S+B)) / ((s_b+1)·(T+B))
+    * folded in feature-position order (the p40 log-free trick) — the
+    * same "target-like features push the score up" ordering signal,
+    * every arithmetic step a single IEEE op both engines replay.
+    *
+    * Plan shape (the paper's own streaming-counts shape): one bucket
+    * histogram per corpus — an explode + groupBy on a key space of
+    * exactly `buckets` values (map-side partials collapse each task to
+    * ≤ buckets rows) — then the two histograms collect O(buckets) to
+    * the driver and ride into a SECOND map-only pass as one dense
+    * literal ratio array (the CMS-gate pattern): scoring touches no
+    * join and no shuffle at corpus scale. Docs with no tokens score
+    * NULL (n_feats = 0).
+    *
+    * @return (doc_id, n_feats, weight)
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 22),
+      s"dsir: buckets must be in [1, 2^22] (dense literal array rides " +
+        s"into every task), got $buckets")
+    // two-step projection: `toks` must be a materialized attribute
+    // before dsirFeatures references it — passing the tokenize
+    // expression itself re-evaluates the whole normalize+tokenize
+    // pipeline at EVERY element_at inside the bigram lambda (O(len²)
+    // per doc; measured 40 s for the sf0.1 scoring pass vs ~1 s fixed —
+    // the wordShingles CSE trap, aggravated by the when() branch)
+    def feats(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"),
+        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+      .select(col("doc_id"), dsirFeatures(col("toks"), buckets).as("fb"))
+    def hist(df: DataFrame): Array[Long] = {
+      val h = new Array[Long](buckets)
+      feats(df).select(explode(col("fb")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("c"))
+        .collect().foreach(r => h(r.getAs[Long]("b").toInt) = r.getAs[Long]("c"))
+      h
+    }
+    val s = hist(raw)
+    val t = hist(target)
+    val sTot = s.sum; val tTot = t.sum
+    // ((t_b+1)·(S+B)) / ((s_b+1)·(T+B)) with each factor converted to
+    // double BEFORE the multiply — the oracle's CAST(x AS DOUBLE) *
+    // CAST(y AS DOUBLE) does the identical two converts, one multiply,
+    // one divide (long·long products would overflow past ~3e9 counts)
+    val ratios = Array.tabulate(buckets)(b =>
+      ((t(b) + 1L).toDouble * (sTot + buckets).toDouble) /
+        ((s(b) + 1L).toDouble * (tTot + buckets).toDouble))
+    feats(raw).select(col("doc_id"),
+      coalesce(size(col("fb")), lit(0)).cast("long").as("n_feats"),
+      when(size(col("fb")) > 0,
+        aggregate(col("fb"), lit(0.0d),
+          (acc, b) => acc + element_at(lit(ratios), b.cast("int") + 1))
+          / size(col("fb")).cast("double")).as("weight"))
+  }
+
+  /** Deterministic importance resampling over [[dsirWeights]] output:
+    * keep each scored doc with probability weight/max(weight) — the
+    * paper's "sample proportionally to w" without its Gumbel noise
+    * (Gumbel needs log/exp; a hash-uniform acceptance test is the
+    * engine-exact substitute, and like every sampler here it is
+    * reproducible run-to-run and replayable in SQL). The max is a
+    * 1-row aggregate broadcast (the J7 pattern); acceptance compares
+    * u·wmax < w·10^6 — one multiply each side, no division. The
+    * highest-weight doc is always kept (u < 10^6 always holds at
+    * w = wmax). Unscored docs (n_feats = 0) never pass.
+    *
+    * @return kept rows of (doc_id, n_feats, weight)
+    */
+  def dsirSelect(weights: DataFrame): DataFrame = {
+    // wmax and the acceptance filter are two passes over the scored
+    // frame — persist it (3 longs + a double per doc, tiny next to the
+    // text it came from) so the upstream scoring runs once
+    val scored = weights.filter(col("n_feats") > 0).persist()
+    val wmax = scored.agg(max(col("weight")).as("wmax"))
+    scored.crossJoin(broadcast(wmax))
+      .filter((TextFns.hash32(concat(lit("dsir|"),
+        col("doc_id").cast("string"))) % 1000000L).cast("double")
+        * col("wmax") < col("weight") * lit(1000000.0d))
+      .select(col("doc_id"), col("n_feats"), col("weight"))
+  }
+
   def topNgrams(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int, minDf: Int = 2): DataFrame = {
     require(n > 0 && k > 0, s"need positive n/k, got n=$n k=$k")

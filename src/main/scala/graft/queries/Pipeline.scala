@@ -3363,6 +3363,82 @@ object Pipeline {
        |FROM b GROUP BY 1""".stripMargin
   }
 
+  // DSIR: hashed-ngram bucket count (fixed model size at any corpus SF)
+  private val DsirBuckets = 512
+
+  /** DSIR importance weights, oracle-gated: every document scored by
+    * how English-like (lang='en' is the target domain) its hashed
+    * unigram+bigram profile is ([[graft.operators.Corpus.dsirWeights]]).
+    * The oracle rebuilds both bucket histograms, the add-one-smoothed
+    * ratio table, and replays the per-doc fold in the identical
+    * feature-position order (unigrams then bigrams — the p40 log-free
+    * pattern), so the weight doubles hash-match bit-for-bit. */
+  private def p72(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    graft.operators.Corpus.dsirWeights(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text", DsirBuckets)
+  }
+
+  /** Shared CTE block: features → histograms → smoothed ratio list →
+    * per-doc position-ordered fold. Ends with CTE `w(doc_id, n_feats,
+    * weight)`. */
+  private val dsirCtes = {
+    val toks = toksSql(normSql("text"))
+    val B = DsirBuckets
+    s"""t AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |        list_concat(
+       |          list_transform(toks, tk -> ${hash32Sql("tk")} % $B),
+       |          COALESCE(CASE WHEN len(toks) >= 2 THEN
+       |            list_transform(range(0, len(toks) - 1),
+       |              i -> ${hash32Sql("(toks[i+1] || ' ' || toks[i+2])")} % $B)
+       |          END, []::BIGINT[])) AS fb
+       |      FROM t),
+       |src AS (SELECT b, COUNT(*) AS c
+       |        FROM (SELECT unnest(fb) AS b FROM f) GROUP BY 1),
+       |tgt AS (SELECT b, COUNT(*) AS c
+       |        FROM (SELECT unnest(fb) AS b FROM f WHERE lang = 'en')
+       |        GROUP BY 1),
+       |tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM src) AS st,
+       |               (SELECT COALESCE(SUM(c), 0) FROM tgt) AS tt),
+       |r AS (SELECT list(
+       |        (CAST(COALESCE(tg.c, 0) + 1 AS DOUBLE) * CAST(st + $B AS DOUBLE))
+       |        / (CAST(COALESCE(sr.c, 0) + 1 AS DOUBLE) * CAST(tt + $B AS DOUBLE))
+       |        ORDER BY g.b) AS rl
+       |      FROM generate_series(0, ${B - 1}) g(b)
+       |      LEFT JOIN src sr ON sr.b = g.b
+       |      LEFT JOIN tgt tg ON tg.b = g.b
+       |      CROSS JOIN tot),
+       |w AS (SELECT doc_id, CAST(len(fb) AS BIGINT) AS n_feats,
+       |        CASE WHEN len(fb) > 0 THEN
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |            list_transform(fb, x -> rl[x + 1])),
+       |            (a, v) -> a + v) / CAST(len(fb) AS DOUBLE)
+       |        END AS weight
+       |      FROM f CROSS JOIN r)""".stripMargin
+  }
+
+  private val p72Sql =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, n_feats, weight FROM w""".stripMargin
+
+  /** DSIR importance resampling, oracle-gated: the deterministic
+    * keep-with-probability-w/wmax acceptance test over the p72 weights
+    * ([[graft.operators.Corpus.dsirSelect]]) — u·wmax < w·10^6 with a
+    * hash-uniform u, one multiply each side. */
+  private def p72b(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Corpus.dsirSelect(p72(spark, dir))
+
+  private val p72bSql =
+    s"""WITH $dsirCtes,
+       |m AS (SELECT MAX(weight) AS wmax FROM w WHERE n_feats > 0)
+       |SELECT doc_id, n_feats, weight
+       |FROM w CROSS JOIN m
+       |WHERE n_feats > 0
+       |  AND CAST(${hash32Sql("('dsir|' || CAST(doc_id AS VARCHAR))")}
+       |        % 1000000 AS DOUBLE) * wmax
+       |      < weight * CAST(1000000 AS DOUBLE)""".stripMargin
+
   // BPE tokenizer training: learned merge rounds for the driver gate
   private val BpeRounds = 3
 
@@ -3519,5 +3595,7 @@ object Pipeline {
     QueryDef("p66b_hybrid_store", p66b, Some(p66bSql)),
     QueryDef("p69_drift_chi2", p69, Some(p69Sql)),
     QueryDef("p70_sampled_quantiles", p70, Some(p70Sql)),
-    QueryDef("p71_length_batching", p71, Some(p71Sql)))
+    QueryDef("p71_length_batching", p71, Some(p71Sql)),
+    QueryDef("p72_dsir_weights", p72, Some(p72Sql)),
+    QueryDef("p72b_dsir_select", p72b, Some(p72bSql)))
 }

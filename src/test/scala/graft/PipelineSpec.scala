@@ -1396,6 +1396,86 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(1) == expected && run(7) == expected)
   }
 
+  test("dsirWeights: from-first-principles weights, target-like docs outrank, empty doc NULL, layout invariance") {
+    import spark.implicits._
+    val B = 1024
+    // raw corpus: doc 1 speaks the target's language, doc 3 doesn't,
+    // doc 4 normalizes to zero tokens
+    val rawRows = Seq(
+      (1L, "alpha beta alpha beta"),
+      (2L, "alpha beta gamma"),
+      (3L, "zulu yankee xray whiskey"),
+      (4L, "!?!."))
+    val tgtRows = Seq((10L, "alpha beta alpha"), (11L, "beta alpha beta"))
+    val raw = rawRows.toDF("doc_id", "text")
+    val tgt = tgtRows.toDF("doc_id", "text")
+
+    // independent hand oracle: md5-prefix hashing, histograms, add-one
+    // ratios, position-order left fold — no graft code reused
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    def norm(s: String): String =
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    def feats(text: String): Seq[Long] = {
+      val ts = norm(text).split("\\s+").filter(_.nonEmpty).toSeq
+      val uni = ts.map(t => h32(t) % B)
+      val bi = ts.sliding(2).filter(_.size == 2)
+        .map(p => h32(p.mkString(" ")) % B).toSeq
+      uni ++ bi
+    }
+    val sHist = rawRows.flatMap(r => feats(r._2))
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val tHist = tgtRows.flatMap(r => feats(r._2))
+      .groupBy(identity).map { case (b, o) => b -> o.size.toLong }
+    val sTot = sHist.values.sum; val tTot = tHist.values.sum
+    def ratio(b: Long): Double =
+      ((tHist.getOrElse(b, 0L) + 1L).toDouble * (sTot + B).toDouble) /
+        ((sHist.getOrElse(b, 0L) + 1L).toDouble * (tTot + B).toDouble)
+    def expWeight(text: String): Double = {
+      val fs = feats(text)
+      fs.foldLeft(0.0d)((acc, b) => acc + ratio(b)) / fs.size.toDouble
+    }
+
+    val out = Corpus.dsirWeights(raw, tgt, "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    // n_feats = 2·len − 1; weights equal the hand fold bit-for-bit
+    assert(out(1L) == ((7L, Some(expWeight(rawRows(0)._2)))))
+    assert(out(2L) == ((5L, Some(expWeight(rawRows(1)._2)))))
+    assert(out(3L) == ((7L, Some(expWeight(rawRows(2)._2)))))
+    // zero-token doc: scored row present, NULL weight
+    assert(out(4L) == ((0L, None)))
+    // the target-speaking doc outranks the out-of-domain one
+    assert(out(1L)._2.get > out(3L)._2.get)
+
+    // layout invariance: the histograms are order-free sums and the
+    // scoring pass is per-row, so partitioning cannot move a weight
+    val re = Corpus.dsirWeights(raw.repartition(7), tgt.repartition(3),
+      "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(out.keySet.forall(k => re(k) == out(k)._2))
+
+    // dsirSelect: acceptance u·wmax < w·10^6 replayed by hand; the
+    // max-weight doc always passes; the unscored doc never appears
+    val kept = Corpus.dsirSelect(Corpus.dsirWeights(raw, tgt,
+      "doc_id", "text", B)).collect().map(_.getLong(0)).toSet
+    val ws = Map(1L -> expWeight(rawRows(0)._2),
+      2L -> expWeight(rawRows(1)._2), 3L -> expWeight(rawRows(2)._2))
+    val wmax = ws.values.max
+    val expKept = ws.filter { case (id, w) =>
+      (h32("dsir|" + id) % 1000000L).toDouble * wmax < w * 1000000.0d
+    }.keySet
+    assert(kept == expKept)
+    assert(kept.contains(ws.maxBy(_._2)._1))
+    assert(!kept.contains(4L))
+  }
+
   test("histogramDrift: hand-computed chi-square, smoothing keeps new bins finite, shift raises the stat") {
     import spark.implicits._
     val ref = Seq(0L, 0L, 1L).map(("g", _)).toDF("src", "v")

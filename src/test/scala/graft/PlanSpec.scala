@@ -313,6 +313,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("p72 dsir scoring pass is a pure map: zero exchanges, zero joins") {
+    // the histograms collect O(buckets) during construction; the frame
+    // the caller runs must score each row against the literal ratio
+    // array with no shuffle — a join or exchange here means the dense-
+    // literal design regressed to a per-feature lookup join (corpus-
+    // scale shuffle at 100 TB)
+    val p = plan("p72_dsir_weights")
+    assert(!"(?m)^\\(\\d+\\) Exchange\\b".r.findAllIn(p).hasNext,
+      s"dsir scoring must not shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
   test("q27 resample: grid + LOCF plan has no join node") {
     val p = plan("q27_resample")
     assert(!p.contains("Join"), s"resample should be windows, not joins:\n$p")
