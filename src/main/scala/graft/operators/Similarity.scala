@@ -575,6 +575,35 @@ object Similarity {
     * on them).
     *
     * @return (grp, n_vecs, mean_cos) one row per group */
+  /** Cluster-balanced sampling — the topic-balance curation step of
+    * the SemDeDup/DataComp family: cluster the corpus embeddings, then
+    * keep a deterministic exact-`k` quota per cluster, so the sample
+    * covers the embedding space's STRUCTURE instead of its frequency
+    * mass (a corpus that is 90% one topic contributes the same k docs
+    * from that topic as from a rare one).
+    *
+    * Composition of three audited pieces: [[topKByHashCentroids]]
+    * (deterministic, oracle-replayable cells; pass `centroids` for
+    * learned [[kmeansCentroids]] quality), [[assignCells]] at probe=1
+    * (THE single assignment implementation — broadcast centroids, one
+    * map-side join, per-id window, no corpus shuffle on the vector),
+    * and [[graft.operators.Corpus.exactKPerGroup]] (hash-order quota
+    * whose rank filter compiles to a map-side WindowGroupLimit — a
+    * mega-cluster never serializes through one task).
+    *
+    * @return (grp = cluster list_id, doc_id = vector id, rnk ≤ k)
+    */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String,
+      vecCol: String, nCells: Int, k: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val v = withNorm(corpus, idCol, vecCol, "vec_id", "v")
+    val cent = centroids.getOrElse(
+      topKByHashCentroids(v, "vec_id", "v", nCells))
+    val assigned = assignCells(v, "vec_id", "v", cent, probe = 1,
+      carryVec = false)
+    graft.operators.Corpus.exactKPerGroup(assigned, "list_id", "vec_id", k)
+  }
+
   def assignmentDrift(corpus: DataFrame, groupCol: String, idCol: String,
       vecCol: String, centroids: DataFrame): DataFrame = {
     val v = corpus.select(col(groupCol).as("grp"), col(idCol).as("vec_id"),

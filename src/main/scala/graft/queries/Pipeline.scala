@@ -3439,6 +3439,42 @@ object Pipeline {
        |        % 1000000 AS DOUBLE) * wmax
        |      < weight * CAST(1000000 AS DOUBLE)""".stripMargin
 
+  /** Cluster-balanced sample, oracle-gated: an exact-[[TopK]] quota
+    * per embedding cluster ([[Similarity.clusterBalancedSample]] over
+    * the p14 deterministic hash-centroid cells) — the SemDeDup/
+    * DataComp topic-balance curation step: the sample covers the
+    * embedding space's structure, not its frequency mass. The oracle
+    * replays the centroid sample, the probe-1 assignment (cosine desc,
+    * list_id tie-break), and the hash-order quota rank. */
+  private def p73(spark: SparkSession, dir: String): DataFrame =
+    Similarity.clusterBalancedSample(
+      Tables.df(spark, dir, "embeddings"), "vec_id", "embedding",
+      IvfCells, TopK)
+
+  private val p73Sql =
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE ${dotSql("embedding", "embedding")} > 0),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM v
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |a AS (
+       |  SELECT list_id, vec_id FROM (
+       |    SELECT c.list_id, v.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.embedding", "c.centroid")} DESC,
+       |          c.list_id) AS r
+       |    FROM v, cent c)
+       |  WHERE r = 1)
+       |SELECT grp, doc_id, CAST(rnk AS INT) AS rnk FROM (
+       |  SELECT list_id AS grp, vec_id AS doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY list_id
+       |      ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id)
+       |      AS rnk
+       |  FROM a)
+       |WHERE rnk <= $TopK""".stripMargin
+
   // BPE tokenizer training: learned merge rounds for the driver gate
   private val BpeRounds = 3
 
@@ -3597,5 +3633,6 @@ object Pipeline {
     QueryDef("p70_sampled_quantiles", p70, Some(p70Sql)),
     QueryDef("p71_length_batching", p71, Some(p71Sql)),
     QueryDef("p72_dsir_weights", p72, Some(p72Sql)),
-    QueryDef("p72b_dsir_select", p72b, Some(p72bSql)))
+    QueryDef("p72b_dsir_select", p72b, Some(p72bSql)),
+    QueryDef("p73_cluster_balance", p73, Some(p73Sql)))
 }

@@ -1396,6 +1396,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(1) == expected && run(7) == expected)
   }
 
+  test("clusterBalancedSample: exact quota per cluster, skew ignored, kmeans override honors the contract, layout invariance") {
+    import spark.implicits._
+    // frequency-skewed fixture: a dense blob near e1 (ids 1-40) and a
+    // sparse one near e2 (ids 101-104) — frequency sampling would give
+    // the blob 10× the rows; topic balance must give each cluster k
+    val rows =
+      (1L to 40L).map(i => (i, Array(10.0 + (i % 7) * 0.01, 1.0, 0.0))) ++
+      (101L to 104L).map(i => (i, Array(0.5, 9.0 + (i % 3) * 0.01, 1.0)))
+    val v = rows.toDF("vec_id", "embedding")
+    // 2 hash-order centroids land one in each blob or both in one —
+    // force determinism of the TEST by passing explicit centroids
+    val cents = Seq((1L, Array(10.0, 1.0, 0.0)), (2L, Array(0.5, 9.0, 1.0)))
+      .toDF("cid", "cv")
+    val centN = graft.operators.Similarity // same (list_id, centroid, centroid_n) contract as the IVF override
+      .withNorm(cents, "cid", "cv", "list_id", "centroid")
+    val k = 3
+    val out = Similarity.clusterBalancedSample(v, "vec_id", "embedding",
+      nCells = 2, k = k, centroids = Some(centN)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byCluster = out.groupBy(_._1)
+    // both clusters present, each at its exact quota (both have >= k
+    // members) — the 10x size skew must not shift a single row
+    assert(byCluster.keySet == Set(1L, 2L))
+    assert(byCluster(1L).length == k && byCluster(2L).length == k)
+    // members belong to their geometric cluster
+    assert(byCluster(1L).forall(_._2 <= 40L))
+    assert(byCluster(2L).forall(_._2 >= 101L))
+    // rnk is 1..k within each cluster
+    assert(byCluster.values.forall(_.map(_._3).sorted.sameElements(1 to k)))
+    // a cluster smaller than k contributes all its members: quota 10
+    // over the 4-member sparse blob
+    val small = Similarity.clusterBalancedSample(v, "vec_id", "embedding",
+      nCells = 2, k = 10, centroids = Some(centN)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(small.count(_._1 == 2L) == 4)
+    // layout invariance: the quota is (hash32(id), id)-ordered
+    val re = Similarity.clusterBalancedSample(v.repartition(7), "vec_id",
+      "embedding", nCells = 2, k = k, centroids = Some(centN)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(re.sameElements(out.sorted))
+    // default hash-centroid path: deterministic, every returned id real,
+    // per-cluster counts never exceed k
+    val hashed = Similarity.clusterBalancedSample(v, "vec_id", "embedding",
+      nCells = 4, k = k).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashed.groupBy(_._1).values.forall(_.length <= k))
+    assert(hashed.map(_._2).toSet.subsetOf(rows.map(_._1).toSet))
+  }
+
   test("dsirWeights: from-first-principles weights, target-like docs outrank, empty doc NULL, layout invariance") {
     import spark.implicits._
     val B = 1024
