@@ -575,6 +575,68 @@ object Similarity {
     * on them).
     *
     * @return (grp, n_vecs, mean_cos) one row per group */
+  /** Hard-negative mining for contrastive training pairs (the
+    * retrieval-training data step: E5/BGE-style "top-k similar but
+    * not-positive" negatives). For each (query_id, pos_id) pair, rank
+    * the corpus by exact cosine to the query and keep the `k` best
+    * candidates that are (a) not the query itself, (b) not one of the
+    * query's positives, and (c) at least `margin` BELOW the query's
+    * least-positive cosine — the standard false-negative guard: a
+    * candidate scoring within `margin` of a positive is more likely an
+    * unlabeled positive than a useful negative.
+    *
+    * Scale shape: the pair set is the bounded side (training batches,
+    * not the corpus) — queries + their positive cosines broadcast; the
+    * corpus streams through one map-side nested-loop scoring pass
+    * (the [[bruteForceTopK]] shape), the margin filter prunes BEFORE
+    * the per-query rank window, and the positive exclusion is a
+    * broadcast anti join. Nothing shuffles the corpus on a new key.
+    * This exact form is the oracle baseline; at 100 TB feed the
+    * candidate stream from the IVF store's probed cells instead
+    * (compose with [[ivfTopK]]/IvfIndex.topK) — the gate and window
+    * are unchanged.
+    *
+    * @param pairs (query_id, pos_id) — ids must exist in `corpus`
+    * @return (query_id, rnk, neighbor_id, cos, pos_cos) with rnk ≤ k;
+    *         pos_cos is the query's least-positive cosine the margin
+    *         was gated against
+    */
+  def hardNegatives(pairs: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, margin: Double): DataFrame = {
+    require(k >= 1 && margin >= 0.0,
+      s"hardNegatives: need k >= 1 and margin >= 0, got k=$k margin=$margin")
+    val v = withNorm(corpus, idCol, vecCol, "vid", "vv")
+    val q = v.select(col("vid").as("query_id"), col("vv").as("qv"),
+      col("vv_n").as("qv_n"))
+    val pos = v.select(col("vid").as("pos_id"), col("vv").as("pv"),
+      col("vv_n").as("pv_n"))
+    val p = pairs.select(col("query_id"), col("pos_id"))
+    // least-positive cosine per query: min() is order-independent, so
+    // multi-positive queries stay deterministic under any partitioning
+    val posCos = p.join(q, Seq("query_id")).join(pos, Seq("pos_id"))
+      .select(col("query_id"),
+        (dot(col("qv"), col("pv")) / (col("qv_n") * col("pv_n")))
+          .as("pcos"))
+      .groupBy(col("query_id")).agg(min(col("pcos")).as("pos_cos"))
+    val qSet = q.join(posCos, Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    v.repartition(par(corpus), col("vid"))
+      .join(broadcast(qSet), col("vid") =!= col("query_id"))
+      .select(col("query_id"), col("vid").as("neighbor_id"),
+        (dot(col("qv"), col("vv")) / (col("qv_n") * col("vv_n")))
+          .as("cos"),
+        col("pos_cos"))
+      .join(broadcast(p.select(col("query_id"),
+        col("pos_id").as("neighbor_id"))),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .filter(col("cos") < col("pos_cos") - lit(margin))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("cos"), col("pos_cos"))
+  }
+
   /** Cluster-balanced sampling — the topic-balance curation step of
     * the SemDeDup/DataComp family: cluster the corpus embeddings, then
     * keep a deterministic exact-`k` quota per cluster, so the sample

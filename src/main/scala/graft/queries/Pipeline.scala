@@ -3475,6 +3475,57 @@ object Pipeline {
        |  FROM a)
        |WHERE rnk <= $TopK""".stripMargin
 
+  // hard-negative mining: query subset + false-negative margin
+  private val HardNegMod = 50
+  private val HnMargin = 0.02
+
+  /** Hard-negative mining, oracle-gated: contrastive (query, positive)
+    * pairs — the deterministic (vec_id, vec_id+1) fixture over the
+    * % [[HardNegMod]] query subset — each mined for the [[TopK]] most
+    * similar candidates that are not the query, not a positive, and at
+    * least [[HnMargin]] below the least-positive cosine
+    * ([[Similarity.hardNegatives]]). Every cosine is the exact
+    * dot/norm kernel and the margin gate one subtract + compare, so
+    * the oracle replays pair construction, positive cosines, the
+    * anti-joined candidate set, the gate, and the rank bit-exactly. */
+  private def p74(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.df(spark, dir, "embeddings")
+    val pairs = embs.filter(col("vec_id") % HardNegMod === 0)
+      .select(col("vec_id").as("query_id"),
+        (col("vec_id") + 1).as("pos_id"))
+    Similarity.hardNegatives(pairs, embs, "vec_id", "embedding",
+      TopK, HnMargin)
+  }
+
+  private val p74Sql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE ${dotSql("embedding", "embedding")} > 0),
+       |p AS (SELECT vec_id AS query_id, vec_id + 1 AS pos_id
+       |      FROM embeddings WHERE vec_id % $HardNegMod = 0),
+       |pc AS (SELECT p.query_id,
+       |         MIN(${cosSql("q.embedding", "o.embedding")}) AS pos_cos
+       |       FROM p JOIN v q ON q.vec_id = p.query_id
+       |              JOIN v o ON o.vec_id = p.pos_id
+       |       GROUP BY 1),
+       |qs AS (SELECT pc.query_id, pc.pos_cos, q.embedding AS qe
+       |       FROM pc JOIN v q ON q.vec_id = pc.query_id),
+       |c AS (SELECT qs.query_id, v.vec_id AS neighbor_id,
+       |        ${cosSql("qs.qe", "v.embedding")} AS cos, qs.pos_cos
+       |      FROM qs, v
+       |      WHERE v.vec_id <> qs.query_id
+       |        AND NOT EXISTS (SELECT 1 FROM p
+       |              WHERE p.query_id = qs.query_id
+       |                AND p.pos_id = v.vec_id)
+       |        AND ${cosSql("qs.qe", "v.embedding")}
+       |              < qs.pos_cos - $HnMargin)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos,
+       |  pos_cos
+       |FROM (SELECT query_id, neighbor_id, cos, pos_cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM c)
+       |WHERE rnk <= $TopK""".stripMargin
+
   // BPE tokenizer training: learned merge rounds for the driver gate
   private val BpeRounds = 3
 
@@ -3634,5 +3685,6 @@ object Pipeline {
     QueryDef("p71_length_batching", p71, Some(p71Sql)),
     QueryDef("p72_dsir_weights", p72, Some(p72Sql)),
     QueryDef("p72b_dsir_select", p72b, Some(p72bSql)),
-    QueryDef("p73_cluster_balance", p73, Some(p73Sql)))
+    QueryDef("p73_cluster_balance", p73, Some(p73Sql)),
+    QueryDef("p74_hard_negatives", p74, Some(p74Sql)))
 }

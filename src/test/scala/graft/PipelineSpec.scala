@@ -1396,6 +1396,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(run(1) == expected && run(7) == expected)
   }
 
+  test("hardNegatives: margin gate drops the positive's near-dup, positives and self excluded, multi-positive min, layout invariance") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0, 0.0, 0.0)),   // query
+      (2L, Array(0.98, 0.2, 0.0)),  // positive (cos ≈ 0.98)
+      (3L, Array(0.97, 0.24, 0.0)), // near-dup of the positive: cos ≈
+                                    // 0.971 > pos_cos − 0.02 → a false
+                                    // negative the margin must drop
+      (4L, Array(0.8, 0.6, 0.0)),   // true hard negative (cos 0.8)
+      (5L, Array(0.0, 1.0, 0.0)),   // easy negative (cos 0)
+      (10L, Array(0.0, 0.0, 1.0)),  // second query, two positives
+      (11L, Array(0.0, 0.1, 0.9)),
+      (12L, Array(0.3, 0.0, 0.8)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (10L, 11L), (10L, 12L))
+      .toDF("query_id", "pos_id")
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0d)((acc, i) => acc + x(i) * y(i))
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val vec = rows.toMap
+    val out = Similarity.hardNegatives(pairs, corpus, "vec_id",
+      "embedding", k = 3, margin = 0.02).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val q1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // query 1: candidates are {3, 4, 5, 10, 11, 12} minus the margin
+    // victims; doc 3 (cos 0.971 within 0.02 of pos_cos 0.980) must be
+    // gone, doc 2 (positive) and doc 1 (self) must be gone
+    assert(!q1.exists(r => Set(1L, 2L, 3L).contains(r._3)))
+    // best negative is doc 4 at its exact hand cosine, gated against
+    // the exact positive cosine
+    assert(q1.head._3 == 4L)
+    assert(q1.head._4 == cosOf(vec(1L), vec(4L)))
+    assert(q1.head._5 == cosOf(vec(1L), vec(2L)))
+    assert(q1.map(_._2).sameElements(1 to q1.length))
+    // query 10: pos_cos is the MIN over its two positives; neither
+    // positive appears as a negative
+    val q10 = out.filter(_._1 == 10L)
+    val expPos = math.min(cosOf(vec(10L), vec(11L)), cosOf(vec(10L), vec(12L)))
+    assert(q10.nonEmpty && q10.forall(_._5 == expPos))
+    assert(!q10.exists(r => Set(10L, 11L, 12L).contains(r._3)))
+    // layout invariance
+    val re = Similarity.hardNegatives(pairs, corpus.repartition(5),
+      "vec_id", "embedding", k = 3, margin = 0.02).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sorted
+    assert(re.sameElements(out.sorted))
+  }
+
   test("clusterBalancedSample: exact quota per cluster, skew ignored, kmeans override honors the contract, layout invariance") {
     import spark.implicits._
     // frequency-skewed fixture: a dense blob near e1 (ids 1-40) and a
