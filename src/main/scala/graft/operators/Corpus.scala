@@ -1407,29 +1407,56 @@ object Corpus {
     * @return (doc_id, n_feats, weight)
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame = {
+      textCol: String, buckets: Int): DataFrame =
+    dsirScore(raw, idCol, textCol, buckets,
+      collectDsirHist(dsirHistogram(raw, idCol, textCol, buckets), buckets),
+      collectDsirHist(dsirHistogram(target, idCol, textCol, buckets),
+        buckets))
+
+  /** (doc_id, fb) — every doc's hashed feature-bucket array. The
+    * two-step projection is load-bearing: `toks` must be a
+    * materialized attribute before dsirFeatures references it —
+    * passing the tokenize expression itself re-evaluates the whole
+    * normalize+tokenize pipeline at EVERY element_at inside a lambda
+    * (O(len²) per doc; measured 40 s vs ~1 s on the sf0.1 scoring
+    * pass — the wordShingles CSE trap). */
+  private[operators] def dsirFeatureFrame(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame = df
+    .select(col(idCol).as("doc_id"),
+      TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+    .select(col("doc_id"), dsirFeatures(col("toks"), buckets).as("fb"))
+
+  /** (b, c) bucket histogram of a corpus' hashed features — the
+    * persistable half of the DSIR model ([[graft.operators.DsirStore]]
+    * accumulates these across ingest batches by plain counter
+    * addition; integer sums, so store ≡ from-scratch bit-for-bit).
+    * One explode + groupBy on a key space of ≤ `buckets` values —
+    * map-side partials collapse every task to ≤ buckets rows. */
+  private[operators] def dsirHistogram(df: DataFrame, idCol: String,
+      textCol: String, buckets: Int): DataFrame =
+    dsirFeatureFrame(df, idCol, textCol, buckets)
+      .select(explode(col("fb")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c"))
+
+  /** Collect a (b, c) histogram frame into the dense O(buckets) array
+    * the scoring literal needs (absent buckets are true zeros). */
+  private[operators] def collectDsirHist(hist: DataFrame,
+      buckets: Int): Array[Long] = {
+    val h = new Array[Long](buckets)
+    hist.collect().foreach(r =>
+      h(r.getAs[Long]("b").toInt) = r.getAs[Long]("c"))
+    h
+  }
+
+  /** Score `raw` against an explicit (source, target) histogram pair —
+    * the map-only pass [[dsirWeights]] and the store-served
+    * [[graft.operators.DsirStore.weights]] share. */
+  private[operators] def dsirScore(raw: DataFrame, idCol: String,
+      textCol: String, buckets: Int, s: Array[Long],
+      t: Array[Long]): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 22),
       s"dsir: buckets must be in [1, 2^22] (dense literal array rides " +
         s"into every task), got $buckets")
-    // two-step projection: `toks` must be a materialized attribute
-    // before dsirFeatures references it — passing the tokenize
-    // expression itself re-evaluates the whole normalize+tokenize
-    // pipeline at EVERY element_at inside the bigram lambda (O(len²)
-    // per doc; measured 40 s for the sf0.1 scoring pass vs ~1 s fixed —
-    // the wordShingles CSE trap, aggravated by the when() branch)
-    def feats(df: DataFrame) = df
-      .select(col(idCol).as("doc_id"),
-        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
-      .select(col("doc_id"), dsirFeatures(col("toks"), buckets).as("fb"))
-    def hist(df: DataFrame): Array[Long] = {
-      val h = new Array[Long](buckets)
-      feats(df).select(explode(col("fb")).as("b"))
-        .groupBy(col("b")).agg(count(lit(1)).as("c"))
-        .collect().foreach(r => h(r.getAs[Long]("b").toInt) = r.getAs[Long]("c"))
-      h
-    }
-    val s = hist(raw)
-    val t = hist(target)
     val sTot = s.sum; val tTot = t.sum
     // ((t_b+1)·(S+B)) / ((s_b+1)·(T+B)) with each factor converted to
     // double BEFORE the multiply — the oracle's CAST(x AS DOUBLE) *
@@ -1438,7 +1465,7 @@ object Corpus {
     val ratios = Array.tabulate(buckets)(b =>
       ((t(b) + 1L).toDouble * (sTot + buckets).toDouble) /
         ((s(b) + 1L).toDouble * (tTot + buckets).toDouble))
-    feats(raw).select(col("doc_id"),
+    dsirFeatureFrame(raw, idCol, textCol, buckets).select(col("doc_id"),
       coalesce(size(col("fb")), lit(0)).cast("long").as("n_feats"),
       when(size(col("fb")) > 0,
         aggregate(col("fb"), lit(0.0d),

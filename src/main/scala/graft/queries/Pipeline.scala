@@ -3475,6 +3475,27 @@ object Pipeline {
        |  FROM a)
        |WHERE rnk <= $TopK""".stripMargin
 
+  /** Store-served DSIR weights, gated by p72's oracle SQL (the
+    * p64/p65/p48 store-equivalence precedent): the
+    * [[graft.operators.DsirStore]] built from the same corpus + target
+    * must serve weights bit-identical to the one-shot operator —
+    * proving the persisted histogram pair round-trips the model
+    * exactly. Build memoized by corpus fingerprint. */
+  private def p75(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    import spark.implicits._
+    val fp = docs.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
+        col("text")))).cast("long").as("ids")).head()
+    memoizedBuild(spark, "graft_p75_fp", fp,
+        Seq("graft_p75_tgt", "graft_p75_dsir", "graft_p75_meta")) {
+      graft.operators.DsirStore.build(docs,
+        docs.filter(col("lang") === "en"), "doc_id", "text",
+        "graft_p75", DsirBuckets)
+    }
+    graft.operators.DsirStore.weights(docs, "doc_id", "text", "graft_p75")
+  }
+
   // hard-negative mining: query subset + false-negative margin
   private val HardNegMod = 50
   private val HnMargin = 0.02
@@ -3686,5 +3707,6 @@ object Pipeline {
     QueryDef("p72_dsir_weights", p72, Some(p72Sql)),
     QueryDef("p72b_dsir_select", p72b, Some(p72bSql)),
     QueryDef("p73_cluster_balance", p73, Some(p73Sql)),
-    QueryDef("p74_hard_negatives", p74, Some(p74Sql)))
+    QueryDef("p74_hard_negatives", p74, Some(p74Sql)),
+    QueryDef("p75_dsir_store", p75, Some(p72Sql)))
 }

@@ -598,6 +598,50 @@ object Streams {
       .start()
   }
 
+  /** One micro-batch of the streaming DSIR model — the
+    * [[graft.operators.DsirStore]] member of the family, same
+    * convergent-exactly-once ledger contract as [[statsIngestBatch]]:
+    * replayed batches are skipped via the ledger, torn batches are
+    * pruned before re-appending. Each batch contributes one ≤ buckets-
+    * row source histogram (counter addition on read — the accumulated
+    * model is bit-identical to a from-scratch fit over everything
+    * ingested), so this is accumulation only; scoring is the
+    * consumer's call ([[graft.operators.DsirStore.weights]]). */
+  def dsirIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, name: String,
+      lease: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ledger = s"${name}_batches"
+    val replayed = spark.catalog.tableExists(ledger) &&
+      spark.table(ledger).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!replayed) {
+      lease.foreach(graft.operators.WriterLease.check(spark, name, _))
+      graft.operators.DsirStore.pruneBatch(spark, name, batchId)
+      graft.operators.DsirStore.append(batch, idCol, textCol, name, batchId)
+      Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
+    }
+  }
+
+  /** The streaming DSIR-model loop: foreachBatch driving
+    * [[dsirIngestBatch]] against a [[graft.operators.DsirStore]] built
+    * over the base corpus + frozen target — the source distribution
+    * the importance weights are computed against grows with every
+    * micro-batch, at ≤ buckets rows per batch, without the stream ever
+    * re-reading old data. Same single-writer lease rule as the other
+    * loops. */
+  def dsirIngest(docs: DataFrame, idCol: String, textCol: String,
+      name: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.operators.WriterLease.take(docs.sparkSession, name)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        dsirIngestBatch(b, id, idCol, textCol, name, Some(lease)))
+      .start()
+  }
+
   /** Ledger-aware index compaction for a STOPPED ingest stream: folds
     * every ledger-committed batch partition into the index's base
     * corpus while leaving any appended-but-uncommitted batch (a crash
@@ -637,10 +681,15 @@ object Streams {
         (s"${indexName}_post",
           (u: Set[Long]) => graft.operators.PostingIndex.compact(
             spark, indexName, u))
+      else if (spark.catalog.tableExists(s"${indexName}_dsir"))
+        (s"${indexName}_dsir",
+          (u: Set[Long]) => graft.operators.DsirStore.compact(
+            spark, indexName, u))
       else throw new IllegalArgumentException(
         s"no persisted index named '$indexName' — none of " +
           s"${indexName}_idx (shingle), ${indexName}_cells (IVF), " +
-          s"${indexName}_cms (CMS stats), or ${indexName}_post (BM25) exists")
+          s"${indexName}_cms (CMS stats), ${indexName}_post (BM25), or " +
+          s"${indexName}_dsir (DSIR model) exists")
     graft.operators.WriterLease.take(spark, indexName)
     val appended = spark.sql(s"SHOW PARTITIONS $partTable")
       .collect()

@@ -820,6 +820,73 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("dsir store: accumulated model ≡ from-scratch fit bit-for-bit through stream, torn batch, and compaction") {
+    import graft.operators.{Corpus, DsirStore}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = "graft_dsirstore"
+    val B = 256
+    def doc(i: Long, t: String) = (i, t)
+    val base = Seq(doc(1, "alpha beta alpha"), doc(2, "gamma delta"),
+      doc(3, "zulu yankee xray")).toDF("doc_id", "text")
+    val target = Seq(doc(10, "alpha beta"), doc(11, "beta alpha beta"))
+      .toDF("doc_id", "text")
+    val b0 = Seq(doc(4, "alpha gamma beta"), doc(5, "whiskey victor"))
+    val b1 = Seq(doc(6, "beta beta alpha"), doc(7, "uniform tango"))
+    def union(extra: Seq[(Long, String)]*) =
+      extra.foldLeft(base)((acc, rows) =>
+        acc.unionByName(rows.toDF("doc_id", "text")))
+    def served(docs: org.apache.spark.sql.DataFrame) =
+      DsirStore.weights(docs, "doc_id", "text", name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    def oneShot(docs: org.apache.spark.sql.DataFrame) =
+      Corpus.dsirWeights(docs, target, "doc_id", "text", B).collect()
+        .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    try {
+      DsirStore.build(base, target, "doc_id", "text", name, B)
+      // base model serves the from-scratch weights bit-for-bit
+      assert(served(base) == oneShot(base))
+      // two micro-batches through the real writeStream loop
+      val in = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dsir_ckpt")
+      val q = Streams.dsirIngest(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", name, ckpt.toString)
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      q.stop()
+      // the accumulated source model scores EXACTLY like a from-scratch
+      // fit over everything ingested (histogram addition is integer-
+      // exact) — the weights of the whole union match bit-for-bit
+      val all = union(b0, b1)
+      assert(served(all) == oneShot(all) && served(all).size == 7)
+      assert(spark.table(s"${name}_batches").count() == 2)
+      // torn batch: append lands, "crash" before the ledger row; the
+      // batch-level replay prunes and re-appends — converges
+      val b2 = Seq(doc(8, "alpha sierra"))
+      DsirStore.append(b2.toDF("doc_id", "text"), "doc_id", "text", name, 9L)
+      Streams.dsirIngestBatch(b2.toDF("doc_id", "text"), 9L,
+        "doc_id", "text", name)
+      val all3 = union(b0, b1, b2)
+      assert(served(all3) == oneShot(all3))
+      // replay of a committed batch is a no-op
+      Streams.dsirIngestBatch(b2.toDF("doc_id", "text"), 9L,
+        "doc_id", "text", name)
+      assert(served(all3) == oneShot(all3))
+      // compaction merges counters without moving a single weight, and
+      // the source table shrinks back to one ≤ buckets-row histogram
+      Streams.compactIndex(spark, name)
+      assert(served(all3) == oneShot(all3))
+      val parts = spark.sql(s"SHOW PARTITIONS ${name}_dsir").count()
+      assert(parts == 1, s"expected one folded partition, got $parts")
+    } finally {
+      Seq(s"${name}_tgt", s"${name}_dsir", s"${name}_meta",
+        s"${name}_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("drift store: batch reports ≡ the one-shot operator bit-for-bit, replay and torn batch converge") {
     import graft.operators.{Corpus, DriftStore}
     import org.apache.spark.sql.functions.col
