@@ -556,25 +556,6 @@ object Similarity {
         (col("_units").cast("double")
           / (col("n_vecs").cast("double") * lit(1e12))).as(outCol)): _*)
 
-  /** Assignment-quality drift monitor: per group, the exact mean cosine
-    * of each vector to its NEAREST centroid in a FROZEN centroid set —
-    * the measurement behind [[IvfIndex.append]]'s documented tradeoff
-    * ("if the ingest distribution drifts from the build corpus, cells
-    * imbalance and recall decays"). Group the corpus as base-vs-batch
-    * (or per ingest day) and a batch whose mean assignment cosine falls
-    * materially below the base's is drifting away from the build-time
-    * cell geometry: rebuild when recall matters more than ingest cost —
-    * now a number, not a judgment call.
-    *
-    * Scale shape: one broadcast of the O(K) centroid set, one per-row
-    * argmax window, one G-row aggregate — no corpus self-join, state
-    * bounded by |groups|. The mean is exact-decimal ([[exactMean]]), so
-    * the result is order-independent and bit-reproducible by the p46
-    * oracle. Zero-norm vectors are excluded ([[withNorm]]'s contract);
-    * ids must be unique across the whole frame (the argmax window keys
-    * on them).
-    *
-    * @return (grp, n_vecs, mean_cos) one row per group */
   /** Hard-negative mining for contrastive training pairs (the
     * retrieval-training data step: E5/BGE-style "top-k similar but
     * not-positive" negatives). For each (query_id, pos_id) pair, rank
@@ -612,13 +593,18 @@ object Similarity {
       col("vv_n").as("pv_n"))
     val p = pairs.select(col("query_id"), col("pos_id"))
     // least-positive cosine per query: min() is order-independent, so
-    // multi-positive queries stay deterministic under any partitioning
-    val posCos = p.join(q, Seq("query_id")).join(pos, Seq("pos_id"))
+    // multi-positive queries stay deterministic under any partitioning.
+    // Every join here streams the CORPUS side against a broadcast of
+    // the bounded pair side (pairs are training batches, not the
+    // corpus) — without the hints a stats-free pair frame can plan
+    // sort-merge, shuffling the 100 TB corpus up to three times
+    val qp = q.join(broadcast(p), Seq("query_id"))
+    val posCos = pos.join(broadcast(qp), Seq("pos_id"))
       .select(col("query_id"),
         (dot(col("qv"), col("pv")) / (col("qv_n") * col("pv_n")))
           .as("pcos"))
       .groupBy(col("query_id")).agg(min(col("pcos")).as("pos_cos"))
-    val qSet = q.join(posCos, Seq("query_id"))
+    val qSet = q.join(broadcast(posCos), Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     v.repartition(par(corpus), col("vid"))
@@ -666,6 +652,25 @@ object Similarity {
     graft.operators.Corpus.exactKPerGroup(assigned, "list_id", "vec_id", k)
   }
 
+  /** Assignment-quality drift monitor: per group, the exact mean cosine
+    * of each vector to its NEAREST centroid in a FROZEN centroid set —
+    * the measurement behind [[IvfIndex.append]]'s documented tradeoff
+    * ("if the ingest distribution drifts from the build corpus, cells
+    * imbalance and recall decays"). Group the corpus as base-vs-batch
+    * (or per ingest day) and a batch whose mean assignment cosine falls
+    * materially below the base's is drifting away from the build-time
+    * cell geometry: rebuild when recall matters more than ingest cost —
+    * now a number, not a judgment call.
+    *
+    * Scale shape: one broadcast of the O(K) centroid set, one per-row
+    * argmax window, one G-row aggregate — no corpus self-join, state
+    * bounded by |groups|. The mean is exact-decimal ([[exactMean]]), so
+    * the result is order-independent and bit-reproducible by the p46
+    * oracle. Zero-norm vectors are excluded ([[withNorm]]'s contract);
+    * ids must be unique across the whole frame (the argmax window keys
+    * on them).
+    *
+    * @return (grp, n_vecs, mean_cos) one row per group */
   def assignmentDrift(corpus: DataFrame, groupCol: String, idCol: String,
       vecCol: String, centroids: DataFrame): DataFrame = {
     val v = corpus.select(col(groupCol).as("grp"), col(idCol).as("vec_id"),

@@ -486,8 +486,22 @@ object Streams {
     * OVER-estimate, which the CMS read API already promises). */
   def statsIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String,
-      lease: Option[String] = None): Unit = {
-    val spark = batch.sparkSession
+      lease: Option[String] = None): Unit =
+    ledgeredAppend(batch.sparkSession, name, batchId, lease)(
+      graft.operators.CmsStore.pruneBatch(batch.sparkSession, name, batchId),
+      graft.operators.CmsStore.append(batch, idCol, textCol, name, batchId))
+
+  /** THE ledger-replay wrapper every accumulation-only store loop
+    * shares (CMS stats, BM25 postings, drift reports, the DSIR model):
+    * skip a ledger-committed batch, check the writer lease, prune a
+    * torn attempt, run the store's append, then commit the ledger row
+    * — the convergent-exactly-once contract stated exactly once, so a
+    * fix to the replay/lease ordering cannot desync across families.
+    * `prune` and `append` are by-name: neither runs for a replayed
+    * batch. */
+  private def ledgeredAppend(spark: SparkSession, name: String,
+      batchId: Long, lease: Option[String])(
+      prune: => Unit, append: => Unit): Unit = {
     import spark.implicits._
     val ledger = s"${name}_batches"
     val replayed = spark.catalog.tableExists(ledger) &&
@@ -495,8 +509,8 @@ object Streams {
         .head(1).nonEmpty
     if (!replayed) {
       lease.foreach(graft.operators.WriterLease.check(spark, name, _))
-      graft.operators.CmsStore.pruneBatch(spark, name, batchId)
-      graft.operators.CmsStore.append(batch, idCol, textCol, name, batchId)
+      prune
+      append
       Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
     }
   }
@@ -523,20 +537,12 @@ object Streams {
     * CMS loop there is no triage, only accumulation. */
   def postingIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String,
-      lease: Option[String] = None): Unit = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val ledger = s"${name}_batches"
-    val replayed = spark.catalog.tableExists(ledger) &&
-      spark.table(ledger).filter(col("batch_id") === batchId)
-        .head(1).nonEmpty
-    if (!replayed) {
-      lease.foreach(graft.operators.WriterLease.check(spark, name, _))
-      graft.operators.PostingIndex.pruneBatch(spark, name, batchId)
-      graft.operators.PostingIndex.append(batch, idCol, textCol, name, batchId)
-      Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
-    }
-  }
+      lease: Option[String] = None): Unit =
+    ledgeredAppend(batch.sparkSession, name, batchId, lease)(
+      graft.operators.PostingIndex.pruneBatch(batch.sparkSession, name,
+        batchId),
+      graft.operators.PostingIndex.append(batch, idCol, textCol, name,
+        batchId))
 
   /** The streaming retrieval-index loop: foreachBatch driving
     * [[postingIngestBatch]] against a [[graft.operators.PostingIndex]]
@@ -564,21 +570,12 @@ object Streams {
     * CMS loop this is accumulation only, no triage/route. */
   def driftIngestBatch(batch: DataFrame, batchId: Long, groupCol: String,
       valueCol: String, name: String,
-      lease: Option[String] = None): Unit = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val ledger = s"${name}_batches"
-    val replayed = spark.catalog.tableExists(ledger) &&
-      spark.table(ledger).filter(col("batch_id") === batchId)
-        .head(1).nonEmpty
-    if (!replayed) {
-      lease.foreach(graft.operators.WriterLease.check(spark, name, _))
-      graft.operators.DriftStore.pruneBatch(spark, name, batchId)
+      lease: Option[String] = None): Unit =
+    ledgeredAppend(batch.sparkSession, name, batchId, lease)(
+      graft.operators.DriftStore.pruneBatch(batch.sparkSession, name,
+        batchId),
       graft.operators.DriftStore.appendReport(batch, groupCol, valueCol,
-        name, batchId)
-      Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
-    }
-  }
+        name, batchId))
 
   /** The streaming drift-monitor loop: foreachBatch driving
     * [[driftIngestBatch]] against a [[graft.operators.DriftStore]]
@@ -609,20 +606,11 @@ object Streams {
     * consumer's call ([[graft.operators.DsirStore.weights]]). */
   def dsirIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, name: String,
-      lease: Option[String] = None): Unit = {
-    val spark = batch.sparkSession
-    import spark.implicits._
-    val ledger = s"${name}_batches"
-    val replayed = spark.catalog.tableExists(ledger) &&
-      spark.table(ledger).filter(col("batch_id") === batchId)
-        .head(1).nonEmpty
-    if (!replayed) {
-      lease.foreach(graft.operators.WriterLease.check(spark, name, _))
-      graft.operators.DsirStore.pruneBatch(spark, name, batchId)
-      graft.operators.DsirStore.append(batch, idCol, textCol, name, batchId)
-      Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
-    }
-  }
+      lease: Option[String] = None): Unit =
+    ledgeredAppend(batch.sparkSession, name, batchId, lease)(
+      graft.operators.DsirStore.pruneBatch(batch.sparkSession, name,
+        batchId),
+      graft.operators.DsirStore.append(batch, idCol, textCol, name, batchId))
 
   /** The streaming DSIR-model loop: foreachBatch driving
     * [[dsirIngestBatch]] against a [[graft.operators.DsirStore]] built

@@ -325,6 +325,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("p74 hard negatives: every join broadcasts the bounded pair side — no sort-merge, no cartesian") {
+    // pairs are training batches, not the corpus: a sort-merge join
+    // anywhere here means the 100 TB corpus got shuffled for a
+    // bounded-side lookup. The one BroadcastNestedLoopJoin is the
+    // design (the exact scoring pass: non-equi self-exclusion against
+    // the BROADCAST bounded query set — the bruteForceTopK shape); it
+    // must build the broadcast side, never fall back to a cartesian.
+    val p = plan("p74_hard_negatives")
+    assert(!p.contains("SortMergeJoin"), s"corpus-shuffling join:\n$p")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert("BroadcastNestedLoopJoin Inner BuildRight".r
+      .findAllIn(p).size == 1, s"scoring pass shape changed:\n$p")
+  }
+
   test("q27 resample: grid + LOCF plan has no join node") {
     val p = plan("q27_resample")
     assert(!p.contains("Join"), s"resample should be windows, not joins:\n$p")
