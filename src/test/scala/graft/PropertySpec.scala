@@ -41,6 +41,93 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("hardNegatives: margin is monotone (larger margin ⊆ smaller), never returns self/positives, rank contiguous") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // seeded random geometry: any fixture-independent violation of the
+    // gate algebra shows up here, not just on hand-planted vectors
+    val vecs = sample(Gen.listOfN(40,
+      Gen.listOfN(6, Gen.choose(-5, 5))), 7L)
+      .zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toDouble).toArray) }
+      .filter(_._2.exists(_ != 0.0))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val ids = vecs.map(_._1)
+    val pairs = ids.filter(_ % 7 == 0).flatMap(q =>
+      ids.find(p => p != q).map(p => (q, p))).toDF("query_id", "pos_id")
+    // k larger than the corpus: margin-monotonicity (tight ⊆ loose) is
+    // a PRE-truncation property — under a small k the gate removing a
+    // high-cos candidate legitimately pulls a new lower-cos one into
+    // the top-k, so the subset claim is only algebra when k doesn't cut
+    def run(m: Double) = Similarity.hardNegatives(pairs, corpus,
+      "vec_id", "embedding", k = 1000, margin = m).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val loose = run(0.0)
+    val tight = run(0.3)
+    val posByQ = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (out <- Seq(loose, tight); (q, rows) <- out.groupBy(_._1)) {
+      // never self, never a positive of that query
+      assert(rows.forall(_._3 != q))
+      assert(rows.forall(r => !posByQ(q).contains(r._3)))
+      // ranks are 1..n with no holes
+      assert(rows.map(_._2).sorted.sameElements(1 to rows.length))
+    }
+    // a larger margin can only REMOVE candidates, and a survivor's
+    // rank can only improve (the ordering above it is a subsequence)
+    val looseSet = loose.map(r => (r._1, r._3)).toSet
+    assert(tight.forall(r => looseSet.contains((r._1, r._3))))
+    val looseRank = loose.map(r => (r._1, r._3) -> r._2).toMap
+    assert(tight.forall(r => r._2 <= looseRank((r._1, r._3))))
+  }
+
+  test("clusterBalancedSample: output is a per-cluster prefix — raising k only extends, never reorders") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val vecs = sample(Gen.listOfN(60,
+      Gen.listOfN(5, Gen.choose(-4, 4))), 11L)
+      .zipWithIndex.map { case (v, i) =>
+        (i.toLong, v.map(_.toDouble).toArray) }
+      .filter(_._2.exists(_ != 0.0))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    def run(k: Int) = Similarity.clusterBalancedSample(corpus, "vec_id",
+      "embedding", nCells = 6, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val k3 = run(3); val k6 = run(6)
+    // quota respected, and the k=3 sample is EXACTLY the rnk<=3 prefix
+    // of the k=6 sample (hash-order determinism: no reshuffling as the
+    // quota grows — eval sets stay stable under re-curation)
+    assert(k3.groupBy(_._1).values.forall(_.size <= 3))
+    assert(k3 == k6.filter(_._3 <= 3))
+  }
+
+  test("dsirWeights: every target-vocabulary doc outranks every source-only doc on random balanced corpora") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // the semantic contract: weights ORDER docs by target-likeness.
+    // (Exact replication-invariance is NOT a property — the +1
+    // smoothing shifts by different amounts per bucket when counts
+    // scale, so near-tied docs may swap; what must hold is the
+    // separation between clearly-target and clearly-source docs.)
+    val tvocab = Seq("alpha", "beta", "gamma", "delta")
+    val svocab = Seq("zulu", "yankee", "xray", "whiskey")
+    def gen(vocab: Seq[String], seed: Long) =
+      sample(Gen.listOfN(15, Gen.listOfN(8, Gen.oneOf(vocab))
+        .map(_.mkString(" "))), seed)
+    val tDocs = gen(tvocab, 13L)
+    val sDocs = gen(svocab, 17L)
+    val docs = (tDocs ++ sDocs).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val target = gen(tvocab, 19L).zipWithIndex
+      .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+    val w = Corpus.dsirWeights(docs, target, "doc_id", "text", 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val tW = tDocs.indices.map(i => w(i.toLong))
+    val sW = sDocs.indices.map(i => w((tDocs.size + i).toLong))
+    assert(tW.min > sW.max,
+      s"target-vocab min ${tW.min} must exceed source-only max ${sW.max}")
+  }
+
   test("NULL-text docs shingle to empty, never pair: LSH and exact paths both clean") {
     import graft.operators.Dedup
     import spark.implicits._
