@@ -592,18 +592,7 @@ object Similarity {
     val pos = v.select(col("vid").as("pos_id"), col("vv").as("pv"),
       col("vv_n").as("pv_n"))
     val p = pairs.select(col("query_id"), col("pos_id"))
-    // least-positive cosine per query: min() is order-independent, so
-    // multi-positive queries stay deterministic under any partitioning.
-    // Every join here streams the CORPUS side against a broadcast of
-    // the bounded pair side (pairs are training batches, not the
-    // corpus) — without the hints a stats-free pair frame can plan
-    // sort-merge, shuffling the 100 TB corpus up to three times
-    val qp = q.join(broadcast(p), Seq("query_id"))
-    val posCos = pos.join(broadcast(qp), Seq("pos_id"))
-      .select(col("query_id"),
-        (dot(col("qv"), col("pv")) / (col("qv_n") * col("pv_n")))
-          .as("pcos"))
-      .groupBy(col("query_id")).agg(min(col("pcos")).as("pos_cos"))
+    val posCos = leastPosCos(p, q, pos)
     val qSet = q.join(broadcast(posCos), Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -613,6 +602,76 @@ object Similarity {
         (dot(col("qv"), col("vv")) / (col("qv_n") * col("vv_n")))
           .as("cos"),
         col("pos_cos"))
+      .join(broadcast(p.select(col("query_id"),
+        col("pos_id").as("neighbor_id"))),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .filter(col("cos") < col("pos_cos") - lit(margin))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("cos"), col("pos_cos"))
+  }
+
+  /** Least-positive cosine per query over the (query_id, pos_id) pair
+    * set — the false-negative yardstick both hard-negative forms gate
+    * against. min() is order-independent, so multi-positive queries
+    * stay deterministic under any partitioning. Every join streams the
+    * CORPUS side against a broadcast of the bounded pair side (pairs
+    * are training batches, not the corpus) — without the hints a
+    * stats-free pair frame can plan sort-merge, shuffling the 100 TB
+    * corpus for a bounded lookup. */
+  private def leastPosCos(p: DataFrame, q: DataFrame,
+      pos: DataFrame): DataFrame = {
+    val qp = q.join(broadcast(p), Seq("query_id"))
+    pos.join(broadcast(qp), Seq("pos_id"))
+      .select(col("query_id"),
+        (dot(col("qv"), col("pv")) / (col("qv_n") * col("pv_n")))
+          .as("pcos"))
+      .groupBy(col("query_id")).agg(min(col("pcos")).as("pos_cos"))
+  }
+
+  /** [[hardNegatives]] with the candidate stream supplied by an ANN
+    * shortlist instead of the exact corpus scan — the 100 TB serving
+    * form the exact operator's doc promises: `shortlist` is
+    * (query_id, neighbor_id[, …]) from [[ivfTopK]] or
+    * [[IvfIndex.topK]] (self already excluded there), oversampled
+    * past `k` so the gate has room to drop positives and
+    * margin-violators. Exact cosines are recomputed on the BOUNDED
+    * |Q|·poolK candidate set (two broadcast-bounded joins against the
+    * corpus — the IVFADC-R bounded-read pattern), so the gate and
+    * ranking arithmetic are identical to the exact form; only
+    * candidate RECALL is approximate, and that is the ANN tier's
+    * measured property, not this operator's.
+    *
+    * @return (query_id, rnk, neighbor_id, cos, pos_cos) with rnk ≤ k
+    */
+  def hardNegativesFromShortlist(shortlist: DataFrame, pairs: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      margin: Double): DataFrame = {
+    require(k >= 1 && margin >= 0.0,
+      s"hardNegatives: need k >= 1 and margin >= 0, got k=$k margin=$margin")
+    val v = withNorm(corpus, idCol, vecCol, "vid", "vv")
+    val q = v.select(col("vid").as("query_id"), col("vv").as("qv"),
+      col("vv_n").as("qv_n"))
+    val pos = v.select(col("vid").as("pos_id"), col("vv").as("pv"),
+      col("vv_n").as("pv_n"))
+    val p = pairs.select(col("query_id"), col("pos_id"))
+    val posCos = leastPosCos(p, q, pos)
+    val sl = shortlist.select(col("query_id"), col("neighbor_id"))
+    // attach both vectors to the bounded shortlist: corpus side streams,
+    // bounded side broadcasts, twice
+    val withCv = v.join(broadcast(sl), col("vid") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("vv").as("cv"), col("vv_n").as("cv_n"))
+    val scored = q.join(broadcast(withCv), Seq("query_id"))
+      .join(broadcast(posCos), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qv_n") * col("cv_n")))
+          .as("cos"),
+        col("pos_cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
       .join(broadcast(p.select(col("query_id"),
         col("pos_id").as("neighbor_id"))),
         Seq("query_id", "neighbor_id"), "left_anti")

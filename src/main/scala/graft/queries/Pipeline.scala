@@ -3547,6 +3547,93 @@ object Pipeline {
        |      FROM c)
        |WHERE rnk <= $TopK""".stripMargin
 
+  // store-served hard negatives: ANN shortlist oversample
+  private val HnPoolK = TopK * 4
+
+  /** Store-served hard negatives, oracle-gated: the same gate and
+    * ranking as p74 with the candidate stream answered by the
+    * persisted IVF index (the p66b store, shared build) at a
+    * [[HnPoolK]] oversample — the 100 TB form where the corpus never
+    * rescans for candidate generation
+    * ([[Similarity.hardNegativesFromShortlist]]). The oracle replays
+    * the IVF shortlist with p14's CTE skeleton (assignment, probes,
+    * in-cell exact-cosine rank) and then the identical pos-exclusion /
+    * margin / rank algebra over it. */
+  private def p74b(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.df(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    import spark.implicits._
+    val fpV = embs.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
+        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    memoizedBuild(spark, "graft_p66_fp", fpV,
+        Seq("graft_p66_cells", "graft_p66_cent")) {
+      graft.operators.IvfIndex.build(embs, "vec_id", "embedding",
+        "graft_p66", nCells = IvfCells)
+    }
+    val queries = embs.filter(col("vec_id") % HardNegMod === 0)
+    val pairs = queries.select(col("vec_id").as("query_id"),
+      (col("vec_id") + 1).as("pos_id"))
+    val shortlist = graft.operators.IvfIndex.topK(queries, "vec_id",
+      "embedding", "graft_p66", HnPoolK, nProbe = IvfProbe)
+    Similarity.hardNegativesFromShortlist(shortlist, pairs, embs,
+      "vec_id", "embedding", TopK, HnMargin)
+  }
+
+  private val p74bSql =
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE ${dotSql("embedding", "embedding")} > 0),
+       |cent AS (
+       |  SELECT vec_id AS list_id, embedding AS centroid FROM v
+       |  ORDER BY ${hash32Sql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $IvfCells),
+       |assigned AS (
+       |  SELECT list_id, vec_id, embedding FROM (
+       |    SELECT c.list_id, v.vec_id, v.embedding,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.embedding", "c.centroid")} DESC,
+       |          c.list_id) AS r
+       |    FROM v, cent c)
+       |  WHERE r = 1),
+       |probes AS (
+       |  SELECT query_id, qv, list_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.list_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.centroid")} DESC,
+       |          c.list_id) AS r
+       |    FROM v q, cent c WHERE q.vec_id % $HardNegMod = 0)
+       |  WHERE r <= $IvfProbe),
+       |sl AS (
+       |  SELECT query_id, neighbor_id, cos FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      ${cosSql("p.qv", "a.embedding")} AS cos,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+       |        ORDER BY ${cosSql("p.qv", "a.embedding")} DESC,
+       |          a.vec_id) AS rnk
+       |    FROM probes p JOIN assigned a USING (list_id)
+       |    WHERE p.query_id != a.vec_id)
+       |  WHERE rnk <= $HnPoolK),
+       |pp AS (SELECT vec_id AS query_id, vec_id + 1 AS pos_id
+       |       FROM embeddings WHERE vec_id % $HardNegMod = 0),
+       |pc AS (SELECT pp.query_id,
+       |         MIN(${cosSql("q.embedding", "o.embedding")}) AS pos_cos
+       |       FROM pp JOIN v q ON q.vec_id = pp.query_id
+       |              JOIN v o ON o.vec_id = pp.pos_id
+       |       GROUP BY 1),
+       |c AS (SELECT sl.query_id, sl.neighbor_id, sl.cos, pc.pos_cos
+       |      FROM sl JOIN pc USING (query_id)
+       |      WHERE NOT EXISTS (SELECT 1 FROM pp
+       |              WHERE pp.query_id = sl.query_id
+       |                AND pp.pos_id = sl.neighbor_id)
+       |        AND sl.cos < pc.pos_cos - $HnMargin)
+       |SELECT query_id, CAST(rnk AS INT) AS rnk, neighbor_id, cos,
+       |  pos_cos
+       |FROM (SELECT query_id, neighbor_id, cos, pos_cos,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY cos DESC, neighbor_id) AS rnk
+       |      FROM c)
+       |WHERE rnk <= $TopK""".stripMargin
+
   // BPE tokenizer training: learned merge rounds for the driver gate
   private val BpeRounds = 3
 
@@ -3708,5 +3795,6 @@ object Pipeline {
     QueryDef("p72b_dsir_select", p72b, Some(p72bSql)),
     QueryDef("p73_cluster_balance", p73, Some(p73Sql)),
     QueryDef("p74_hard_negatives", p74, Some(p74Sql)),
-    QueryDef("p75_dsir_store", p75, Some(p72Sql)))
+    QueryDef("p75_dsir_store", p75, Some(p72Sql)),
+    QueryDef("p74b_hard_negatives_store", p74b, Some(p74bSql)))
 }

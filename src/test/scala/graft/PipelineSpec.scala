@@ -1447,6 +1447,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(re.sameElements(out.sorted))
   }
 
+  test("hardNegativesFromShortlist: full-corpus shortlist ≡ the exact operator row-for-row; narrow shortlist ⊆ exact") {
+    import spark.implicits._
+    val vecs = (1L to 30L).map(i =>
+      (i, Array((i % 7).toDouble + 1.0, (i % 5).toDouble, (i % 3).toDouble)))
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val pairs = Seq((7L, 8L), (14L, 15L), (21L, 22L))
+      .toDF("query_id", "pos_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val exact = rows(Similarity.hardNegatives(pairs, corpus, "vec_id",
+      "embedding", k = 4, margin = 0.01))
+    // degenerate shortlist = every (query, candidate) pair: identical
+    // gate + rank arithmetic must reproduce the exact operator
+    // bit-for-bit (the rerank=n ≡ ivfTopK precedent)
+    val full = pairs.select(col("query_id"))
+      .crossJoin(corpus.select(col("vec_id").as("neighbor_id")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val served = rows(Similarity.hardNegativesFromShortlist(full, pairs,
+      corpus, "vec_id", "embedding", k = 4, margin = 0.01))
+    assert(served == exact && exact.nonEmpty)
+    // a narrower ANN shortlist can only lose candidates, never invent
+    // or re-rank them: results are a subset with the same gate values
+    val narrow = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id").isin(7L, 14L, 21L)), corpus,
+      "vec_id", "embedding", 10)
+    val servedNarrow = rows(Similarity.hardNegativesFromShortlist(narrow,
+      pairs, corpus, "vec_id", "embedding", k = 4, margin = 0.01))
+    val exactByQn = exact.map(t => (t._1, t._3) -> ((t._4, t._5))).toMap
+    assert(servedNarrow.forall(t =>
+      exactByQn.get((t._1, t._3)).contains((t._4, t._5))))
+  }
+
   test("clusterBalancedSample: exact quota per cluster, skew ignored, kmeans override honors the contract, layout invariance") {
     import spark.implicits._
     // frequency-skewed fixture: a dense blob near e1 (ids 1-40) and a
