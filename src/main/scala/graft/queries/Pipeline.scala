@@ -3547,6 +3547,27 @@ object Pipeline {
        |      FROM c)
        |WHERE rnk <= $TopK""".stripMargin
 
+  /** Store-served cluster-balanced sample, gated by p73's oracle SQL
+    * (the store-equivalence precedent): the
+    * [[graft.operators.SampleStore]] built from the same corpus must
+    * serve a sample bit-identical to the one-shot operator — proving
+    * the persisted local-quota winners round-trip the min-k structure
+    * exactly. Build memoized by vector-content fingerprint. */
+  private def p76(spark: SparkSession, dir: String): DataFrame = {
+    val embs = Tables.df(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    import spark.implicits._
+    val fpV = embs.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
+        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    memoizedBuild(spark, "graft_p76_fp", fpV,
+        Seq("graft_p76_cent", "graft_p76_smpl", "graft_p76_meta")) {
+      graft.operators.SampleStore.build(embs, "vec_id", "embedding",
+        "graft_p76", IvfCells, TopK)
+    }
+    graft.operators.SampleStore.sample(spark, "graft_p76")
+  }
+
   // store-served hard negatives: ANN shortlist oversample
   private val HnPoolK = TopK * 4
 
@@ -3796,5 +3817,6 @@ object Pipeline {
     QueryDef("p73_cluster_balance", p73, Some(p73Sql)),
     QueryDef("p74_hard_negatives", p74, Some(p74Sql)),
     QueryDef("p75_dsir_store", p75, Some(p72Sql)),
-    QueryDef("p74b_hard_negatives_store", p74b, Some(p74bSql)))
+    QueryDef("p74b_hard_negatives_store", p74b, Some(p74bSql)),
+    QueryDef("p76_sample_store", p76, Some(p73Sql)))
 }

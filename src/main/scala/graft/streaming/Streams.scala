@@ -630,6 +630,38 @@ object Streams {
       .start()
   }
 
+  /** One micro-batch of the streaming cluster-balanced SAMPLE — the
+    * [[graft.operators.SampleStore]] member of the family, same
+    * convergent-exactly-once ledger contract: the batch pays its own
+    * assignment against the FROZEN cells and appends ≤ cells·k local
+    * quota winners; min-k associativity makes the served sample ≡ the
+    * one-shot operator over everything ingested. */
+  def sampleIngestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      vecCol: String, name: String,
+      lease: Option[String] = None): Unit =
+    ledgeredAppend(batch.sparkSession, name, batchId, lease)(
+      graft.operators.SampleStore.pruneBatch(batch.sparkSession, name,
+        batchId),
+      graft.operators.SampleStore.append(batch, idCol, vecCol, name,
+        batchId))
+
+  /** The streaming sample-maintenance loop: foreachBatch driving
+    * [[sampleIngestBatch]] against a [[graft.operators.SampleStore]]
+    * built over the base corpus — an always-fresh topic-balanced
+    * eval/probe set over an endless stream at ≤ cells·k rows per
+    * batch, never re-reading old data. Same single-writer lease rule
+    * as the other loops. */
+  def sampleIngest(vectors: DataFrame, idCol: String, vecCol: String,
+      name: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val lease = graft.operators.WriterLease.take(vectors.sparkSession, name)
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        sampleIngestBatch(b, id, idCol, vecCol, name, Some(lease)))
+      .start()
+  }
+
   /** Ledger-aware index compaction for a STOPPED ingest stream: folds
     * every ledger-committed batch partition into the index's base
     * corpus while leaving any appended-but-uncommitted batch (a crash
@@ -673,11 +705,16 @@ object Streams {
         (s"${indexName}_dsir",
           (u: Set[Long]) => graft.operators.DsirStore.compact(
             spark, indexName, u))
+      else if (spark.catalog.tableExists(s"${indexName}_smpl"))
+        (s"${indexName}_smpl",
+          (u: Set[Long]) => graft.operators.SampleStore.compact(
+            spark, indexName, u))
       else throw new IllegalArgumentException(
         s"no persisted index named '$indexName' — none of " +
           s"${indexName}_idx (shingle), ${indexName}_cells (IVF), " +
-          s"${indexName}_cms (CMS stats), ${indexName}_post (BM25), or " +
-          s"${indexName}_dsir (DSIR model) exists")
+          s"${indexName}_cms (CMS stats), ${indexName}_post (BM25), " +
+          s"${indexName}_dsir (DSIR model), or ${indexName}_smpl " +
+          "(balanced sample) exists")
     graft.operators.WriterLease.take(spark, indexName)
     val appended = spark.sql(s"SHOW PARTITIONS $partTable")
       .collect()

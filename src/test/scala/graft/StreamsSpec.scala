@@ -820,6 +820,69 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("sample store: served sample ≡ one-shot over everything ingested, re-ingest idempotent, torn batch and compaction converge") {
+    import graft.operators.{SampleStore, Similarity}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val name = "graft_samplestore"
+    def vec(i: Long) = (i, Array((i % 7).toDouble + 1.0,
+      (i % 5).toDouble, (i % 3).toDouble))
+    val base = (1L to 20L).map(vec).toDF("vec_id", "embedding")
+    val b0 = (21L to 32L).map(vec)
+    val b1 = (33L to 40L).map(vec)
+    def union(extra: Seq[(Long, Array[Double])]*) =
+      extra.foldLeft(base)((acc, rows) =>
+        acc.unionByName(rows.toDF("vec_id", "embedding")))
+    def served() = SampleStore.sample(spark, name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def oneShot(docs: org.apache.spark.sql.DataFrame) =
+      Similarity.clusterBalancedSample(docs, "vec_id", "embedding",
+        nCells = 4, k = 3,
+        centroids = Some(spark.table(s"${name}_cent"))).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    try {
+      SampleStore.build(base, "vec_id", "embedding", name, 4, 3)
+      assert(served() == oneShot(base) && served().nonEmpty)
+      // two micro-batches through the real writeStream loop: min-k
+      // associativity means the served sample tracks the union exactly
+      val in = MemoryStream[(Long, Array[Double])]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_smpl_ckpt")
+      val q = Streams.sampleIngest(in.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", name, ckpt.toString)
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      q.stop()
+      assert(served() == oneShot(union(b0, b1)))
+      assert(spark.table(s"${name}_batches").count() == 2)
+      // a batch re-ingesting already-sampled ids is idempotent: one
+      // quota slot per doc, never two
+      SampleStore.append(b0.take(3).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", name, 50L)
+      assert(served() == oneShot(union(b0, b1)))
+      // torn batch: append lands, "crash" before the ledger row;
+      // batch-level replay prunes and re-appends — converges
+      val b2 = Seq(vec(41L))
+      SampleStore.append(b2.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", name, 60L)
+      Streams.sampleIngestBatch(b2.toDF("vec_id", "embedding"), 60L,
+        "vec_id", "embedding", name)
+      assert(served() == oneShot(union(b0, b1, b2)))
+      // compaction folds committed partitions without moving a row of
+      // the served sample (the 50L direct append is uncommitted — it
+      // stays a separate prunable partition)
+      Streams.compactIndex(spark, name)
+      assert(served() == oneShot(union(b0, b1, b2)))
+      val parts = spark.sql(s"SHOW PARTITIONS ${name}_smpl").count()
+      assert(parts == 2, s"expected base + uncommitted, got $parts")
+    } finally {
+      Seq(s"${name}_cent", s"${name}_smpl", s"${name}_meta",
+        s"${name}_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("dsir store: accumulated model ≡ from-scratch fit bit-for-bit through stream, torn batch, and compaction") {
     import graft.operators.{Corpus, DsirStore}
     import org.apache.spark.sql.functions.col
