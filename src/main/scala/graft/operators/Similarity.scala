@@ -649,7 +649,8 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       margin: Double): DataFrame = {
     require(k >= 1 && margin >= 0.0,
-      s"hardNegatives: need k >= 1 and margin >= 0, got k=$k margin=$margin")
+      s"hardNegativesFromShortlist: need k >= 1 and margin >= 0, " +
+        s"got k=$k margin=$margin")
     val v = withNorm(corpus, idCol, vecCol, "vid", "vv")
     val q = v.select(col("vid").as("query_id"), col("vv").as("qv"),
       col("vv_n").as("qv_n"))

@@ -1674,6 +1674,27 @@ object Pipeline {
     * steady state. head(1), not head(): a torn write (dropTable ran,
     * the insert didn't) leaves the fp table EXISTING but EMPTY — that
     * must read as "stale, rebuild", not throw. */
+  /** Content fingerprint of an embeddings frame — THE memoization key
+    * the vector store builds compare. p66b, p74b, and p76 SHARE stores
+    * through equal fingerprints, so the expression must stay
+    * bit-identical across call sites: a drifted copy would make the
+    * sharers alternately invalidate and rebuild the common index every
+    * sweep. Keys hash the VECTORS, not just ids (SF dirs share vec_id
+    * ranges — an id-only key would reuse the wrong corpus' index after
+    * a same-JVM SF switch). */
+  private def embFingerprint(v: DataFrame): org.apache.spark.sql.Row =
+    v.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
+        col("embedding").cast("string")))).cast("long").as("ids")).head()
+
+  /** Content fingerprint of a documents frame — the text-store twin of
+    * [[embFingerprint]] (p64's posting index is shared by p64 and
+    * p66b through it). */
+  private def docsFingerprint(docs: DataFrame): org.apache.spark.sql.Row =
+    docs.agg(count(lit(1)).cast("long").as("n"),
+      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
+        col("text")))).cast("long").as("ids")).head()
+
   private def memoizedBuild(spark: SparkSession, fpTable: String,
       fp: org.apache.spark.sql.Row, requiredTables: Seq[String])(
       build: => Unit): Unit = {
@@ -1966,9 +1987,7 @@ object Pipeline {
     // id-only key would reuse the wrong corpus' index after a same-JVM
     // SF switch). String-rendered arrays are deterministic and this
     // key never crosses engines.
-    val fp = store.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
-        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    val fp = embFingerprint(store)
     memoizedBuild(spark, "graft_p44_fp", fp,
         Seq("graft_p44_cells", "graft_p44_cent")) {
       graft.operators.IvfIndex.build(store, "vec_id", "embedding",
@@ -2274,9 +2293,7 @@ object Pipeline {
     val v = Tables.df(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     import spark.implicits._
-    val fp = v.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
-        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    val fp = embFingerprint(v)
     memoizedBuild(spark, "graft_p48_fp", fp,
         Seq("graft_p48_cells", "graft_p48_cent", "graft_p48_books")) {
       graft.operators.IvfIndex.build(v, "vec_id", "embedding", "graft_p48",
@@ -2456,9 +2473,7 @@ object Pipeline {
   private def p54(spark: SparkSession, dir: String): DataFrame = {
     val v = Tables.df(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val fp = v.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
-        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    val fp = embFingerprint(v)
     memoizedBuild(spark, "graft_p54_fp", fp,
         Seq("graft_p54_cells", "graft_p54_cent")) {
       graft.operators.IvfIndex.build(v, "vec_id", "embedding", "graft_p54",
@@ -2688,9 +2703,7 @@ object Pipeline {
     val docs = Tables.df(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     import spark.implicits._
-    val fp = docs.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
-        col("text")))).cast("long").as("ids")).head()
+    val fp = docsFingerprint(docs)
     memoizedBuild(spark, "graft_p64_fp", fp,
         Seq("graft_p64_post", "graft_p64_stats", "graft_p64_meta")) {
       graft.operators.PostingIndex.build(docs, "doc_id", "text", "graft_p64")
@@ -2938,9 +2951,7 @@ object Pipeline {
     val docs = Tables.df(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
     import spark.implicits._
-    val fp = docs.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
-        col("text")))).cast("long").as("ids")).head()
+    val fp = docsFingerprint(docs)
     memoizedBuild(spark, "graft_p65_fp", fp,
         Seq("graft_p65_cms", "graft_p65_meta")) {
       graft.operators.CmsStore.build(docs, "doc_id", "text", "graft_p65",
@@ -3146,9 +3157,7 @@ object Pipeline {
     val embs = Tables.df(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     import spark.implicits._
-    val fpD = docs.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
-        col("text")))).cast("long").as("ids")).head()
+    val fpD = docsFingerprint(docs)
     memoizedBuild(spark, "graft_p64_fp", fpD,
         Seq("graft_p64_post", "graft_p64_stats", "graft_p64_meta")) {
       graft.operators.PostingIndex.build(docs, "doc_id", "text", "graft_p64")
@@ -3159,9 +3168,7 @@ object Pipeline {
       .select(col("query_id"), col("doc_id").as("item_id"), col("rnk"))
     // vector-content fingerprint, p44's discipline (id-only keys reuse
     // the wrong corpus' index after a same-JVM SF switch)
-    val fpV = embs.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
-        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    val fpV = embFingerprint(embs)
     memoizedBuild(spark, "graft_p66_fp", fpV,
         Seq("graft_p66_cells", "graft_p66_cent")) {
       graft.operators.IvfIndex.build(embs, "vec_id", "embedding",
@@ -3484,9 +3491,7 @@ object Pipeline {
   private def p75(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.df(spark, dir, "documents")
     import spark.implicits._
-    val fp = docs.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
-        col("text")))).cast("long").as("ids")).head()
+    val fp = docsFingerprint(docs)
     memoizedBuild(spark, "graft_p75_fp", fp,
         Seq("graft_p75_tgt", "graft_p75_dsir", "graft_p75_meta")) {
       graft.operators.DsirStore.build(docs,
@@ -3557,9 +3562,7 @@ object Pipeline {
     val embs = Tables.df(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     import spark.implicits._
-    val fpV = embs.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
-        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    val fpV = embFingerprint(embs)
     memoizedBuild(spark, "graft_p76_fp", fpV,
         Seq("graft_p76_cent", "graft_p76_smpl", "graft_p76_meta")) {
       graft.operators.SampleStore.build(embs, "vec_id", "embedding",
@@ -3584,9 +3587,7 @@ object Pipeline {
     val embs = Tables.df(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     import spark.implicits._
-    val fpV = embs.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
-        col("embedding").cast("string")))).cast("long").as("ids")).head()
+    val fpV = embFingerprint(embs)
     memoizedBuild(spark, "graft_p66_fp", fpV,
         Seq("graft_p66_cells", "graft_p66_cent")) {
       graft.operators.IvfIndex.build(embs, "vec_id", "embedding",

@@ -26,6 +26,11 @@ object MinhashRecallProbe {
         (r.getAs[Number]("inter").doubleValue
           / r.getAs[Number]("union_sz").doubleValue))
       .toMap
+    // RecallProbe's discipline: an empty baseline would make every
+    // recall below 0/0 = NaN — a meaningless measurement that could be
+    // pasted into SCALE.md. Fail loudly instead.
+    require(exact.nonEmpty,
+      s"no exact-Jaccard pairs at tau=$num/$den in $dir — wrong dir/SF?")
     println(s"PROBE exact_pairs n=${exact.size}")
     val buckets = Seq((0.7, 0.8), (0.8, 0.9), (0.9, 1.01))
     for ((k, bands) <- Seq((32, 4), (32, 8), (32, 16), (64, 8), (64, 16))) {
