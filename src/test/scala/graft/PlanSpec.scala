@@ -339,6 +339,16 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).size == 1, s"scoring pass shape changed:\n$p")
   }
 
+  test("p76 sample serve reads only the winner partitions — never the corpus") {
+    // the store's contract: serving the balanced sample touches the
+    // ≤ cells·k local-winner rows, not the embedding corpus. A corpus
+    // scan here means serve regressed to recomputing the quota.
+    val p = plan("p76_sample_store")
+    assert(p.contains("graft_p76_smpl"), p.take(600))
+    assert(!p.contains("embeddings"),
+      s"sample serve must not scan the corpus:\n$p")
+  }
+
   test("q27 resample: grid + LOCF plan has no join node") {
     val p = plan("q27_resample")
     assert(!p.contains("Join"), s"resample should be windows, not joins:\n$p")
