@@ -1096,7 +1096,12 @@ object Corpus {
       // drift: the group simply has no report row this batch (the
       // streaming monitor's next batch with data reports it again)
       .filter(col("n_cur") > 0)
-      .withColumn("e", ((col("r") + 1) * col("n_cur")).cast("double")
+      // each factor cast to double BEFORE the multiply — (r+1)*n_cur
+      // as a long product wraps silently in Spark (and errors in
+      // DuckDB) once per-bin reference counts times batch sizes pass
+      // 2^63; same discipline as dsirScore's log-space products
+      .withColumn("e", (col("r") + 1).cast("double")
+        * col("n_cur").cast("double")
         / (col("n_ref") + col("n_bins")).cast("double"))
       .select(col("grp"), col("bin"), col("n_ref"), col("n_cur"),
         col("n_bins"),

@@ -589,13 +589,27 @@ object Dedup {
     * xor+popcount on the pair. A key shared by m hashes yields
     * O(m²) candidates: near-identical media clusters are REAL
     * duplicates (the thing being hunted), but an adversarial constant
-    * key (e.g. all-black thumbnails hashing to 0) should be
-    * pre-filtered the way stop-shingles are df-capped.
+    * key (e.g. all-black thumbnails hashing to 0) is the same
+    * degenerate-key skew stop-shingles cause — cap it with
+    * `maxKeyFreq`, the df-cap pattern of [[cappedIndex]].
     *
+    * Recall honesty under the cap: dropping a (band, key) group drops
+    * ONLY the candidates whose every matching band is over-cap — a
+    * pair within pigeonhole distance that also shares one sub-cap
+    * band still surfaces. A genuinely huge exact-duplicate cluster
+    * (every band over cap) should be routed through exact dedup on
+    * the full hash first; the cap is the adversarial-input guard, not
+    * the dedup path for it.
+    *
+    * @param maxKeyFreq when > 0, (band, key) groups with more than
+    *   this many members are dropped before the self-join (anti-join
+    *   against the small over-cap set, map-side partial counts — the
+    *   same shape as the shingle df-cap); 0 = no cap
     * @return (ida, idb, hamming) with ida < idb, hamming <= maxHamming
     */
   def hammingNearDupPairs(hashes: DataFrame, idCol: String,
-      hashCol: String, maxHamming: Int, bands: Int = 4): DataFrame = {
+      hashCol: String, maxHamming: Int, bands: Int = 4,
+      maxKeyFreq: Long = 0L): DataFrame = {
     require(bands >= 1 && bands <= 64 && 64 % bands == 0,
       s"hammingNearDupPairs: bands must divide 64, got $bands")
     require(maxHamming >= 0 && maxHamming < 64,
@@ -612,7 +626,16 @@ object Dedup {
         }: _*)).as("bk"))
       .select(col("id"), col("h"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-    keyed.as("a").join(keyed.as("b"),
+    val capped =
+      if (maxKeyFreq <= 0L) keyed
+      else {
+        val hot = keyed.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("kf"))
+          .filter(col("kf") > maxKeyFreq)
+          .select(col("band"), col("key"))
+        keyed.join(hot, Seq("band", "key"), "left_anti")
+      }
+    capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"),

@@ -76,6 +76,23 @@ object DriftStore {
     if (spark.catalog.tableExists(s"${name}_drift"))
       ShingleIndex.dropBatchPartitions(spark, Seq(s"${name}_drift"), batchId)
 
+  /** Fold committed report partitions into base — the same bounded-
+    * catalog story as every other store family: thousands of
+    * micro-batches otherwise leave one partition (and one file) per
+    * batch in `{name}_drift` forever. Reports are immutable rows, so
+    * compaction is a pure re-stamp (no merge arithmetic — unlike
+    * [[CmsStore]]'s sums, a report row IS the final value); batches in
+    * `uncommitted` keep their partitions so replay surgery still
+    * works. Same staged-rename swap + caller contract
+    * ([[ShingleIndex.compact]]); a store that has not reported yet
+    * (lazy `_drift` creation) is a no-op. */
+  def compact(spark: SparkSession, name: String,
+      uncommitted: Set[Long] = Set.empty): Unit =
+    if (spark.catalog.tableExists(s"${name}_drift"))
+      ShingleIndex.compactTable(spark, s"${name}_drift", uncommitted,
+        (df, tmp) => df.coalesce(1)
+          .write.partitionBy("batch_id").mode("overwrite").saveAsTable(tmp))
+
   /** All committed reports (the caller filters by its ledger if a torn
     * batch might be present; after a clean stream shutdown every
     * partition is committed). */

@@ -81,7 +81,22 @@ object PostingIndex {
   }
 
   /** Add a batch's postings + stats under its own partition; nothing
-    * already stored is read. */
+    * already stored is read.
+    *
+    * CONTRACT — batches must be doc-disjoint: a doc_id may appear in
+    * at most ONE batch across the store's lifetime (the same contract
+    * [[graft.streaming.Streams]] ingest loops provide via their
+    * exactly-once ledger, and the same "re-ingested doc must carry a
+    * new id" rule as [[Dedup.incrementalNearDupPairs]]). A doc
+    * re-appended under the same id would leave BOTH batches' posting
+    * rows live and double-count `_stats` (n_docs, sum_dl) — and no
+    * serve-time merge can repair that, because the bucket-pruned scan
+    * reads only the query's terms and so cannot see that an old
+    * partition still holds postings for terms the newer version of
+    * the doc dropped. Store-equals-rebuild equality ([[topK]] ==
+    * [[Corpus.bm25TopK]]) is stated under this precondition. To
+    * replace a doc, ingest it under a fresh id and drop the old one
+    * at [[compact]] time, or rebuild. */
   def append(docs: DataFrame, idCol: String, textCol: String,
       name: String, batchId: Long): Unit = {
     ShingleIndex.insertByName(

@@ -3274,7 +3274,7 @@ object Pipeline {
        |tm AS (SELECT grp, bin, n_ref, n_cur, n_bins,
        |         (o - e) * (o - e) / e AS t2
        |       FROM (SELECT j.grp, j.bin, j.o, tt.n_ref, tt.n_cur, tt.n_bins,
-       |               ((j.r + 1) * tt.n_cur)::DOUBLE
+       |               (j.r + 1)::DOUBLE * tt.n_cur::DOUBLE
        |                 / (tt.n_ref + tt.n_bins)::DOUBLE AS e
        |             FROM j JOIN tt USING (grp)
        |             WHERE tt.n_cur > 0))

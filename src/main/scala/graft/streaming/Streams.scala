@@ -709,12 +709,17 @@ object Streams {
         (s"${indexName}_smpl",
           (u: Set[Long]) => graft.operators.SampleStore.compact(
             spark, indexName, u))
+      else if (spark.catalog.tableExists(s"${indexName}_drift"))
+        (s"${indexName}_drift",
+          (u: Set[Long]) => graft.operators.DriftStore.compact(
+            spark, indexName, u))
       else throw new IllegalArgumentException(
         s"no persisted index named '$indexName' — none of " +
           s"${indexName}_idx (shingle), ${indexName}_cells (IVF), " +
           s"${indexName}_cms (CMS stats), ${indexName}_post (BM25), " +
-          s"${indexName}_dsir (DSIR model), or ${indexName}_smpl " +
-          "(balanced sample) exists")
+          s"${indexName}_dsir (DSIR model), ${indexName}_smpl " +
+          s"(balanced sample), or ${indexName}_drift (drift reports) " +
+          "exists")
     graft.operators.WriterLease.take(spark, indexName)
     val appended = spark.sql(s"SHOW PARTITIONS $partTable")
       .collect()

@@ -544,4 +544,34 @@ class MultimodalCodecSpec extends AnyFunSuite {
       .hammingNearDupPairs(dup, "id", "h", maxHamming = 0).collect()
     assert(one.length == 1 && one.head.getInt(2) == 0)
   }
+
+  test("hammingNearDupPairs maxKeyFreq: adversarial constant key capped, sub-cap band still recalls") {
+    import spark.implicits._
+    // 6 hashes share band 0 (low 16 bits = 0) but are far apart
+    // elsewhere — the all-black-thumbnail shape. Two of them (1, 2)
+    // ALSO share bands 1-3 (hamming 2, both flips in band 0's window
+    // is impossible here, so put the 2 flips in band 0 via the upper
+    // band... simpler: ids 1 and 2 differ only in band 1 by 2 bits).
+    val base = 0x1111222233330000L
+    val mk = (i: Long) => (i * 0x9e3779b97f4a7c15L) & 0xffffffffffff0000L
+    val crowd = (3L to 6L).map(i => (i, mk(i)))
+    val near = Seq((1L, base), (2L, base ^ (3L << 16))) // 2 flips, band 1
+    val hashes = (near ++ crowd).toDF("id", "h")
+    // band 0 key 0 is shared by all 6 (> cap 5) and dropped; the near
+    // pair still matches on bands 2 and 3, so the cap costs no recall
+    val capped = graft.operators.Dedup
+      .hammingNearDupPairs(hashes, "id", "h", maxHamming = 3,
+        maxKeyFreq = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == Set((1L, 2L, 2)))
+    // recall honesty: an exact-dup cluster that is over-cap in EVERY
+    // band vanishes under the cap (route such inputs via exact dedup)
+    val const = (1L to 4L).map(i => (i, 42L)).toDF("id", "h")
+    assert(graft.operators.Dedup
+      .hammingNearDupPairs(const, "id", "h", 0, maxKeyFreq = 3L)
+      .count() == 0L)
+    assert(graft.operators.Dedup
+      .hammingNearDupPairs(const, "id", "h", 0)
+      .count() == 6L)
+  }
 }

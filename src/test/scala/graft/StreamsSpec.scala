@@ -987,6 +987,18 @@ class StreamsSpec extends AnyFunSuite {
       // the shifted batch visibly drifts more than the in-family one
       val chi = (id: Long) => stored(id).map(_._6).sum
       assert(chi(1L) > chi(0L))
+      // compaction: both batches committed → their report partitions
+      // fold to base (bounded catalog under endless micro-batches);
+      // every report row survives the re-stamp verbatim
+      val before = DriftStore.reports(spark, name)
+        .drop("batch_id").collect().toSet
+      Streams.compactIndex(spark, name)
+      val parts = spark.sql(s"SHOW PARTITIONS ${name}_drift")
+        .collect().map(_.getString(0)).toSet
+      assert(parts == Set(
+        s"batch_id=${graft.operators.ShingleIndex.BaseBatch}"))
+      assert(DriftStore.reports(spark, name)
+        .drop("batch_id").collect().toSet == before)
     } finally {
       Seq(s"${name}_ref", s"${name}_meta", s"${name}_drift",
         s"${name}_batches")
