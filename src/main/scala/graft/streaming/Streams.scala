@@ -737,4 +737,155 @@ object Streams {
   def compactIndex(spark: SparkSession,
       cfg: graft.operators.Ingest.Config): Unit =
     compactIndex(spark, cfg.indexName)
+
+  // ---- cross-family atomic ingest ----------------------------------------
+
+  /** One persisted-store family's lifecycle hooks AS DATA, for the
+    * cross-family loop [[multiIngestBatch]]: `prune` undoes whatever a
+    * crashed attempt of a batch half-appended (partition surgery,
+    * idempotent, no-op if the batch never landed) and `append` stamps
+    * the batch under its `batch_id` partition — exactly the pair every
+    * family already exposes; the constructors below just close over
+    * the column names. The hooks are the SAME functions the
+    * single-family loops call, so a family behaves identically whether
+    * it is ingested alone or inside a group. */
+  final case class StoreFamily(
+      name: String,
+      prune: (SparkSession, Long) => Unit,
+      append: (DataFrame, Long) => Unit)
+
+  object StoreFamily {
+    def shingle(name: String, idCol: String, textCol: String): StoreFamily =
+      StoreFamily(name,
+        (s, id) => graft.operators.ShingleIndex.pruneBatch(s, name, id),
+        (b, id) => graft.operators.ShingleIndex.append(b, idCol, textCol,
+          name, id))
+    def posting(name: String, idCol: String, textCol: String): StoreFamily =
+      StoreFamily(name,
+        (s, id) => graft.operators.PostingIndex.pruneBatch(s, name, id),
+        (b, id) => graft.operators.PostingIndex.append(b, idCol, textCol,
+          name, id))
+    def cms(name: String, idCol: String, textCol: String): StoreFamily =
+      StoreFamily(name,
+        (s, id) => graft.operators.CmsStore.pruneBatch(s, name, id),
+        (b, id) => graft.operators.CmsStore.append(b, idCol, textCol,
+          name, id))
+    def dsir(name: String, idCol: String, textCol: String): StoreFamily =
+      StoreFamily(name,
+        (s, id) => graft.operators.DsirStore.pruneBatch(s, name, id),
+        (b, id) => graft.operators.DsirStore.append(b, idCol, textCol,
+          name, id))
+    def drift(name: String, groupCol: String, valueCol: String): StoreFamily =
+      StoreFamily(name,
+        (s, id) => graft.operators.DriftStore.pruneBatch(s, name, id),
+        (b, id) => graft.operators.DriftStore.appendReport(b, groupCol,
+          valueCol, name, id))
+    /** Plain accumulation into the IVF cell store (vs frozen
+      * centroids) — the near-dup TRIAGE of [[vectorIngestBatch]] is an
+      * upstream policy, not a store append: pre-filter the stream if
+      * only novel vectors should land. */
+    def vectors(name: String, idCol: String, vecCol: String): StoreFamily =
+      StoreFamily(name,
+        (s, id) => graft.operators.IvfIndex.pruneBatch(s, name, id),
+        (b, id) => graft.operators.IvfIndex.append(b, idCol, vecCol,
+          name, id))
+    def sample(name: String, idCol: String, vecCol: String): StoreFamily =
+      StoreFamily(name,
+        (s, id) => graft.operators.SampleStore.pruneBatch(s, name, id),
+        (b, id) => graft.operators.SampleStore.append(b, idCol, vecCol,
+          name, id))
+  }
+
+  /** One micro-batch of the CROSS-FAMILY atomic ingest: N store
+    * families updated from ONE stream under ONE commit point, so a
+    * crash can never leave two families at different batch horizons
+    * unrepaired — the gap the per-family ledgers cannot see (family A
+    * appended batch 7, family B didn't; A's own ledger says nothing
+    * wrong, B's says batch 7 never happened, and nobody knows A must
+    * be pruned).
+    *
+    * The commit point is one row in `{group}_manifest`, written after
+    * EVERY family's append. Crash anywhere before it — mid-append,
+    * between families, after the last append — and the replay finds no
+    * manifest row, prunes the batch's partitions in ALL families
+    * (idempotent surgery; a family that never appended is a no-op) and
+    * redoes every append. Crash after it and the replay skips the
+    * batch entirely. Either way every family converges to exactly the
+    * manifest's horizon.
+    *
+    * Per-family `{name}_batches` ledgers are BACKFILLED after the
+    * manifest commit (idempotently, on the replay path too, closing
+    * the crash-between-manifest-and-backfill window), so the
+    * single-family maintenance surface — [[compactIndex]], whose
+    * committed set is the family ledger — keeps working unchanged on a
+    * group member. Family-committed is always a subset of
+    * manifest-committed, so per-family compaction can never fold a
+    * batch the group would still need to prune; a manifest-committed
+    * batch whose backfill was interrupted merely stays un-folded until
+    * the next batch (or stream restart) backfills it.
+    *
+    * Scale: the batch is persisted once and feeds all N appends (each
+    * family pays its own batch-scale reduce — tokenize, assign,
+    * histogram — exactly as it would alone); nothing stored is read.
+    * Same convergence-not-isolation caveat as every loop here: between
+    * a crash and the replay, readers may see a torn batch.
+    *
+    * Single-writer: the group loop owns every member family —
+    * [[multiIngest]] takes the group lease AND each family lease, and
+    * each batch re-checks all of them, so a stray single-family stream
+    * or a concurrent compaction turns loud within one batch. */
+  def multiIngestBatch(batch: DataFrame, batchId: Long, group: String,
+      families: Seq[StoreFamily],
+      leases: Map[String, String] = Map.empty): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(families.nonEmpty, "multiIngestBatch: need at least one family")
+    require(families.map(_.name).distinct.size == families.size,
+      "multiIngestBatch: family names must be unique, got " +
+        families.map(_.name).mkString(", "))
+    val manifest = s"${group}_manifest"
+    val committed = spark.catalog.tableExists(manifest) &&
+      spark.table(manifest).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!committed) {
+      leases.foreach { case (n, t) =>
+        graft.operators.WriterLease.check(spark, n, t)
+      }
+      families.foreach(_.prune(spark, batchId))
+      val pinned = batch.persist()
+      try families.foreach(_.append(pinned, batchId))
+      finally { pinned.unpersist(); () }
+      Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(manifest)
+    }
+    // family-ledger backfill — AFTER the manifest commit, never before:
+    // a family row ahead of the manifest would let that family's
+    // compaction fold a batch the group replay still needs to prune
+    families.foreach { f =>
+      val ledger = s"${f.name}_batches"
+      val has = spark.catalog.tableExists(ledger) &&
+        spark.table(ledger).filter(col("batch_id") === batchId)
+          .head(1).nonEmpty
+      if (!has)
+        Seq(batchId).toDF("batch_id").write.mode("append")
+          .saveAsTable(ledger)
+    }
+  }
+
+  /** The cross-family atomic ingest loop: foreachBatch driving
+    * [[multiIngestBatch]] — one stream feeding shingle + posting + CMS
+    * + DSIR (+ any other family) with ONE commit point per batch. All
+    * member stores must be built over the seed corpus first; compact
+    * members per family via [[compactIndex]] between restarts. */
+  def multiIngest(docs: DataFrame, group: String,
+      families: Seq[StoreFamily], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val leases = (group +: families.map(_.name))
+      .map(n => n -> graft.operators.WriterLease.take(spark, n)).toMap
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        multiIngestBatch(b, id, group, families, leases))
+      .start()
+  }
 }

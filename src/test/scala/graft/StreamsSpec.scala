@@ -1006,4 +1006,160 @@ class StreamsSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("cross-family atomic ingest: a crash between family A's append and family B's converges BOTH; per-family compaction keeps working") {
+    import graft.operators.{CmsStore, Corpus, PostingIndex}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val group = "graft_mgrp"
+    val nameP = "graft_mgrp_post"
+    val nameC = "graft_mgrp_cms"
+    val seed = Seq((10L, "zebra quark filler words here"),
+      (1L, "zebra walks alone tonight")).toDF("doc_id", "text")
+    val b0 = Seq((2L, "quark soup again today")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "quark salad every day")).toDF("doc_id", "text")
+    val b2 = Seq((4L, "zebra quark reprise finale")).toDF("doc_id", "text")
+    val fams = Seq(Streams.StoreFamily.posting(nameP, "doc_id", "text"),
+      Streams.StoreFamily.cms(nameC, "doc_id", "text"))
+    val queries = seed.filter(col("doc_id") === 10L)
+    val cands = Seq("zebra quark filler", "quark soup again",
+      "never seen anywhere").toDF("ngram")
+    val (n, depth, width) = (3, 4, 16)
+    def servedPost() = PostingIndex.topK(queries, "doc_id", "text",
+        nameP, 2, 10)
+      .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("score"))).sortBy(_._1).toSeq
+    def memPost(dfs: org.apache.spark.sql.DataFrame*) =
+      Corpus.bm25TopK(dfs.reduceLeft(_ union _), "doc_id", "text",
+        col("doc_id") === 10L, 2, 10)
+        .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("score"))).sortBy(_._1).toSeq
+    def servedCms() = CmsStore.estimateDf(cands, "ngram", nameC)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def memCms(dfs: org.apache.spark.sql.DataFrame*) =
+      Corpus.cmsEstimateDf(
+        Corpus.cmsNgramMatrix(dfs.reduceLeft(_ union _), "doc_id", "text",
+          n, depth, width), cands, "ngram", depth, width)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ledgerIds(t: String) =
+      if (!spark.catalog.tableExists(t)) Set.empty[Long]
+      else spark.table(t).collect().map(_.getLong(0)).toSet
+    try {
+      PostingIndex.build(seed, "doc_id", "text", nameP, buckets = 4)
+      CmsStore.build(seed, "doc_id", "text", nameC, n, depth, width)
+      // clean group batch: both families advance under ONE commit
+      Streams.multiIngestBatch(b0, 0L, group, fams)
+      assert(servedPost() == memPost(seed, b0))
+      assert(servedCms() == memCms(seed, b0))
+      assert(ledgerIds(s"${group}_manifest") == Set(0L))
+      // family ledgers backfilled → single-family maintenance sees it
+      assert(ledgerIds(s"${nameP}_batches") == Set(0L))
+      assert(ledgerIds(s"${nameC}_batches") == Set(0L))
+      // replay of a committed group batch: no-op for every family
+      Streams.multiIngestBatch(b0, 0L, group, fams)
+      assert(servedPost() == memPost(seed, b0))
+      assert(servedCms() == memCms(seed, b0))
+      // THE kill window: family A (posting) fully appended batch 1,
+      // the JVM dies before family B (cms) appends — no manifest row.
+      // Per-family replay could never see this: A looks torn only from
+      // the GROUP's viewpoint.
+      PostingIndex.append(b1, "doc_id", "text", nameP, batchId = 1L)
+      // group replay: prunes batch 1 in BOTH families (B's prune is a
+      // no-op), redoes both appends, commits once — both horizons meet
+      Streams.multiIngestBatch(b1, 1L, group, fams)
+      assert(servedPost() == memPost(seed, b0, b1),
+        "posting must hold batch 1 exactly once after the group replay")
+      assert(servedCms() == memCms(seed, b0, b1),
+        "cms must converge to the same horizon as posting")
+      assert(ledgerIds(s"${group}_manifest") == Set(0L, 1L))
+      // crash AFTER the manifest commit, BEFORE the ledger backfill:
+      // both families appended batch 2 and the manifest row landed,
+      // but no family ledger row did
+      fams.foreach(_.append(b2, 2L))
+      Seq(2L).toDF("batch_id").write.mode("append")
+        .saveAsTable(s"${group}_manifest")
+      assert(!ledgerIds(s"${nameP}_batches").contains(2L))
+      // replay: manifest says committed → appends skipped (no double
+      // counting), family ledgers backfilled idempotently
+      Streams.multiIngestBatch(b2, 2L, group, fams)
+      assert(servedPost() == memPost(seed, b0, b1, b2))
+      assert(servedCms() == memCms(seed, b0, b1, b2))
+      assert(ledgerIds(s"${nameP}_batches") == Set(0L, 1L, 2L))
+      assert(ledgerIds(s"${nameC}_batches") == Set(0L, 1L, 2L))
+      // per-family compaction is UNCHANGED on group members: every
+      // family-committed batch folds to base, results identical
+      spark.catalog.clearCache()
+      Streams.compactIndex(spark, nameP)
+      Streams.compactIndex(spark, nameC)
+      assert(spark.table(s"${nameP}_post").select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-1L))
+      assert(spark.table(s"${nameC}_cms").select("batch_id").distinct()
+        .collect().map(_.getLong(0)).toSet == Set(-1L))
+      assert(servedPost() == memPost(seed, b0, b1, b2))
+      assert(servedCms() == memCms(seed, b0, b1, b2))
+    } finally {
+      Seq(s"${nameP}_post", s"${nameP}_stats", s"${nameP}_meta",
+        s"${nameP}_batches", s"${nameC}_cms", s"${nameC}_meta",
+        s"${nameC}_batches", s"${group}_manifest")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("cross-family atomic ingest loop: one writeStream feeds two families; a stray single-family writer turns the group loud") {
+    import graft.operators.{CmsStore, Corpus, PostingIndex, WriterLease}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val group = "graft_mloop"
+    val nameP = "graft_mloop_post"
+    val nameC = "graft_mloop_cms"
+    val seed = Seq((10L, "zebra quark filler words here"))
+      .toDF("doc_id", "text")
+    val fams = Seq(Streams.StoreFamily.posting(nameP, "doc_id", "text"),
+      Streams.StoreFamily.cms(nameC, "doc_id", "text"))
+    try {
+      PostingIndex.build(seed, "doc_id", "text", nameP, buckets = 4)
+      CmsStore.build(seed, "doc_id", "text", nameC, 3, 4, 16)
+      val in = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_mloop_ckpt")
+      val q = Streams.multiIngest(in.toDF().toDF("doc_id", "text"),
+        group, fams, ckpt.toString)
+      in.addData((2L, "quark soup again today"))
+      q.processAllAvailable()
+      in.addData((3L, "quark salad every day"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+      val whole = seed.union(Seq((2L, "quark soup again today"),
+        (3L, "quark salad every day")).toDF("doc_id", "text"))
+      val got = PostingIndex.topK(seed, "doc_id", "text", nameP, 2, 10)
+        .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id")))
+        .sortBy(_._1).toSeq
+      val want = Corpus.bm25TopK(whole, "doc_id", "text",
+          col("doc_id") === 10L, 2, 10)
+        .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id")))
+        .sortBy(_._1).toSeq
+      assert(got == want && got.nonEmpty)
+      // a stray writer takes over ONE member family's lease: the group
+      // loop must fail loudly at its next batch, not interleave
+      WriterLease.take(spark, nameC)
+      in.addData((4L, "late arrival gets refused"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate[Throwable](ex)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+      assert(msgs.contains("single-writer"), msgs)
+      q.stop()
+    } finally {
+      Seq(s"${nameP}_post", s"${nameP}_stats", s"${nameP}_meta",
+        s"${nameP}_batches", s"${nameC}_cms", s"${nameC}_meta",
+        s"${nameC}_batches", s"${group}_manifest")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Seq(group, nameP, nameC)
+        .foreach(WriterLease.release(spark, _))
+      spark.catalog.clearCache()
+    }
+  }
 }
