@@ -1205,7 +1205,7 @@ object Corpus {
     * (word, cnt, syms) with syms the word's current symbol list
     * (initially its characters). ONE corpus-scale shuffle; everything
     * after is vocabulary-scale. */
-  private def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+  private[graft] def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextFns.tokens(TextFns.normText(col(textCol))))
         .as("word"))
@@ -1226,22 +1226,59 @@ object Corpus {
     *
     * Rounds are inherently sequential (merge i+1's pair statistics
     * depend on merge i having been applied — that is the definition
-    * of BPE), so `rounds` driver-blocking jobs is the honest cost; a
-    * full 30k-merge tokenizer would hoist the loop onto a collected
-    * frequency table once it fits one node, which the vocab-scale
-    * reduction here is exactly the preparation for.
-    *
-    * Ties (equal pair counts) break lexicographically on (lft, rgt) —
-    * binary string order, identical in both engines. Stops early if
-    * no pair remains (every word fused to one symbol).
+    * of BPE), so the loop itself cannot parallelize — but once the
+    * word-frequency table fits one task, the rounds don't need to be
+    * Spark jobs either. Dispatch (the [[Clusters]] singleTaskCC
+    * pattern): at or under [[maxLocalVocabWords]] distinct words the
+    * whole merge loop runs in ONE executor task
+    * ([[bpeLearnLocal]] — delta-updated pair counts + a lazy max-heap,
+    * so a 50k-merge production vocabulary costs one job instead of
+    * 50k scheduling round-trips); above the gate the per-round
+    * distributed loop ([[bpeLearnRounds]]) is the shape that survives
+    * an unbounded vocabulary, at one bounded 1-row argmax collect per
+    * round. Both paths implement the identical statistic — all
+    * adjacent pairs with multiplicity, weighted by word frequency;
+    * greedy left-to-right non-overlapping application; ties break
+    * lexicographically on (lft, rgt), binary string order over the
+    * ASCII token alphabet — so the learned merges are equal by
+    * construction and BpeSpec pins the equality path-vs-path. Stops
+    * early if no pair remains (every word fused to one symbol).
     */
   def bpeLearn(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int): Seq[BpeMerge] = {
-    require(rounds >= 1 && rounds <= 256,
-      s"bpeLearn: rounds must be in [1, 256], got $rounds — beyond " +
-        "that, collect the word-frequency table and loop locally")
-    var vocab = bpeVocab(docs, textCol).persist()
-    vocab.count() // materialize before the rounds re-read it
+    require(rounds >= 1 && rounds <= 65536,
+      s"bpeLearn: rounds must be in [1, 65536], got $rounds")
+    val vocab = bpeVocab(docs, textCol).persist()
+    try {
+      val nWords = vocab.count() // materialize before the loop re-reads
+      if (nWords <= maxLocalVocabWords) bpeLearnLocal(vocab, rounds)
+      else {
+        require(rounds <= 256,
+          s"bpeLearn: $nWords distinct words exceed the single-task " +
+            s"gate ($maxLocalVocabWords) and the distributed fallback " +
+            s"costs one Spark job per round — capped at 256 rounds, " +
+            s"got $rounds; shard or pre-filter the corpus vocabulary")
+        bpeLearnRounds(vocab, rounds)
+      }
+    } finally { vocab.unpersist(); () }
+  }
+
+  /** Single-task gate for [[bpeLearn]]: 4M distinct words × (~10 int
+    * symbol ids + the word string + pair-count entries) is comfortably
+    * one task's memory — the same explicit-bound discipline as
+    * [[Clusters]]' 4M-edge gate. Web-scale corpora with larger
+    * [a-z0-9]+ vocabularies take the distributed path. */
+  private[graft] val maxLocalVocabWords: Long = 4L << 20
+
+  /** The per-round distributed merge loop — one vocabulary-scale pair
+    * count + a 1-row argmax collect + a pure-map fold per round. The
+    * fallback above [[maxLocalVocabWords]]; semantics pinned equal to
+    * [[bpeLearnLocal]] by BpeSpec. `vocab` must already be persisted
+    * (this method materializes successor generations and unpersists
+    * predecessors as it goes). */
+  private[graft] def bpeLearnRounds(vocab0: DataFrame,
+      rounds: Int): Seq[BpeMerge] = {
+    var vocab = vocab0
     val merges = scala.collection.mutable.ListBuffer[BpeMerge]()
     var done = false
     (1 to rounds).foreach { rnd =>
@@ -1261,17 +1298,163 @@ object Corpus {
           val b = best.head
           val (l, r) = (b.getString(0), b.getString(1))
           merges += BpeMerge(rnd, l, r, b.getLong(2))
+          // localCheckpoint, not persist: each round's fold nests
+          // another ~20-node expression onto the plan, and a persisted
+          // frame keeps the WHOLE logical lineage — by round ~150 the
+          // plan string alone OOMs the driver (the MMR lineage
+          // pathology, measured here too). Checkpointing truncates the
+          // lineage to the materialized rows, so plan size is
+          // per-round constant however deep the loop goes.
           val next = vocab
             .select(col("word"), col("cnt"),
               bpeMergeFold(col("syms"), l, r).as("syms"))
-            .persist()
-          next.count() // materialize, then free the previous round
+            .localCheckpoint()
           vocab.unpersist()
           vocab = next
         }
       }
     }
     vocab.unpersist()
+    merges.toList
+  }
+
+  /** The single-task merge loop: the whole vocabulary rides into ONE
+    * executor task (coalesce(1) — the [[Clusters]] singleTaskCC
+    * pattern: an executor's memory, not the driver's) and the
+    * sequential rounds run as plain JVM code. Pair counts are
+    * DELTA-updated — applying a merge re-counts only the words that
+    * contain the winning pair — and the argmax pops from a lazy
+    * max-heap (every count change pushes a fresh entry; stale entries
+    * are dropped when their count no longer matches), so per-round
+    * cost tracks the affected words, not the vocabulary. This is the
+    * standard fast-BPE-trainer structure, re-derived. */
+  private[graft] def bpeLearnLocal(vocab: DataFrame,
+      rounds: Int): Seq[BpeMerge] = {
+    val sess = vocab.sparkSession
+    import sess.implicits._
+    vocab.select(col("cnt"), col("syms")).as[(Long, Seq[String])]
+      .coalesce(1)
+      .mapPartitions(it => Iterator.single(localBpe(it, rounds)))
+      .collect().headOption.getOrElse(Seq.empty)
+      .map { case (rnd, l, r, c) => BpeMerge(rnd, l, r, c) }
+  }
+
+  /** The in-task BPE trainer behind [[bpeLearnLocal]] — returns
+    * (rnd, lft, rgt, cnt) tuples (the Encoder-friendly shape; the
+    * caller re-wraps as [[BpeMerge]]). Exact semantics contract with
+    * the distributed path:
+    *   - pair statistic: ALL adjacent pairs with multiplicity,
+    *     weighted by word cnt (the zip_with-slices explode);
+    *   - winner: max count, ties by (lft, rgt) ascending — ASCII-only
+    *     symbols, so Java String order ≡ Spark's UTF-8 binary order;
+    *   - application: greedy left-to-right non-overlapping, the
+    *     [[bpeMergeFold]] fold's semantics. */
+  private def localBpe(it: Iterator[(Long, Seq[String])],
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val symOf = mutable.HashMap.empty[String, Int]
+    val syms = mutable.ArrayBuffer.empty[String]
+    def idOf(s: String): Int =
+      symOf.getOrElseUpdate(s, { syms += s; syms.size - 1 })
+    val words = mutable.ArrayBuffer.empty[Array[Int]]
+    val cnts = mutable.ArrayBuffer.empty[Long]
+    it.foreach { case (c, ss) =>
+      words += ss.iterator.map(idOf).toArray
+      cnts += c
+    }
+    def pack(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
+    val pairCnt = mutable.HashMap.empty[Long, Long]
+    // words that EVER contained a pair — lazily grown, never shrunk
+    // (membership is re-verified by scanning the word on application)
+    val pairWords = mutable.HashMap.empty[Long, mutable.BitSet]
+    def bump(p: Long, d: Long): Unit = {
+      val nv = pairCnt.getOrElse(p, 0L) + d
+      if (nv == 0L) pairCnt.remove(p) else pairCnt.update(p, nv)
+      ()
+    }
+    for (w <- words.indices) {
+      val a = words(w)
+      var i = 0
+      while (i < a.length - 1) {
+        val p = pack(a(i), a(i + 1))
+        bump(p, cnts(w))
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        i += 1
+      }
+    }
+    // lazy max-heap: greatest = highest cnt, then lex-SMALLEST (lft,
+    // rgt); entries go stale when a count changes — pop-and-verify
+    final case class Cand(cnt: Long, l: Int, r: Int)
+    val ord: Ordering[Cand] = (a: Cand, b: Cand) => {
+      val c = java.lang.Long.compare(a.cnt, b.cnt)
+      if (c != 0) c
+      else {
+        val sl = syms(b.l).compareTo(syms(a.l))
+        if (sl != 0) sl else syms(b.r).compareTo(syms(a.r))
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[Cand](ord)
+    pairCnt.foreach { case (p, c) =>
+      heap.enqueue(Cand(c, (p >>> 32).toInt, p.toInt))
+    }
+    val merges = mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var rnd = 1
+    var exhausted = false
+    while (rnd <= rounds && !exhausted) {
+      // pop to the first entry whose count is still current
+      var win: Option[Cand] = None
+      while (win.isEmpty && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairCnt.get(pack(c.l, c.r)).contains(c.cnt)) win = Some(c)
+      }
+      win match {
+        case None => exhausted = true
+        case Some(c) =>
+          val m = idOf(syms(c.l) + syms(c.r))
+          merges += ((rnd, syms(c.l), syms(c.r), c.cnt))
+          val winP = pack(c.l, c.r)
+          val touched = mutable.HashSet.empty[Long]
+          pairWords.getOrElse(winP, mutable.BitSet.empty).foreach { w =>
+            val a = words(w)
+            // verify (lazy membership) before paying the rebuild
+            var has = false
+            var i = 0
+            while (!has && i < a.length - 1) {
+              has = a(i) == c.l && a(i + 1) == c.r; i += 1
+            }
+            if (has) {
+              // retract the word's old adjacency, rebuild greedily
+              // left-to-right, add the new adjacency back
+              i = 0
+              while (i < a.length - 1) {
+                val p = pack(a(i), a(i + 1)); bump(p, -cnts(w))
+                touched += p; i += 1
+              }
+              val out = new mutable.ArrayBuffer[Int](a.length)
+              i = 0
+              while (i < a.length) {
+                if (i + 1 < a.length && a(i) == c.l && a(i + 1) == c.r) {
+                  out += m; i += 2
+                } else { out += a(i); i += 1 }
+              }
+              val na = out.toArray
+              words(w) = na
+              i = 0
+              while (i < na.length - 1) {
+                val p = pack(na(i), na(i + 1)); bump(p, cnts(w))
+                pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+                touched += p; i += 1
+              }
+            }
+          }
+          // fresh heap entries for every pair whose count changed
+          touched.foreach { p =>
+            pairCnt.get(p).foreach(cc =>
+              heap.enqueue(Cand(cc, (p >>> 32).toInt, p.toInt)))
+          }
+          rnd += 1
+      }
+    }
     merges.toList
   }
 

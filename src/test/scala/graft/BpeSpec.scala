@@ -75,4 +75,33 @@ class BpeSpec extends AnyFunSuite {
     val b = Corpus.bpeLearn(docs.repartition(7), "doc_id", "text", 3)
     assert(a.nonEmpty && a == b)
   }
+
+  test("single-task and distributed loops learn identical merges, deep into the tail") {
+    // a corpus rich enough that the merge sequence exercises ties,
+    // multi-char winners, overlapping repeats, and early exhaustion —
+    // the two paths must agree merge-for-merge including counts
+    val docs = docsOf(
+      "the theme thermometer then there anthem",
+      "banana bandana ban bananas and sandbars in the sand",
+      "aaa aaaa aaaaa abab ababab ba ab",
+      "mississippi missive misfit kiss hiss missed",
+      "zz zzz yx yx yx qq")
+    val vocab = Corpus.bpeVocab(docs, "text").persist()
+    try {
+      vocab.count()
+      // deep enough that both loops hit the no-pair-left early stop
+      val local = Corpus.bpeLearnLocal(vocab, 200)
+      val dist = Corpus.bpeLearnRounds(vocab, 200)
+      assert(local.nonEmpty && local.size < 200,
+        s"expected early exhaustion, got ${local.size} merges")
+      assert(local == dist)
+    } finally { vocab.unpersist(); () }
+  }
+
+  test("rounds beyond the old per-round-job cap run through the single-task loop") {
+    // 300 rounds was a hard require before; under the gate it is one
+    // executor task — exhaustion stops it long before 300
+    val m = Corpus.bpeLearn(docsOf("abcd abcd xy"), "doc_id", "text", 300)
+    assert(m.map(_.rnd) == (1 to m.size) && m.size < 300 && m.nonEmpty)
+  }
 }
