@@ -171,15 +171,48 @@ object Import {
     spark.createDataFrame(rows, schema)
   }
 
-  /** Declared-but-connector-dependent sources (reference
-    * data_migration_sources: GOOGLE_SPREADSHEET, SALESFORCE). This
-    * container has no connector jars (zero egress), so these fail
-    * loudly with the dependency they need; the import flow itself is
-    * source-agnostic — any `() => DataFrame` plugs into runImport. */
+  /** GOOGLE_SPREADSHEET staging over the sheet's standard CSV export —
+    * the public interop path for the reference's declared source
+    * (data_migration_sources, sql/V000002__data_migrations.sql:21-28;
+    * the reference's own loader is closed-source cloud). A sheet
+    * downloaded via File → Download → CSV, or fetched from
+    * `/export?format=csv&gid=…` by any out-of-band job, lands at
+    * `path` and stages here with the export dialect pinned:
+    *
+    *   - first row is the header (Sheets always emits it);
+    *   - RFC-4180 quoting with DOUBLED quotes (`""`) as the escape —
+    *     Spark's csv default escape is backslash, which would corrupt
+    *     any cell containing one, so `escape` is set to `"`;
+    *   - cells may contain NEWLINES (quoted in the export) →
+    *     `multiLine`, which makes a file one task. That is the honest
+    *     shape: a sheet is capped at 10M cells, so per-file size is
+    *     bounded by the format (the XLSX one-task-per-file argument) —
+    *     a multi-tab/multi-sheet stage globs many files and fans out
+    *     file-per-task;
+    *   - everything surfaces as nullable strings (staging is
+    *     schema-on-read; typing belongs to the mapping stage, same
+    *     contract as [[stageXlsx]]). Empty cells are null.
+    */
+  def stageGsheetCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Declared-but-connector-dependent sources. The LIVE Google Sheets
+    * API needs an authenticated connector this zero-egress container
+    * cannot have — stage the sheet's CSV export via [[stageGsheetCsv]]
+    * instead; Salesforce likewise fails loudly with the dependency it
+    * needs. The import flow itself is source-agnostic — any
+    * `() => DataFrame` plugs into runImport. */
   def stageGoogleSheet(spark: SparkSession, sheetId: String): DataFrame =
     throw new UnsupportedOperationException(
-      "Google Sheets staging requires an API connector; " +
-        "pass its DataFrame to runImport(load = ...)")
+      "live Google Sheets staging requires an API connector; " +
+        "export the sheet as CSV and stage it with stageGsheetCsv, or " +
+        "pass the connector's DataFrame to runImport(load = ...)")
   def stageSalesforce(spark: SparkSession, soql: String): DataFrame =
     throw new UnsupportedOperationException(
       "Salesforce staging requires an API connector; " +

@@ -112,6 +112,55 @@ class EtlSpec extends AnyFunSuite {
     withBad.unpersist(blocking = false)
   }
 
+  test("gsheet csv staging: export dialect round-trips doubled quotes, embedded newlines, unicode; e2e lands IMPORTED; live stub stays loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gsheet").toFile.getAbsolutePath
+    // exactly what Sheets' /export?format=csv emits for a 3×3 tab:
+    // CRLF rows, quoting only where needed, "" as the quote escape,
+    // a quoted cell with a real newline, an empty cell, and unicode
+    val export = "name,note,qty\r\n" +
+      "alice,\"says \"\"hi\"\", twice\",3\r\n" +
+      "böb,\"line one\nline two\",\r\n" +
+      "carol,plain,7\r\n"
+    Files.writeString(java.nio.file.Path.of(s"$dir/tab1.csv"), export)
+    val staged = Import.stageGsheetCsv(spark, s"$dir/tab1.csv")
+    // schema-on-read: all nullable strings, header from row 1
+    assert(staged.schema.map(_.name) == Seq("name", "note", "qty"))
+    assert(staged.schema.forall(f =>
+      f.dataType == org.apache.spark.sql.types.StringType && f.nullable))
+    val rows = staged.collect().map(r =>
+      (r.getString(0), r.getString(1), Option(r.getString(2))))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("alice", "says \"hi\", twice", Some("3")),
+      ("böb", "line one\nline two", None),
+      ("carol", "plain", Some("7"))))
+    // the staged frame plugs into the SAME import flow as every source
+    val store = new MigrationStore
+    val reg = BidiRegistry.withDefaults
+    var sunk: Array[Row] = Array.empty
+    val result = Import.runImport(
+      store, MigrationSource.GoogleSpreadsheet, "people",
+      load = () => Import.stageGsheetCsv(spark, s"$dir/tab1.csv"),
+      mappings = Seq(Import.ColumnMapping("name", "name", reg("trim_str"))),
+      rules = _ => Seq(Import.Rule("not_null", "name", col("name").isNull)),
+      sink = df => sunk = df.collect())
+    assert(result.state == "IMPORTED")
+    assert(sunk.map(_.getString(0)).sorted
+      .sameElements(Array("alice", "böb", "carol")))
+    assert(store.list.map(m => (m.source, m.state)) ==
+      Seq(("GOOGLE_SPREADSHEET", "IMPORTED")))
+    // the LIVE-API entry points stay loud, pointing at the CSV path
+    val g = intercept[UnsupportedOperationException] {
+      Import.stageGoogleSheet(spark, "someSheetId")
+    }
+    assert(g.getMessage.contains("stageGsheetCsv"))
+    val s = intercept[UnsupportedOperationException] {
+      Import.stageSalesforce(spark, "SELECT Id FROM Account")
+    }
+    assert(s.getMessage.contains("connector"))
+  }
+
   test("end-to-end import: CSV -> map -> validate -> sink, states land IMPORTED") {
     import spark.implicits._
     val dir = Files.createTempDirectory("etl").toFile.getAbsolutePath
