@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite, DotRange, HammingDistance, KMin, KmvSketch, L2Range, UnicodeNormalize}
+import graft.expressions.{DotProduct, DotProductRewrite, DotRange, HammingDistance, KMin, KllSketch, KmvSketch, L2Range, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -86,6 +86,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_kmin k must be an integer literal, got $other")
         }
         KMin(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll"),
+      new ExpressionInfo(classOf[KllSketch].getName, "graft_kll"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 3,
+          "graft_kll takes (double_col, k, p1, p2, ...)")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kll k must be an integer literal, got $other")
+        }
+        val probs = children.drop(2).map {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal
+              if l.value != null && l.dataType == org.apache.spark.sql.types.DoubleType =>
+            l.value.asInstanceOf[Double]
+          case other => throw new IllegalArgumentException(
+            s"graft_kll probabilities must be double literals, got $other")
+        }
+        KllSketch(children.head, k, probs)
       }))
     // Spark SHIPS a codegen'd Bloom filter aggregate + probe pair
     // (catalyst's BloomFilterAggregate / BloomFilterMightContain,

@@ -43,6 +43,36 @@ object Streams {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Windowed value quantiles via the native KLL sketch aggregate
+    * ([[graft.expressions.KllSketch]]) — the streaming shape exact
+    * quantiles cannot take (percentile/median buffer every value per
+    * window: unbounded state, and Structured Streaming rejects the
+    * sort-based forms outright). The sketch's O(k log(n/k)) mergeable
+    * ladder is legal state-store content the same way the KMV buffer
+    * is in [[windowedDistinctUsers]]: bounded per window forever,
+    * partial aggregation works, and every merge order honors the
+    * n·L/k rank-error bound KllSpec pins. The streaming face of
+    * corpus-health quantiles (p24 exact histogram / p70 sampled):
+    * watch a token-length or quality-score distribution drift
+    * window-over-window without ever buffering a window's values. */
+  def windowedQuantiles(
+      events: DataFrame,
+      valueCol: String = "value",
+      probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      window_ : String = "1 hour",
+      watermark: String = "2 hours",
+      k: Int = 256): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("win"), col("event_type"))
+      .agg(
+        call_function("graft_kll",
+          col(valueCol).cast("double") +: lit(k) +: probs.map(lit): _*)
+          .as("quantiles"),
+        count(lit(1)).as("n_events"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("quantiles"), col("n_events"))
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming analog of Dedup.exact: duplicates arriving within
     * `watermark` of the original are dropped; state is bounded by the
