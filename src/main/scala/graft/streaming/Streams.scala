@@ -901,11 +901,24 @@ object Streams {
     }
   }
 
+  /** Compact every member family of a STOPPED group ingest — the
+    * group face of [[compactIndex]], one call per maintenance window.
+    * Valid precisely because the ledger backfill keeps
+    * family-committed ⊆ manifest-committed: each family's own ledger
+    * already names every batch safe to fold, so per-family compaction
+    * needs no group awareness (a manifest-committed batch whose
+    * backfill was interrupted simply stays un-folded until the next
+    * backfill — safe, bounded by one batch). */
+  def compactGroup(spark: SparkSession,
+      families: Seq[StoreFamily]): Unit =
+    families.foreach(f => compactIndex(spark, f.name))
+
   /** The cross-family atomic ingest loop: foreachBatch driving
     * [[multiIngestBatch]] — one stream feeding shingle + posting + CMS
     * + DSIR (+ any other family) with ONE commit point per batch. All
     * member stores must be built over the seed corpus first; compact
-    * members per family via [[compactIndex]] between restarts. */
+    * members between restarts via [[compactGroup]] (or per family via
+    * [[compactIndex]]). */
   def multiIngest(docs: DataFrame, group: String,
       families: Seq[StoreFamily], checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

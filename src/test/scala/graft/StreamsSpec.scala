@@ -1088,9 +1088,10 @@ class StreamsSpec extends AnyFunSuite {
       assert(ledgerIds(s"${nameC}_batches") == Set(0L, 1L, 2L))
       // per-family compaction is UNCHANGED on group members: every
       // family-committed batch folds to base, results identical
+      // (compactGroup = compactIndex per member, valid because
+      // family-committed ⊆ manifest-committed)
       spark.catalog.clearCache()
-      Streams.compactIndex(spark, nameP)
-      Streams.compactIndex(spark, nameC)
+      Streams.compactGroup(spark, fams)
       assert(spark.table(s"${nameP}_post").select("batch_id").distinct()
         .collect().map(_.getLong(0)).toSet == Set(-1L))
       assert(spark.table(s"${nameC}_cms").select("batch_id").distinct()
