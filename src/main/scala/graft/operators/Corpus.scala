@@ -1495,6 +1495,39 @@ object Corpus {
         sum(col("n_syms")).as("n_tokens"))
   }
 
+  /** The full BPE token STREAM per document — the materialization step
+    * the packing operators (p22/p55) consume downstream: where
+    * [[bpeTokenCounts]] answers "how long", this answers "which
+    * tokens, in order". Same scale shape: the merge folds run once per
+    * DISTINCT word (vocabulary-scale), the corpus pays one word→syms
+    * equi join plus a per-doc ordered reassembly — collect_list of
+    * (pos, syms) bounded by the doc's own word count, sort_array on
+    * the position (deterministic under any partitioning; a window
+    * ordering would be, too, but would shuffle twice), flatten.
+    * Documents with no tokens produce no row, as in the count form.
+    *
+    * @return (doc_id, toks: array<string>) — the document's BPE
+    *         symbols in word order, each word's symbols in fold order
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFns.tokens(TextFns.normText(col(textCol))))
+          .as(Seq("pos", "word")))
+    val folded = merges.foldLeft(
+      filter(split(col("word"), ""), s => s =!= "")) { (syms, m) =>
+      bpeMergeFold(syms, m.lft, m.rgt)
+    }
+    val enc = words.select(col("word")).distinct()
+      .select(col("word"), folded.as("syms"))
+    words.join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("pos"), col("syms")))),
+        s => s.getField("syms"))).as("toks"))
+  }
+
   /** Reciprocal-rank fusion of N ranked retrieval lists — the standard
     * hybrid-retrieval combiner (lexical BM25 + dense ANN, or any mix of
     * rankers): fused(q, d) = Σ_branch 1/(c + rank_branch(q, d)), items

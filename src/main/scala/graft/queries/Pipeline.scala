@@ -3735,6 +3735,44 @@ object Pipeline {
        |GROUP BY doc_id""".stripMargin
   }
 
+  /** The full BPE token stream, oracle-gated: per-document symbols in
+    * word order under the [[BpeRounds]] learned merges
+    * ([[graft.operators.Corpus.bpeEncode]]) — the materialization step
+    * the packing operators consume. Surfaced space-joined (one scalar
+    * string per doc) so the cross-engine compare stays on hashable
+    * scalar columns; the join is lossless because the normalized token
+    * alphabet is [a-z0-9] (no symbol can contain a space). The oracle
+    * extends [[bpeCtes]] with the same positional reassembly:
+    * position-sorted list aggregation, flatten, join. */
+  private def p77(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.df(spark, dir, "documents")
+    graft.operators.Corpus.bpeEncode(docs, "doc_id", "text",
+      graft.operators.Corpus.bpeLearn(docs, "doc_id", "text", BpeRounds))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        array_join(col("toks"), " ").as("toks"))
+  }
+
+  private val p77Sql = {
+    val toks = toksSql(normSql("text"))
+    s"""WITH ${bpeCtes(BpeRounds)},
+       |enc AS (SELECT word, syms FROM c$BpeRounds),
+       |dw AS (SELECT doc_id, pw.pos AS pos, pw.word AS word
+       |       FROM (SELECT doc_id,
+       |               unnest(list_transform(generate_series(1, len(t)),
+       |                 i -> {'pos': i, 'word': t[i]})) AS pw
+       |             FROM (SELECT doc_id, $toks AS t FROM documents))),
+       |agg AS (SELECT doc_id,
+       |          flatten(list_transform(
+       |            list_sort(list({'pos': pos, 'syms': e.syms})),
+       |            x -> x.syms)) AS tl
+       |        FROM dw JOIN enc e USING (word)
+       |        GROUP BY doc_id)
+       |SELECT doc_id, CAST(len(tl) AS BIGINT) AS n_tokens,
+       |       array_to_string(tl, ' ') AS toks
+       |FROM agg""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("p01_exact_dedup", p01, Some(p01Sql)),
     QueryDef("p02_ngram_jaccard", p02, Some(p02Sql)),
@@ -3809,6 +3847,7 @@ object Pipeline {
     QueryDef("p67_mmr_rerank", p67, Some(p67Sql)),
     QueryDef("p68_bpe_merges", p68, Some(p68Sql)),
     QueryDef("p68b_bpe_encode", p68b, Some(p68bSql)),
+    QueryDef("p77_bpe_tokens", p77, Some(p77Sql)),
     QueryDef("p66b_hybrid_store", p66b, Some(p66bSql)),
     QueryDef("p69_drift_chi2", p69, Some(p69Sql)),
     QueryDef("p70_sampled_quantiles", p70, Some(p70Sql)),

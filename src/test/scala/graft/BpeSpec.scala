@@ -63,6 +63,26 @@ class BpeSpec extends AnyFunSuite {
     assert(counts == Map(0L -> ((3L, 4L)), 1L -> ((2L, 2L))))
   }
 
+  test("encode stream: tokens in word order, per-word fold order, layout invariant") {
+    val docs = docsOf("abab cd ab", "xy")
+    val merges = Corpus.bpeLearn(docs, "doc_id", "text", 2)
+    // round 1 fuses (a,b) w=3; round 2: remaining pairs (ab,ab) w=1,
+    // (c,d) w=1, (x,y) w=1 → tie-break lex → (ab,ab)
+    assert(merges.map(m => (m.lft, m.rgt)) == Seq(("a", "b"), ("ab", "ab")))
+    def streams(df: org.apache.spark.sql.DataFrame) =
+      Corpus.bpeEncode(df, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val got = streams(docs)
+    assert(got == Map(
+      0L -> List("abab", "c", "d", "ab"),
+      1L -> List("x", "y")))
+    // token STREAM length ≡ the count operator's n_tokens
+    val counts = Corpus.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.map { case (k, v) => k -> v.size.toLong } == counts)
+    assert(streams(docs.repartition(7)) == got)
+  }
+
   test("no merges: token count equals character count per word") {
     val counts = Corpus.bpeTokenCounts(docsOf("abc de"), "doc_id", "text", Nil)
       .collect().map(r => (r.getLong(1), r.getLong(2))).head
