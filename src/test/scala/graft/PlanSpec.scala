@@ -285,6 +285,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"), p.take(400))
   }
 
+  test("graft_kll sketch aggregates map-side before the exchange; p77 token stream avoids cartesians") {
+    import org.apache.spark.sql.functions.{call_function, col, lit}
+    import spark.implicits._
+    // partial-mode graft_kll in the plan = sketch ladders merge
+    // map-side and the shuffle carries serialized buffers, not raw
+    // doubles — the same 100 TB proof as the KMV pin
+    val p = fmt((1 to 100).map(i => (i % 3, i.toDouble)).toDF("g", "x")
+      .groupBy(col("g"))
+      .agg(call_function("graft_kll", col("x"), lit(64), lit(0.5))))
+    assert(p.contains("partial_graft_kll"),
+      s"no partial-mode graft_kll aggregate in plan:\n${p.take(800)}")
+    assert(p.contains("ObjectHashAggregate"), p.take(400))
+    // the token-stream materialization keeps p68b's join discipline
+    val p77 = plan("p77_bpe_tokens")
+    assert(!p77.contains("CartesianProduct")
+      && !p77.contains("BroadcastNestedLoopJoin"), p77.take(800))
+    assert(p77.contains("SortMergeJoin") || p77.contains("BroadcastHashJoin"),
+      p77.take(800))
+  }
+
   test("p12 multimodal decode is map-only: payloads never shuffle") {
     val p = plan("p12_multimodal")
     // exactly two exchanges, both ABOVE the decode where rows are narrow
