@@ -1107,6 +1107,55 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("heterogeneous group: a text store and a drift monitor ingest atomically from one stream") {
+    import graft.operators.{Corpus, CmsStore, DriftStore}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // one stream carries (doc_id, text, lang, n_tokens); the CMS
+    // family closes over (doc_id, text), the drift family over
+    // (lang, n_tokens) — the hooks make column semantics per-family
+    val group = "graft_hgrp"
+    val nameC = "graft_hgrp_cms"
+    val nameD = "graft_hgrp_drift"
+    val seed = Seq((1L, "alpha beta gamma delta", "en", 4L),
+      (2L, "alpha beta other words here", "de", 5L))
+      .toDF("doc_id", "text", "lang", "n_tokens")
+    val b0 = Seq((10L, "alpha beta gamma again", "en", 4L),
+      (11L, "fresh content flows in", "de", 44L))
+      .toDF("doc_id", "text", "lang", "n_tokens")
+    val fams = Seq(Streams.StoreFamily.cms(nameC, "doc_id", "text"),
+      Streams.StoreFamily.drift(nameD, "lang", "n_tokens"))
+    val cands = Seq("alpha beta gamma").toDF("ngram")
+    try {
+      CmsStore.build(seed, "doc_id", "text", nameC, 3, 4, 16)
+      DriftStore.build(seed, "lang", "n_tokens", nameD, 4L)
+      // torn across the TYPE boundary: the text store appended, the
+      // monitor didn't — only the group manifest can see it
+      graft.operators.CmsStore.append(b0, "doc_id", "text", nameC, 0L)
+      Streams.multiIngestBatch(b0, 0L, group, fams)
+      val est = CmsStore.estimateDf(cands, "ngram", nameC)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = Corpus.cmsEstimateDf(
+        Corpus.cmsNgramMatrix(seed.unionByName(b0), "doc_id", "text",
+          3, 4, 16), cands, "ngram", 4, 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est == want, "torn text-store append must converge to once")
+      val reports = DriftStore.reports(spark, nameD)
+        .filter(col("batch_id") === 0L).collect()
+      assert(reports.length == 2) // en + de, one report row per lang
+      val oneShot = Corpus.histogramDrift(seed, b0, "lang", "n_tokens", 4L)
+        .collect().map(r => (r.getString(0), r.getDouble(5))).toMap
+      assert(reports.map(r =>
+        (r.getAs[String]("grp"), r.getAs[Double]("chi2"))).toMap == oneShot)
+    } finally {
+      Seq(s"${nameC}_cms", s"${nameC}_meta", s"${nameC}_batches",
+        s"${nameD}_ref", s"${nameD}_meta", s"${nameD}_drift",
+        s"${nameD}_batches", s"${group}_manifest")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("cross-family atomic ingest loop: one writeStream feeds two families; a stray single-family writer turns the group loud") {
     import graft.operators.{CmsStore, Corpus, PostingIndex, WriterLease}
     import org.apache.spark.sql.functions.col
