@@ -1176,6 +1176,44 @@ object Corpus {
       }: _*)
   }
 
+  /** Per-group quantile TRIM — the quality-bucket curation step
+    * (CCNet/RefinedWeb shape): keep only rows whose continuous score
+    * lies inside their group's [loP, hiP] quantile band, with the
+    * thresholds computed by [[sampledQuantiles]] (deterministic hash
+    * sample, exact rank/lerp arithmetic — so the band edges replay
+    * bit-exactly in SQL and the filter itself is exact given them).
+    * "Drop the worst 10% per language" without ever sorting the
+    * corpus: one sample-scale histogram pass for the thresholds, one
+    * broadcast of the ≤ |groups| threshold rows, one map-side filter.
+    *
+    * Groups with NO sampled member (small domains the hash selector
+    * missed) keep ALL their rows — no threshold evidence is not
+    * evidence for dropping a domain; rows with a NULL value are
+    * dropped in thresholded groups (an unscorable row cannot certify
+    * membership in the band) and kept in unthresholded ones.
+    *
+    * @return the input rows that survive, original columns unchanged
+    */
+  def quantileTrim(rows: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, sampleMod: Int,
+      loP: Double = 0.1, hiP: Double = 1.0): DataFrame = {
+    require(loP >= 0 && hiP <= 1 && loP <= hiP,
+      s"quantileTrim: need 0 <= loP <= hiP <= 1, got $loP/$hiP")
+    val v = col(valueCol).cast("double")
+    // null scores are excluded from the THRESHOLD sample: they sort
+    // first in the cumulative rank and would silently shift every
+    // band edge (they are separately dropped from thresholded groups
+    // by the filter below — unscorable ≠ rank zero)
+    val th = sampledQuantiles(rows.filter(v.isNotNull), groupCol, idCol,
+        valueCol, sampleMod,
+        probs = Seq("_trim_lo" -> loP, "_trim_hi" -> hiP))
+      .select(col("grp").as("_trim_grp"), col("_trim_lo"), col("_trim_hi"))
+    rows.join(broadcast(th), col(groupCol) === col("_trim_grp"), "left")
+      .filter(col("_trim_lo").isNull ||
+        (v >= col("_trim_lo") && v <= col("_trim_hi")))
+      .drop("_trim_grp", "_trim_lo", "_trim_hi")
+  }
+
   /** One learned BPE merge: in round `rnd`, the adjacent symbol pair
     * (lft, rgt) had the highest corpus frequency `cnt` (weighted by
     * word occurrences) and was fused into the new symbol lft+rgt. */

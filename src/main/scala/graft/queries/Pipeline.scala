@@ -3344,6 +3344,65 @@ object Pipeline {
        |FROM a JOIN tt USING (grp)""".stripMargin
   }
 
+  // quality trim band: keep the [10%, 99%] chars-per-token band
+  private val TrimLo = "0.1"
+  private val TrimHi = "0.99"
+
+  /** Per-group quantile trim, oracle-gated: the quality-bucket
+    * curation step ([[graft.operators.Corpus.quantileTrim]]) — keep
+    * only docs whose chars-per-token ratio lies inside their
+    * language's sampled [10%, 99%] quantile band (drops both the
+    * degenerate-short tail and the outlier top percentile, per
+    * domain, without sorting the corpus). The oracle replays p70's
+    * selector/histogram/rank-lerp chain at the band probabilities and
+    * applies the identical BETWEEN filter. */
+  private def p78(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(TextFns.normText(col("text")))
+    val t = Tables.df(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), size(toks).as("nt"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars").cast("double") / col("nt").cast("double"))
+          .as("cpt"))
+    graft.operators.Corpus.quantileTrim(t, "lang", "doc_id", "cpt",
+      SampleQMod, loP = TrimLo.toDouble, hiP = TrimHi.toDouble)
+  }
+
+  private val p78Sql = {
+    val toks = toksSql(normSql("text"))
+    def idx(p: String, total: String) = s"CAST($p AS DOUBLE)*($total-1)"
+    s"""WITH t0 AS (SELECT doc_id, lang, n_chars, len($toks) AS nt
+       |            FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |        CAST(n_chars AS DOUBLE) / CAST(nt AS DOUBLE) AS cpt
+       |      FROM t0 WHERE nt > 0),
+       |s AS (SELECT lang AS grp, cpt AS v FROM r
+       |      WHERE ${hash32Sql("CAST(doc_id AS VARCHAR)")} % $SampleQMod = 0),
+       |h AS (SELECT grp, v, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+       |tt AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS total
+       |       FROM h GROUP BY 1),
+       |c AS (SELECT h.grp, h.v, h.cnt, tt.total,
+       |        SUM(h.cnt) OVER (PARTITION BY h.grp ORDER BY h.v
+       |          ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM h JOIN tt USING (grp)),
+       |a AS (SELECT grp,
+       |    MIN(CASE WHEN cum >= floor(${idx(TrimLo, "total")})+1 THEN v END) AS lo_l,
+       |    MIN(CASE WHEN cum >= ceil(${idx(TrimLo, "total")})+1 THEN v END) AS hi_l,
+       |    MIN(CASE WHEN cum >= floor(${idx(TrimHi, "total")})+1 THEN v END) AS lo_h,
+       |    MIN(CASE WHEN cum >= ceil(${idx(TrimHi, "total")})+1 THEN v END) AS hi_h
+       |  FROM c GROUP BY grp),
+       |th AS (SELECT a.grp,
+       |  lo_l + (${idx(TrimLo, "tt.total")} - floor(${idx(TrimLo, "tt.total")}))
+       |    * (hi_l - lo_l) AS lo,
+       |  lo_h + (${idx(TrimHi, "tt.total")} - floor(${idx(TrimHi, "tt.total")}))
+       |    * (hi_h - lo_h) AS hi
+       |  FROM a JOIN tt USING (grp))
+       |SELECT r.doc_id, r.lang, r.cpt
+       |FROM r LEFT JOIN th ON r.lang = th.grp
+       |WHERE th.grp IS NULL OR (r.cpt >= th.lo AND r.cpt <= th.hi)"""
+      .stripMargin
+  }
+
   // length-bucketed batching: rows per accelerator batch
   private val LenBatchSize = 16
 
@@ -3851,6 +3910,7 @@ object Pipeline {
     QueryDef("p66b_hybrid_store", p66b, Some(p66bSql)),
     QueryDef("p69_drift_chi2", p69, Some(p69Sql)),
     QueryDef("p70_sampled_quantiles", p70, Some(p70Sql)),
+    QueryDef("p78_quality_trim", p78, Some(p78Sql)),
     QueryDef("p71_length_batching", p71, Some(p71Sql)),
     QueryDef("p72_dsir_weights", p72, Some(p72Sql)),
     QueryDef("p72b_dsir_select", p72b, Some(p72bSql)),

@@ -1659,6 +1659,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(s1.getLong(1) > 0 && s1.getLong(1) < 101L)
   }
 
+  test("quantileTrim: band edges from the sample, unsampled groups keep everything, null values drop only in thresholded groups") {
+    import spark.implicits._
+    // group a: 1..20, sampleMod=1 (every row sampled) → thresholds are
+    // exact order statistics: lo = lerp(0.1·19) = 2.9, hi =
+    // lerp(0.9·19) = 18.1 → survivors are exactly 3..18
+    val a = (1L to 20L).map(i => (i, "a", Some(i.toDouble)))
+    val nullRow = Seq((21L, "a", None: Option[Double]))
+    val b = Seq((30L, "b", Some(999.0))) // single-value group
+    val rows = (a ++ nullRow ++ b).toDF("id", "src", "v")
+    val kept = Corpus.quantileTrim(rows, "src", "id", "v", 1,
+        loP = 0.1, hiP = 0.9)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == ((3L to 18L).map(_ -> "a") :+ (30L -> "b")).toSet,
+      s"got $kept")
+    // original columns come back untouched
+    assert(Corpus.quantileTrim(rows, "src", "id", "v", 1, 0.1, 0.9)
+      .columns.toSeq == Seq("id", "src", "v"))
+    // a group NONE of whose ids the hash selector picks keeps ALL its
+    // rows — find such an id for mod 5 deterministically
+    val unsampledId = (100L to 200L).find { i =>
+      Seq(i.toString).toDF("s")
+        .select(graft.functions.TextFns.hash32(org.apache.spark.sql
+          .functions.col("s")).as("h"))
+        .head().getLong(0) % 5L != 0L
+    }.get
+    val withOrphan = rows.unionByName(
+      Seq((unsampledId, "orphan", Some(-1e9))).toDF("id", "src", "v"))
+    val keptO = Corpus.quantileTrim(withOrphan, "src", "id", "v", 5,
+        loP = 0.1, hiP = 0.9)
+      .filter(org.apache.spark.sql.functions.col("src") === "orphan")
+      .count()
+    assert(keptO == 1L,
+      "a group with no sampled member must keep its rows")
+  }
+
   test("rrfFuse: fixed-branch-order sums, absent branch adds zero, within-branch dup keeps best rank") {
     import spark.implicits._
     val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
