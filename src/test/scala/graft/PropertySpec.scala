@@ -343,6 +343,69 @@ class PropertySpec extends AnyFunSuite {
     assert(rep > prose, s"repetitive $rep !> prose $prose")
   }
 
+  test("bpeEncode preserves characters: concat(tokens) == concat(normalized words), any corpus, any depth") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    (1 to 3).foreach { i =>
+      val texts = sample(Gen.listOfN(60, rawText), 600L + i)
+      val docs = texts.zipWithIndex
+        .map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val merges = Corpus.bpeLearn(docs, "doc_id", "text", 5 * i)
+      val streams = Corpus.bpeEncode(docs, "doc_id", "text", merges)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val norm = docs
+        .select(col("doc_id"), TextFns.normText(col("text")).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      norm.foreach { case (id, n) =>
+        val expect = n.replace(" ", "")
+        val got = streams.get(id).map(_.mkString).getOrElse("")
+        // merging fuses symbols; it can never create or lose a char
+        assert(got == expect, s"doc $id: '$got' != '$expect'")
+      }
+    }
+  }
+
+  test("quantileTrim survivors are a subset; widening the band is monotone; [0,1] keeps every scored row") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    (1 to 3).foreach { i =>
+      val vals = sample(Gen.listOfN(80,
+        Gen.choose(-1000, 1000)), 700L + i)
+      val rows = vals.zipWithIndex.map { case (v, j) =>
+        (j.toLong, s"g${j % 3}", v.toDouble) }.toDF("id", "src", "v")
+      def kept(lo: Double, hi: Double) =
+        Corpus.quantileTrim(rows, "src", "id", "v", 1, lo, hi)
+          .collect().map(_.getLong(0)).toSet
+      val narrow = kept(0.25, 0.75)
+      val wide = kept(0.1, 0.9)
+      val all = kept(0.0, 1.0)
+      assert(narrow.subsetOf(wide) && wide.subsetOf(all))
+      assert(all.size == vals.length,
+        "the full band with sampleMod=1 must keep every scored row")
+    }
+  }
+
+  test("hammingNearDupPairs: capped results are a subset of uncapped at every cap") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    (1 to 3).foreach { i =>
+      val hs = sample(Gen.listOfN(60,
+        Gen.choose(Long.MinValue, Long.MaxValue)), 800L + i)
+      val df = hs.zipWithIndex.map { case (h, j) => (j.toLong, h) }
+        .toDF("id", "h")
+      def pairs(cap: Long) =
+        Dedup.hammingNearDupPairs(df, "id", "h", maxHamming = 8,
+          maxKeyFreq = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val un = pairs(0L)
+      Seq(1L, 3L, 10L).foreach { c =>
+        assert(pairs(c).subsetOf(un), s"cap $c added pairs")
+      }
+      assert(pairs(60L) == un,
+        "a cap above every key frequency must change nothing")
+    }
+  }
+
   test("splitStats partitions any corpus for any strictly-increasing cuts") {
     import spark.implicits._
     val genIds = Gen.listOfN(120, Gen.choose(Long.MinValue, Long.MaxValue))
