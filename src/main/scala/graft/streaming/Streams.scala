@@ -901,6 +901,103 @@ object Streams {
     }
   }
 
+  /** One micro-batch of the TRIAGE-DRIVEN group ingest — the full
+    * production pipeline under one commit point: the batch triages
+    * against the persisted shingle index ([[graft.operators.Ingest]]),
+    * `route` observes every fate (at-least-once, as in [[ingestBatch]]),
+    * and then the ACCEPTED docs — not the raw batch — feed the shingle
+    * index AND every derived family. This closes the last two-commit-
+    * domain gap: with [[ingestTriage]] for dedup and a separate
+    * [[multiIngest]] for the derived stores, a crash between the two
+    * streams' commits could leave the index holding a batch the
+    * posting/CMS/DSIR stores never saw (or vice versa); here one
+    * `{group}_manifest` row covers them all, and the replay contract
+    * is [[multiIngestBatch]]'s verbatim — prune everywhere, redo
+    * everything, or skip everywhere.
+    *
+    * Triage normalizes its output to (doc_id, text, …) whatever the
+    * input column names, so member families must close over
+    * ("doc_id", "text") — e.g. `StoreFamily.posting(name, "doc_id",
+    * "text")` — regardless of `idCol`/`textCol`.
+    *
+    * The derived families see exactly the docs the index accepted, so
+    * the doc-disjointness contract every append family states is
+    * enforced by construction: a near-dup re-submission is triaged
+    * into `duplicate` and never reaches an append.
+    *
+    * The triage result is computed ONCE and feeds route, the index
+    * append, and all family appends; the session cache is cleared in
+    * `finally` ([[ingestBatch]]'s convention — triage persists shared
+    * subtrees and a foreachBatch loop never returns to a clearing
+    * scope). */
+  def triageMultiIngestBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String,
+      cfg: graft.operators.Ingest.Config, group: String,
+      families: Seq[StoreFamily],
+      route: (DataFrame, Long) => Unit = (_, _) => (),
+      leases: Map[String, String] = Map.empty): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(!families.exists(_.name == cfg.indexName),
+      s"triageMultiIngestBatch: the triage index '${cfg.indexName}' is " +
+        "a group member implicitly — do not list it as a family too")
+    val manifest = s"${group}_manifest"
+    val committed = spark.catalog.tableExists(manifest) &&
+      spark.table(manifest).filter(col("batch_id") === batchId)
+        .head(1).nonEmpty
+    if (!committed) {
+      leases.foreach { case (n, t) =>
+        graft.operators.WriterLease.check(spark, n, t)
+      }
+      graft.operators.ShingleIndex.pruneBatch(spark, cfg.indexName, batchId)
+      families.foreach(_.prune(spark, batchId))
+      val fates = graft.operators.Ingest
+        .triage(batch, idCol, textCol, cfg).persist()
+      try {
+        route(fates, batchId)
+        val accepted = fates.filter(col("fate") === "accepted")
+          .select(col("doc_id"), col("text"))
+        graft.operators.ShingleIndex.append(accepted, "doc_id", "text",
+          cfg.indexName, batchId)
+        families.foreach(_.append(accepted, batchId))
+        Seq(batchId).toDF("batch_id").write.mode("append")
+          .saveAsTable(manifest)
+      } finally spark.catalog.clearCache()
+    }
+    (cfg.indexName +: families.map(_.name)).foreach { n =>
+      val ledger = s"${n}_batches"
+      val has = spark.catalog.tableExists(ledger) &&
+        spark.table(ledger).filter(col("batch_id") === batchId)
+          .head(1).nonEmpty
+      if (!has)
+        Seq(batchId).toDF("batch_id").write.mode("append")
+          .saveAsTable(ledger)
+    }
+  }
+
+  /** The triage-driven group loop: foreachBatch driving
+    * [[triageMultiIngestBatch]] — scrub → quality → Bloom gate →
+    * near-dup triage against the growing shingle index, then every
+    * derived store ingests the accepted docs, all under one manifest
+    * commit per micro-batch. The index and every family must be built
+    * first; compact via [[compactGroup]]/[[compactIndex]] between
+    * restarts. */
+  def triageMultiIngest(docs: DataFrame, idCol: String, textCol: String,
+      cfg: graft.operators.Ingest.Config, group: String,
+      families: Seq[StoreFamily], checkpoint: String,
+      route: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    val leases = (group +: cfg.indexName +: families.map(_.name))
+      .map(n => n -> graft.operators.WriterLease.take(spark, n)).toMap
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((b: DataFrame, id: java.lang.Long) =>
+        triageMultiIngestBatch(b, id, idCol, textCol, cfg, group,
+          families, route, leases))
+      .start()
+  }
+
   /** Compact every member family of a STOPPED group ingest — the
     * group face of [[compactIndex]], one call per maintenance window.
     * Valid precisely because the ledger backfill keeps

@@ -1156,6 +1156,90 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("triage-driven group: accepted docs feed index AND families under one commit; duplicates never reach an append") {
+    import graft.operators.{CmsStore, Corpus, Ingest, PostingIndex, ShingleIndex}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val group = "graft_tgrp"
+    val idx = "graft_tgrp_idx"
+    val nameP = "graft_tgrp_post"
+    val seedDoc = "the curious archivist catalogued seventeen manuscripts " +
+      "before noon and annotated each margin with meticulous cross references"
+    val novel = "a genuinely novel composition about tidal estuaries and " +
+      "the migratory herons that patrol them at first light every autumn"
+    val nearDup = "a genuinely novel composition about tidal estuaries and " +
+      "the migratory herons that patrol them at first light every winter"
+    val novelB = "completely fresh material on basalt columns and the slow " +
+      "geometry of cooling lava fields under a patient northern sky"
+    val cfg = Ingest.Config(idx, minTokens = 5)
+    val fams = Seq(Streams.StoreFamily.posting(nameP, "doc_id", "text"))
+    val seed = Seq((1L, seedDoc)).toDF("doc_id", "text")
+    // query = the seed doc itself: a corpus member on BOTH paths, so
+    // store stats and rebuild stats see the identical doc set
+    def served() = PostingIndex.topK(seed, "doc_id", "text", nameP, 3, 10)
+      .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id")))
+      .sortBy(_._1).toSeq
+    def mem(dfs: org.apache.spark.sql.DataFrame*) =
+      Corpus.bm25TopK(dfs.reduceLeft(_ union _),
+          "doc_id", "text", col("doc_id") === 1L, 3, 10)
+        .collect().map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("doc_id")))
+        .sortBy(_._1).toSeq
+    try {
+      ShingleIndex.build(seed, "doc_id", "text", idx)
+      PostingIndex.build(seed, "doc_id", "text", nameP, buckets = 4)
+      val fates = scala.collection.mutable.Map[Long, String]()
+      val route: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (df, _) => df.collect().foreach(r =>
+          fates(r.getAs[Long]("doc_id")) = r.getAs[String]("fate"))
+      // batch 0: one novel doc + one near-dup of it arriving LATER in
+      // batch 1 + one too-short doc — only accepted docs may land
+      Streams.triageMultiIngestBatch(
+        Seq((10L, novel), (11L, "too short")).toDF("doc_id", "text"),
+        0L, "doc_id", "text", cfg, group, fams, route)
+      assert(fates(10L) == "accepted" && fates(11L) == "low_quality")
+      assert(served() == mem(seed, Seq((10L, novel)).toDF("doc_id", "text")))
+      // batch 1: the near-dup is triaged out BY THE GROWN INDEX — the
+      // posting store must never see it (doc-disjointness by
+      // construction); novelB is accepted
+      Streams.triageMultiIngestBatch(
+        Seq((20L, nearDup), (21L, novelB)).toDF("doc_id", "text"),
+        1L, "doc_id", "text", cfg, group, fams, route)
+      assert(fates(20L) == "duplicate" && fates(21L) == "accepted")
+      val whole = Seq((10L, novel), (21L, novelB)).toDF("doc_id", "text")
+      assert(served() == mem(seed, whole))
+      assert(spark.table(s"${nameP}_post")
+        .filter(col("doc_id") === 20L).count() == 0,
+        "a triaged-out duplicate must never reach a family append")
+      // kill window: index appended batch 2, family didn't, no
+      // manifest — group replay converges both (and route re-fires)
+      val b2 = Seq((30L, novel + " with a small twist at the end"))
+        .toDF("doc_id", "text")
+      ShingleIndex.append(b2, "doc_id", "text", idx, 2L)
+      Streams.triageMultiIngestBatch(b2, 2L, "doc_id", "text", cfg,
+        group, fams, route)
+      // whatever fate doc 30 got, index and posting store agree: if
+      // accepted it is in BOTH, else in NEITHER
+      val inPost = spark.table(s"${nameP}_post")
+        .filter(col("doc_id") === 30L).count() > 0
+      assert(inPost == (fates(30L) == "accepted"),
+        s"fate ${fates(30L)} vs posting presence $inPost")
+      // replay of the committed batch: nothing changes anywhere
+      val before = served()
+      Streams.triageMultiIngestBatch(b2, 2L, "doc_id", "text", cfg,
+        group, fams, route)
+      assert(served() == before)
+      assert(spark.table(s"${group}_manifest").count() == 3)
+      assert(spark.table(s"${idx}_batches").collect()
+        .map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+    } finally {
+      Seq(s"${idx}_idx", s"${idx}_sh", s"${idx}_meta", s"${idx}_batches",
+        s"${nameP}_post", s"${nameP}_stats", s"${nameP}_meta",
+        s"${nameP}_batches", s"${group}_manifest")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("cross-family atomic ingest loop: one writeStream feeds two families; a stray single-family writer turns the group loud") {
     import graft.operators.{CmsStore, Corpus, PostingIndex, WriterLease}
     import org.apache.spark.sql.functions.col
