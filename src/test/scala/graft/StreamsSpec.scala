@@ -1240,6 +1240,52 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("triage-driven group loop: writeStream end-to-end, cross-batch dedup reaches the derived store") {
+    import graft.operators.{CmsStore, Ingest, PostingIndex, ShingleIndex}
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val group = "graft_tloop"
+    val idx = "graft_tloop_idx"
+    val nameC = "graft_tloop_cms"
+    val seedDoc = "the curious archivist catalogued seventeen manuscripts " +
+      "before noon and annotated each margin with meticulous cross references"
+    val novel = "a genuinely novel composition about tidal estuaries and " +
+      "the migratory herons that patrol them at first light every autumn"
+    val nearDup = novel.replace("autumn", "winter")
+    val cfg = Ingest.Config(idx, minTokens = 5)
+    val fams = Seq(Streams.StoreFamily.cms(nameC, "doc_id", "text"))
+    try {
+      val seed = Seq((1L, seedDoc)).toDF("doc_id", "text")
+      ShingleIndex.build(seed, "doc_id", "text", idx)
+      CmsStore.build(seed, "doc_id", "text", nameC, 3, 4, 64)
+      val in = MemoryStream[(Long, String)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tloop_ckpt")
+      val q = Streams.triageMultiIngest(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", cfg, group, fams, ckpt.toString)
+      in.addData((10L, novel))
+      q.processAllAvailable()
+      // batch 2's near-dup of a batch-1 doc: only the grown index
+      // knows — and the CMS store must therefore NOT count it
+      in.addData((20L, nearDup))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+      q.stop()
+      val est = CmsStore.estimateDf(
+          Seq("genuinely novel composition").toDF("ngram"), "ngram", nameC)
+        .collect().head.getLong(1)
+      assert(est == 1L,
+        s"the near-dup must be triaged out before the CMS append, got $est")
+      assert(spark.table(s"${group}_manifest").count() == 2)
+    } finally {
+      Seq(s"${idx}_idx", s"${idx}_sh", s"${idx}_meta", s"${idx}_batches",
+        s"${nameC}_cms", s"${nameC}_meta", s"${nameC}_batches",
+        s"${group}_manifest")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("cross-family atomic ingest loop: one writeStream feeds two families; a stray single-family writer turns the group loud") {
     import graft.operators.{CmsStore, Corpus, PostingIndex, WriterLease}
     import org.apache.spark.sql.functions.col
