@@ -98,12 +98,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_kll k must be an integer literal, got $other")
         }
+        // accept every numeric-literal spelling: SQL's bare 0.5 parses
+        // as DECIMAL (not double), and 0/1 as integers — rejecting
+        // those would force users to write 0.5D for no semantic gain
         val probs = children.drop(2).map {
           case l: org.apache.spark.sql.catalyst.expressions.Literal
-              if l.value != null && l.dataType == org.apache.spark.sql.types.DoubleType =>
-            l.value.asInstanceOf[Double]
+              if l.value != null =>
+            l.value match {
+              case d: java.lang.Double => d.doubleValue()
+              case f: java.lang.Float => f.doubleValue()
+              case d: org.apache.spark.sql.types.Decimal => d.toDouble
+              case i: java.lang.Integer => i.doubleValue()
+              case i: java.lang.Long => i.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"graft_kll probabilities must be numeric literals, got $other")
+            }
           case other => throw new IllegalArgumentException(
-            s"graft_kll probabilities must be double literals, got $other")
+            s"graft_kll probabilities must be numeric literals, got $other")
         }
         KllSketch(children.head, k, probs)
       }))

@@ -1192,6 +1192,14 @@ object Corpus {
     * dropped in thresholded groups (an unscorable row cannot certify
     * membership in the band) and kept in unthresholded ones.
     *
+    * A NOMINAL band edge disables its comparison entirely: hiP = 1.0
+    * means "no upper trim", NOT "at most the sampled maximum" — the
+    * p=1.0 threshold is the SAMPLE's max, and comparing against it
+    * would silently drop the ~1/sampleMod fraction of rows above it
+    * (the highest-quality documents, in the canonical bottom-trim
+    * call). Symmetrically loP = 0.0 disables the lower bound. With
+    * both nominal the operator is the identity (nulls included).
+    *
     * @return the input rows that survive, original columns unchanged
     */
   def quantileTrim(rows: DataFrame, groupCol: String, idCol: String,
@@ -1199,6 +1207,7 @@ object Corpus {
       loP: Double = 0.1, hiP: Double = 1.0): DataFrame = {
     require(loP >= 0 && hiP <= 1 && loP <= hiP,
       s"quantileTrim: need 0 <= loP <= hiP <= 1, got $loP/$hiP")
+    if (loP == 0.0 && hiP == 1.0) return rows
     val v = col(valueCol).cast("double")
     // null scores are excluded from the THRESHOLD sample: they sort
     // first in the cumulative rank and would silently shift every
@@ -1208,9 +1217,10 @@ object Corpus {
         valueCol, sampleMod,
         probs = Seq("_trim_lo" -> loP, "_trim_hi" -> hiP))
       .select(col("grp").as("_trim_grp"), col("_trim_lo"), col("_trim_hi"))
+    val lower = if (loP == 0.0) lit(true) else v >= col("_trim_lo")
+    val upper = if (hiP == 1.0) lit(true) else v <= col("_trim_hi")
     rows.join(broadcast(th), col(groupCol) === col("_trim_grp"), "left")
-      .filter(col("_trim_lo").isNull ||
-        (v >= col("_trim_lo") && v <= col("_trim_hi")))
+      .filter(col("_trim_lo").isNull || (lower && upper))
       .drop("_trim_grp", "_trim_lo", "_trim_hi")
   }
 
@@ -1308,6 +1318,13 @@ object Corpus {
     * [a-z0-9]+ vocabularies take the distributed path. */
   private[graft] val maxLocalVocabWords: Long = 4L << 20
 
+  /** Checkpoint cadence for [[bpeLearnRounds]]: both lineage chains
+    * (logical plan, RDD graph) are bounded at this many rounds — deep
+    * enough to amortize checkpoint IO, far below both measured
+    * failure depths (~150 plan-string OOM, ~90 task-serialization
+    * StackOverflow). */
+  private val BpeCheckpointEvery = 24
+
   /** The per-round distributed merge loop — one vocabulary-scale pair
     * count + a 1-row argmax collect + a pure-map fold per round. The
     * fallback above [[maxLocalVocabWords]]; semantics pinned equal to
@@ -1336,17 +1353,33 @@ object Corpus {
           val b = best.head
           val (l, r) = (b.getString(0), b.getString(1))
           merges += BpeMerge(rnd, l, r, b.getLong(2))
-          // localCheckpoint, not persist: each round's fold nests
-          // another ~20-node expression onto the plan, and a persisted
-          // frame keeps the WHOLE logical lineage — by round ~150 the
-          // plan string alone OOMs the driver (the MMR lineage
-          // pathology, measured here too). Checkpointing truncates the
-          // lineage to the materialized rows, so plan size is
-          // per-round constant however deep the loop goes.
-          val next = vocab
+          // Lineage discipline for a deep iterative loop — BOTH chains
+          // grow one layer per round and both have measured failure
+          // modes: the LOGICAL plan (a ~20-node fold nest per round)
+          // OOMs the driver's plan strings by round ~150 (the MMR
+          // pathology), and the RDD graph StackOverflows task
+          // serialization around depth ~90 (persist short-circuits
+          // computation, not the serialized object walk). So every
+          // [[BpeCheckpointEvery]] rounds the frame CHECKPOINTS —
+          // reliably when the context has a checkpoint dir (set one on
+          // a real cluster: executor loss then recovers from storage),
+          // falling back to localCheckpoint on undirected local runs —
+          // and persists in between, bounding both chains at the
+          // interval length.
+          val spark = vocab.sparkSession
+          val folded = vocab
             .select(col("word"), col("cnt"),
               bpeMergeFold(col("syms"), l, r).as("syms"))
-            .localCheckpoint()
+          val next =
+            if (rnd % BpeCheckpointEvery == 0) {
+              if (spark.sparkContext.getCheckpointDir.isDefined)
+                folded.checkpoint()
+              else folded.localCheckpoint()
+            } else {
+              val n = folded.persist()
+              n.count() // materialize, then free the previous round
+              n
+            }
           vocab.unpersist()
           vocab = next
         }
@@ -1403,8 +1436,15 @@ object Corpus {
     def pack(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
     val pairCnt = mutable.HashMap.empty[Long, Long]
     // words that EVER contained a pair — lazily grown, never shrunk
-    // (membership is re-verified by scanning the word on application)
-    val pairWords = mutable.HashMap.empty[Long, mutable.BitSet]
+    // (membership is re-verified by scanning the word on application).
+    // Sparse int buffers, NOT BitSet: a dense bitmap sizes to the
+    // LARGEST member index (~500 KB for one rare pair containing word
+    // ~4M), so merge-created rare pairs near the gate would multiply
+    // to gigabytes; a buffer costs 4 bytes per actual occurrence —
+    // duplicates tolerated (the verify-scan makes reprocessing a
+    // cheap no-op), total memory ∝ total adjacency, which is the
+    // bound the gate is sized for
+    val pairWords = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Int]]
     def bump(p: Long, d: Long): Unit = {
       val nv = pairCnt.getOrElse(p, 0L) + d
       if (nv == 0L) pairCnt.remove(p) else pairCnt.update(p, nv)
@@ -1416,7 +1456,8 @@ object Corpus {
       while (i < a.length - 1) {
         val p = pack(a(i), a(i + 1))
         bump(p, cnts(w))
-        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+        val pw = pairWords.getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+        if (pw.isEmpty || pw.last != w) pw += w
         i += 1
       }
     }
@@ -1452,7 +1493,12 @@ object Corpus {
           merges += ((rnd, syms(c.l), syms(c.r), c.cnt))
           val winP = pack(c.l, c.r)
           val touched = mutable.HashSet.empty[Long]
-          pairWords.getOrElse(winP, mutable.BitSet.empty).foreach { w =>
+          // iterate a dedup'd snapshot: the buffer may carry duplicate
+          // word entries (same-pair occurrences in one word land once
+          // thanks to the last-check, but a word re-added after a
+          // rebuild can repeat) — each is verified before paying
+          pairWords.getOrElse(winP, mutable.ArrayBuffer.empty[Int])
+            .distinct.foreach { w =>
             val a = words(w)
             // verify (lazy membership) before paying the rebuild
             var has = false
@@ -1480,7 +1526,9 @@ object Corpus {
               i = 0
               while (i < na.length - 1) {
                 val p = pack(na(i), na(i + 1)); bump(p, cnts(w))
-                pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w
+                val pw = pairWords
+                  .getOrElseUpdate(p, mutable.ArrayBuffer.empty[Int])
+                if (pw.isEmpty || pw.last != w) pw += w
                 touched += p; i += 1
               }
             }

@@ -941,6 +941,11 @@ object Streams {
     require(!families.exists(_.name == cfg.indexName),
       s"triageMultiIngestBatch: the triage index '${cfg.indexName}' is " +
         "a group member implicitly — do not list it as a family too")
+    require(families.map(_.name).distinct.size == families.size,
+      "triageMultiIngestBatch: family names must be unique, got " +
+        families.map(_.name).mkString(", ") +
+        " — a repeated family would append the batch twice into one " +
+        "store under one batch_id, which prune/replay cannot repair")
     val manifest = s"${group}_manifest"
     val committed = spark.catalog.tableExists(manifest) &&
       spark.table(manifest).filter(col("batch_id") === batchId)

@@ -82,9 +82,10 @@ class KllSpec extends AnyFunSuite {
     import spark.implicits._
     (1 to 1000).map(i => (i % 2, i.toDouble)).toDF("g", "x")
       .createOrReplaceTempView("kll_in")
-    // double literals (0.5D): a bare 0.5 parses as DECIMAL in SQL
+    // natural SQL literals: bare 0.5 parses as DECIMAL and 1 as an
+    // integer — the builder must accept every numeric spelling
     val rows = spark.sql(
-      "SELECT g, graft_kll(x, 64, 0.5D, 1.0D) AS q " +
+      "SELECT g, graft_kll(x, 64, 0.5, 1) AS q " +
         "FROM kll_in GROUP BY g ORDER BY g").collect()
     // group 0: evens 2..1000 (500 values), group 1: odds 1..999
     val q0 = rows(0).getSeq[Double](1)

@@ -1692,6 +1692,20 @@ class PipelineSpec extends AnyFunSuite {
       .count()
     assert(keptO == 1L,
       "a group with no sampled member must keep its rows")
+    // a NOMINAL upper edge (hiP = 1.0) means NO upper trim — rows
+    // above the SAMPLED maximum must survive (the sample's p=1.0 is
+    // the sample max, not the population max); same for loP = 0.0.
+    // Plant an unsampled extreme row: trimmed only by an active edge.
+    val hiRow = Seq((unsampledId, "a", Some(1e9))).toDF("id", "src", "v")
+    val bottomOnly = Corpus.quantileTrim(rows.unionByName(hiRow),
+        "src", "id", "v", 5, loP = 0.1, hiP = 1.0)
+      .filter(org.apache.spark.sql.functions.col("id") === unsampledId)
+      .count()
+    assert(bottomOnly == 1L,
+      "hiP=1.0 must not clamp to the sampled max")
+    // both edges nominal: the identity, nulls included
+    assert(Corpus.quantileTrim(rows, "src", "id", "v", 5, 0.0, 1.0)
+      .count() == rows.count())
   }
 
   test("rrfFuse: fixed-branch-order sums, absent branch adds zero, within-branch dup keeps best rank") {
