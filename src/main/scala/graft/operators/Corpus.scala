@@ -1318,13 +1318,6 @@ object Corpus {
     * [a-z0-9]+ vocabularies take the distributed path. */
   private[graft] val maxLocalVocabWords: Long = 4L << 20
 
-  /** Checkpoint cadence for [[bpeLearnRounds]]: both lineage chains
-    * (logical plan, RDD graph) are bounded at this many rounds — deep
-    * enough to amortize checkpoint IO, far below both measured
-    * failure depths (~150 plan-string OOM, ~90 task-serialization
-    * StackOverflow). */
-  private val BpeCheckpointEvery = 24
-
   /** The per-round distributed merge loop — one vocabulary-scale pair
     * count + a 1-row argmax collect + a pure-map fold per round. The
     * fallback above [[maxLocalVocabWords]]; semantics pinned equal to
@@ -1354,32 +1347,29 @@ object Corpus {
           val (l, r) = (b.getString(0), b.getString(1))
           merges += BpeMerge(rnd, l, r, b.getLong(2))
           // Lineage discipline for a deep iterative loop — BOTH chains
-          // grow one layer per round and both have measured failure
-          // modes: the LOGICAL plan (a ~20-node fold nest per round)
-          // OOMs the driver's plan strings by round ~150 (the MMR
-          // pathology), and the RDD graph StackOverflows task
-          // serialization around depth ~90 (persist short-circuits
-          // computation, not the serialized object walk). So every
-          // [[BpeCheckpointEvery]] rounds the frame CHECKPOINTS —
-          // reliably when the context has a checkpoint dir (set one on
-          // a real cluster: executor loss then recovers from storage),
-          // falling back to localCheckpoint on undirected local runs —
-          // and persists in between, bounding both chains at the
-          // interval length.
+          // grow per round and both have failure modes MEASURED IN
+          // THIS LOOP: un-truncated logical plans OOM the driver's
+          // plan strings by round ~150 (the MMR pathology — persist
+          // alone does not stop it; the fold's multiply-referenced
+          // syms column re-inlines under CollapseProject), and raw
+          // RDD graphs StackOverflow task serialization around depth
+          // ~90 (persist short-circuits computation, not the
+          // serialized object walk). Checkpointing every round bounds
+          // both chains at depth 1: RELIABLY when the context has a
+          // checkpoint dir — set one on a real cluster; this
+          // above-the-gate path runs precisely where executors get
+          // reclaimed, and reliable checkpoints survive that —
+          // falling back to localCheckpoint on undirected local runs
+          // (fast, executor-resident; a lost executor there means
+          // rerun, which local mode cannot hit).
           val spark = vocab.sparkSession
           val folded = vocab
             .select(col("word"), col("cnt"),
               bpeMergeFold(col("syms"), l, r).as("syms"))
           val next =
-            if (rnd % BpeCheckpointEvery == 0) {
-              if (spark.sparkContext.getCheckpointDir.isDefined)
-                folded.checkpoint()
-              else folded.localCheckpoint()
-            } else {
-              val n = folded.persist()
-              n.count() // materialize, then free the previous round
-              n
-            }
+            if (spark.sparkContext.getCheckpointDir.isDefined)
+              folded.checkpoint()
+            else folded.localCheckpoint()
           vocab.unpersist()
           vocab = next
         }

@@ -109,7 +109,11 @@ class BpeSpec extends AnyFunSuite {
     val vocab = Corpus.bpeVocab(docs, "text").persist()
     try {
       vocab.count()
-      // deep enough that both loops hit the no-pair-left early stop
+      // deep enough that both loops hit the no-pair-left early stop;
+      // a checkpoint dir routes the distributed loop through its
+      // RELIABLE per-round checkpoint branch (the cluster path)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_bpe_ckpt").toString)
       val local = Corpus.bpeLearnLocal(vocab, 200)
       val dist = Corpus.bpeLearnRounds(vocab, 200)
       assert(local.nonEmpty && local.size < 200,
