@@ -13,10 +13,61 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** A pluggable canonical-text normalizer: every tokenizing operator
+    * (shingles/dedup, BM25, BPE) threads one of these with
+    * [[normText]] as the default, so an ASCII corpus keeps today's
+    * exact bytes (and floors) while a multilingual corpus opts into
+    * [[normTextUnicode]] at the call site — one parameter, no parallel
+    * operator family. */
+  type Normalizer = Column => Column
+
   /** Canonical text form for exact dedup: lowercase, collapse whitespace,
-    * strip non [a-z0-9 ]. */
+    * strip non [a-z0-9 ]. ASCII-only BY DESIGN — on non-Latin text every
+    * char strips and the doc tokenizes to EMPTY (then fails quality
+    * gates, grows no shingles, no BM25 terms). Multilingual corpora must
+    * pass [[normTextUnicode]] instead; this stays the default because
+    * its output (and therefore every md5-derived hash, floor, and oracle
+    * in the ASCII pipeline) is byte-frozen. */
   def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Unicode canonical text form — the multilingual [[Normalizer]]:
+    * Unicode-normalize (NFC by default: composed and decomposed forms of
+    * the same text become the same bytes, so every md5-keyed operator
+    * compares CONTENT not encoding history), lowercase, space-delimit
+    * each CJK ideograph/kana (whitespace tokenization is meaningless on
+    * unsegmented scripts — character unigrams are the standard fallback,
+    * giving CJK text real shingles/BM25 terms/BPE words), strip
+    * everything outside letters/combining marks/digits (marks KEPT:
+    * stripping them shreds Devanagari/Arabic/Hebrew words, and NFC
+    * cannot compose every mark), collapse whitespace.
+    *
+    * On pure-ASCII input this is byte-identical to [[normText]]
+    * (PipelineSpec pins it over the sf0.001 corpus): ASCII letters are
+    * \p{L}, digits \p{N}, NFC and lower are identity/ASCII-stable, no
+    * CJK to space — so threading it through an ASCII corpus changes
+    * nothing.
+    *
+    * Cross-engine: every step has an exact DuckDB twin
+    * (nfc_normalize + lower + RE2 \p classes — p79 hash-gates the whole
+    * chain). NFC rather than NFKC is the ORACLE-GATED default because
+    * DuckDB exposes only NFC; NFKC (width/ligature/compatibility
+    * folding) is available via `form = "NFKC"` and spec-gated on golden
+    * codepoints in [[graft.expressions.UnicodeNormalize]]. Avoid relying
+    * on lower() for the few LOCALE-SENSITIVE codepoints (U+0130, final
+    * sigma): Java full case mapping and utf8proc's per-codepoint
+    * mapping disagree there.
+    */
+  def normTextUnicode(c: Column, form: String = "NFC"): Column = {
+    val cjkSpaced = regexp_replace(lower(unicodeNorm(c, form)),
+      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+    trim(regexp_replace(
+      regexp_replace(cjkSpaced, "[^\\p{L}\\p{M}\\p{N}]", " "), " +", " "))
+  }
+
+  /** The [[normTextUnicode]] chain as a [[Normalizer]] value. */
+  def unicodeNormalizer(form: String = "NFC"): Normalizer =
+    c => normTextUnicode(c, form)
 
   /** Unicode normalization via the native [[graft.expressions
     * .UnicodeNormalize]] expression (ASCII rows pass through without
@@ -147,4 +198,54 @@ object TextFns {
     * identical semantics to the oracle's list_filter count). */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  // ---- script-aware language ID ---------------------------------------
+
+  /** The stopword profiles usable as the LATIN-script fallback of
+    * [[scriptLangId]]: [[LangProfiles]] minus the romanized-pinyin "zh"
+    * entry (script evidence decides CJK long before stopwords run). */
+  val LatinProfiles: Seq[(String, Seq[String])] =
+    LangProfiles.filterNot(_._1 == "zh")
+
+  /** (lang, Unicode scripts) for script-aware language ID, with the
+    * decision THRESHOLD num/den of the text's letter+mark chars that
+    * must belong to the script. Order is the decision order: kana → ja
+    * FIRST (Japanese is kanji+kana, so any kana share decides before
+    * the Han rule can call it Chinese; Chinese has no kana), then the
+    * single-script languages at 30%. Integer cross-multiplication keeps
+    * every comparison exact in both engines. */
+  val ScriptLangs: Seq[(String, Seq[String], Int, Int)] = Seq(
+    ("ja", Seq("Hiragana", "Katakana"), 1, 10),
+    ("zh", Seq("Han"), 3, 10),
+    ("ko", Seq("Hangul"), 3, 10),
+    ("ru", Seq("Cyrillic"), 3, 10),
+    ("ar", Seq("Arabic"), 3, 10),
+    ("hi", Seq("Devanagari"), 3, 10),
+    ("el", Seq("Greek"), 3, 10))
+
+  /** Chars of `c` inside the Java regex character class `clsBody`
+    * (codepoint count, same arithmetic as DuckDB's length − length
+    * after removal — both engines count codepoints). */
+  def charClassCount(c: Column, clsBody: String): Column =
+    length(c) - length(regexp_replace(c, s"[$clsBody]", ""))
+
+  /** Script-aware language ID over NFC-normalized raw text (`nfc` —
+    * counts run BEFORE tokenization; punctuation never enters any
+    * count): each [[ScriptLangs]] rule fires when its script's char
+    * share of the letter+mark population clears the threshold, a text
+    * with NO letters/marks is "und", and anything left (Latin-script
+    * text) falls through to `fallback` — typically the
+    * [[LatinProfiles]] stopword argmax. The whole decision is one
+    * codegen'd when-chain over length-diff counts: no UDF, no explode,
+    * linear scans per script class. */
+  def scriptLangId(nfc: Column, fallback: Column): Column = {
+    val nLm = charClassCount(nfc, "\\p{L}\\p{M}")
+    val chain = ScriptLangs.foldRight(fallback) {
+      case ((lang, scripts, num, den), rest) =>
+        val cnt = charClassCount(nfc,
+          scripts.map(s => s"\\p{Is$s}").mkString)
+        when(cnt * den >= nLm * num, lit(lang)).otherwise(rest)
+    }
+    when(nLm === 0, lit("und")).otherwise(chain)
+  }
 }

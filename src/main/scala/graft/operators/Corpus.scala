@@ -772,7 +772,8 @@ object Corpus {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queryPred: Column, nQueryTerms: Int, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(nQueryTerms >= 1 && k >= 1,
       s"bm25TopK: need positive nQueryTerms/k, got $nQueryTerms/$k")
     // the fixed-order sum compiles to nQueryTerms aggregate columns —
@@ -785,14 +786,14 @@ object Corpus {
         "selectivity instead")
     val toks = docs
       .select(col(idCol).as("doc_id"),
-        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+        TextFns.tokens(norm(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")))
     // 1-row corpus stats broadcast into the plan (no driver action);
     // avgdl is ONE division of two exact integers
     val stats = toks.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qterms = bm25QueryTerms(docs.filter(queryPred), idCol, textCol,
-      nQueryTerms)
+      nQueryTerms, norm)
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -805,10 +806,11 @@ object Corpus {
     * position (min over duplicate slots — never an index into
     * array_distinct output, whose order DuckDB does not guarantee). */
   private[operators] def bm25QueryTerms(queries: DataFrame, idCol: String,
-      textCol: String, nQueryTerms: Int): DataFrame =
+      textCol: String, nQueryTerms: Int,
+      norm: Column => Column = TextFns.normText): DataFrame =
     queries
       .select(col(idCol).as("query_id"),
-        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+        TextFns.tokens(norm(col(textCol))).as("toks"))
       .select(col("query_id"), posexplode(slice(col("toks"), 1, nQueryTerms)))
       .groupBy(col("query_id"), col("col"))
       .agg((min(col("pos")) + 1).as("pos"))
@@ -1188,7 +1190,7 @@ object Corpus {
     *
     * Groups with NO sampled member (small domains the hash selector
     * missed) keep ALL their rows — no threshold evidence is not
-    * evidence for dropping a domain; rows with a NULL value are
+    * evidence for dropping a domain; rows with a NULL or NaN value are
     * dropped in thresholded groups (an unscorable row cannot certify
     * membership in the band) and kept in unthresholded ones.
     *
@@ -1209,18 +1211,23 @@ object Corpus {
       s"quantileTrim: need 0 <= loP <= hiP <= 1, got $loP/$hiP")
     if (loP == 0.0 && hiP == 1.0) return rows
     val v = col(valueCol).cast("double")
-    // null scores are excluded from the THRESHOLD sample: they sort
-    // first in the cumulative rank and would silently shift every
-    // band edge (they are separately dropped from thresholded groups
-    // by the filter below — unscorable ≠ rank zero)
-    val th = sampledQuantiles(rows.filter(v.isNotNull), groupCol, idCol,
+    // null AND NaN scores are excluded from the THRESHOLD sample: nulls
+    // sort first in the cumulative rank and would silently shift every
+    // band edge; a NaN sorts GREATEST in Spark, so one NaN in a group's
+    // sample makes the lerped upper edge NaN and silently disables the
+    // upper trim for the whole group (KllSketch skips NaN for the same
+    // reason). Both are separately dropped from thresholded groups by
+    // the filter below — unscorable ≠ rank zero, and NaN >= lo is
+    // vacuously true under Spark's NaN-greatest comparison semantics.
+    val scorable = v.isNotNull && !isnan(v)
+    val th = sampledQuantiles(rows.filter(scorable), groupCol, idCol,
         valueCol, sampleMod,
         probs = Seq("_trim_lo" -> loP, "_trim_hi" -> hiP))
       .select(col("grp").as("_trim_grp"), col("_trim_lo"), col("_trim_hi"))
     val lower = if (loP == 0.0) lit(true) else v >= col("_trim_lo")
     val upper = if (hiP == 1.0) lit(true) else v <= col("_trim_hi")
     rows.join(broadcast(th), col(groupCol) === col("_trim_grp"), "left")
-      .filter(col("_trim_lo").isNull || (lower && upper))
+      .filter(col("_trim_lo").isNull || (scorable && lower && upper))
       .drop("_trim_grp", "_trim_lo", "_trim_hi")
   }
 
@@ -1253,9 +1260,10 @@ object Corpus {
     * (word, cnt, syms) with syms the word's current symbol list
     * (initially its characters). ONE corpus-scale shuffle; everything
     * after is vocabulary-scale. */
-  private[graft] def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+  private[graft] def bpeVocab(docs: DataFrame, textCol: String,
+      norm: Column => Column = TextFns.normText): DataFrame =
     docs
-      .select(explode(TextFns.tokens(TextFns.normText(col(textCol))))
+      .select(explode(TextFns.tokens(norm(col(textCol))))
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"),
@@ -1287,23 +1295,44 @@ object Corpus {
     * round. Both paths implement the identical statistic — all
     * adjacent pairs with multiplicity, weighted by word frequency;
     * greedy left-to-right non-overlapping application; ties break
-    * lexicographically on (lft, rgt), binary string order over the
-    * ASCII token alphabet — so the learned merges are equal by
+    * lexicographically on (lft, rgt) in UTF-8 binary ≡ codepoint order
+    * over any token alphabet — so the learned merges are equal by
     * construction and BpeSpec pins the equality path-vs-path. Stops
     * early if no pair remains (every word fused to one symbol).
     */
   def bpeLearn(docs: DataFrame, idCol: String, textCol: String,
-      rounds: Int): Seq[BpeMerge] = {
+      rounds: Int,
+      norm: Column => Column = TextFns.normText): Seq[BpeMerge] =
+    bpeLearnGated(docs, textCol, rounds, norm,
+      maxLocalVocabWords, maxLocalSymbolMass)
+
+  /** [[bpeLearn]] with the single-task gates injectable — the spec
+    * seam proving the word-count and symbol-mass bounds each force the
+    * distributed path independently. */
+  private[graft] def bpeLearnGated(docs: DataFrame, textCol: String,
+      rounds: Int, norm: Column => Column,
+      maxWords: Long, maxMass: Long): Seq[BpeMerge] = {
     require(rounds >= 1 && rounds <= 65536,
       s"bpeLearn: rounds must be in [1, 65536], got $rounds")
-    val vocab = bpeVocab(docs, textCol).persist()
+    val vocab = bpeVocab(docs, textCol, norm).persist()
     try {
-      val nWords = vocab.count() // materialize before the loop re-reads
-      if (nWords <= maxLocalVocabWords) bpeLearnLocal(vocab, rounds)
+      // materialize BOTH gate statistics before the loop re-reads: the
+      // single-task trainer's memory scales with total symbol MASS
+      // (pairWords buffers ∝ adjacency ∝ Σ|syms|), not just distinct-
+      // word count — a vocabulary of <4M but LONG tokens (hex/base64
+      // blobs, minified runs) must take the distributed path too
+      val gate = vocab
+        .agg(count(lit(1)).as("n"), sum(size(col("syms"))).as("mass"))
+        .collect().head
+      val nWords = gate.getLong(0)
+      val symMass = if (gate.isNullAt(1)) 0L else gate.getLong(1)
+      if (nWords <= maxWords && symMass <= maxMass)
+        bpeLearnLocal(vocab, rounds)
       else {
         require(rounds <= 256,
-          s"bpeLearn: $nWords distinct words exceed the single-task " +
-            s"gate ($maxLocalVocabWords) and the distributed fallback " +
+          s"bpeLearn: $nWords distinct words / $symMass symbols exceed " +
+            s"the single-task gate ($maxWords words, " +
+            s"$maxMass symbols) and the distributed fallback " +
             s"costs one Spark job per round — capped at 256 rounds, " +
             s"got $rounds; shard or pre-filter the corpus vocabulary")
         bpeLearnRounds(vocab, rounds)
@@ -1318,6 +1347,13 @@ object Corpus {
     * [a-z0-9]+ vocabularies take the distributed path. */
   private[graft] val maxLocalVocabWords: Long = 4L << 20
 
+  /** Companion single-task gate on TOTAL SYMBOL MASS (Σ|syms| over the
+    * vocabulary): [[localBpe]]'s pairWords buffers cost ~4 bytes per
+    * adjacency, so 64M symbols ≈ a few hundred MB of int buffers plus
+    * the word arrays — an executor task's memory, with headroom for
+    * merge-created pair churn. Either bound exceeded → distributed. */
+  private[graft] val maxLocalSymbolMass: Long = 64L << 20
+
   /** The per-round distributed merge loop — one vocabulary-scale pair
     * count + a 1-row argmax collect + a pure-map fold per round. The
     * fallback above [[maxLocalVocabWords]]; semantics pinned equal to
@@ -1329,6 +1365,27 @@ object Corpus {
     var vocab = vocab0
     val merges = scala.collection.mutable.ListBuffer[BpeMerge]()
     var done = false
+    // Reliable-checkpoint housekeeping: Spark never deletes reliable
+    // checkpoint files (cleanCheckpoints is off by default), so a
+    // 256-round run would otherwise leave 256 vocabulary-scale rdd-*
+    // directories behind. Each round's checkpoint dir is identified by
+    // a before/after listing diff of the context checkpoint root and
+    // the PREDECESSOR's dir is deleted once its successor has
+    // materialized (checkpoint() is eager). Assumes no concurrent
+    // reliable checkpoints in this SparkContext during the call — true
+    // for this engine (the only other deep loop, MMR, localCheckpoints).
+    val sc0 = vocab0.sparkSession.sparkContext
+    val ckptRoot = sc0.getCheckpointDir
+      .map(d => new org.apache.hadoop.fs.Path(d))
+    val ckptFs = ckptRoot.map(_.getFileSystem(sc0.hadoopConfiguration))
+    def listCkpt(): Set[String] = (for { r <- ckptRoot; f <- ckptFs } yield
+      if (f.exists(r)) f.listStatus(r).map(_.getPath.getName).toSet
+      else Set.empty[String]).getOrElse(Set.empty)
+    def dropCkpt(names: Set[String]): Unit =
+      for { r <- ckptRoot; f <- ckptFs; n <- names } {
+        f.delete(new org.apache.hadoop.fs.Path(r, n), true); ()
+      }
+    var prevCkpt = Set.empty[String]
     (1 to rounds).foreach { rnd =>
       if (!done) {
         val n = size(col("syms"))
@@ -1367,15 +1424,23 @@ object Corpus {
             .select(col("word"), col("cnt"),
               bpeMergeFold(col("syms"), l, r).as("syms"))
           val next =
-            if (spark.sparkContext.getCheckpointDir.isDefined)
-              folded.checkpoint()
-            else folded.localCheckpoint()
+            if (spark.sparkContext.getCheckpointDir.isDefined) {
+              val before = listCkpt()
+              val ck = folded.checkpoint()
+              val created = listCkpt() -- before
+              dropCkpt(prevCkpt) // successor is materialized; predecessor dies
+              prevCkpt = created
+              ck
+            } else folded.localCheckpoint()
           vocab.unpersist()
           vocab = next
         }
       }
     }
     vocab.unpersist()
+    // the merges are already local rows — the final generation's
+    // checkpoint has no further reader either
+    dropCkpt(prevCkpt)
     merges.toList
   }
 
@@ -1406,10 +1471,29 @@ object Corpus {
     * the distributed path:
     *   - pair statistic: ALL adjacent pairs with multiplicity,
     *     weighted by word cnt (the zip_with-slices explode);
-    *   - winner: max count, ties by (lft, rgt) ascending — ASCII-only
-    *     symbols, so Java String order ≡ Spark's UTF-8 binary order;
+    *   - winner: max count, ties by (lft, rgt) ascending in codepoint
+    *     order ([[cpCompare]] ≡ Spark's UTF-8 binary order, for every
+    *     alphabet the pluggable normalizers can emit);
     *   - application: greedy left-to-right non-overlapping, the
     *     [[bpeMergeFold]] fold's semantics. */
+  /** Code-POINT lexicographic compare — the same order as Spark's
+    * UTF-8 binary string ordering for EVERY codepoint (UTF-8 bytes
+    * preserve codepoint order; Java's String.compareTo orders by UTF-16
+    * unit and ranks supplementary-plane chars below U+E000..U+FFFF).
+    * With a Unicode [[graft.functions.TextFns.Normalizer]] feeding BPE,
+    * the local and distributed paths must break count ties identically
+    * — this keeps the BpeSpec path-equality contract alphabet-wide, not
+    * just for ASCII. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0; var r = 0
+    while (r == 0 && i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      r = Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    if (r != 0) r else Integer.compare(a.length - i, b.length - j)
+  }
+
   private def localBpe(it: Iterator[(Long, Seq[String])],
       rounds: Int): Seq[(Int, String, String, Long)] = {
     import scala.collection.mutable
@@ -1458,8 +1542,8 @@ object Corpus {
       val c = java.lang.Long.compare(a.cnt, b.cnt)
       if (c != 0) c
       else {
-        val sl = syms(b.l).compareTo(syms(a.l))
-        if (sl != 0) sl else syms(b.r).compareTo(syms(a.r))
+        val sl = cpCompare(syms(b.l), syms(a.l))
+        if (sl != 0) sl else cpCompare(syms(b.r), syms(a.r))
       }
     }
     val heap = mutable.PriorityQueue.empty[Cand](ord)
@@ -1554,10 +1638,11 @@ object Corpus {
     *         symbols after all merges (n_tokens <= chars, >= n_words)
     */
   def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[BpeMerge]): DataFrame = {
+      merges: Seq[BpeMerge],
+      norm: Column => Column = TextFns.normText): DataFrame = {
     val words = docs
       .select(col(idCol).as("doc_id"),
-        explode(TextFns.tokens(TextFns.normText(col(textCol))))
+        explode(TextFns.tokens(norm(col(textCol))))
           .as("word"))
     val folded = merges.foldLeft(
       filter(split(col("word"), ""), s => s =!= "")) { (syms, m) =>
@@ -1586,10 +1671,11 @@ object Corpus {
     *         symbols in word order, each word's symbols in fold order
     */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[BpeMerge]): DataFrame = {
+      merges: Seq[BpeMerge],
+      norm: Column => Column = TextFns.normText): DataFrame = {
     val words = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(TextFns.tokens(TextFns.normText(col(textCol))))
+        posexplode(TextFns.tokens(norm(col(textCol))))
           .as(Seq("pos", "word")))
     val folded = merges.foldLeft(
       filter(split(col("word"), ""), s => s =!= "")) { (syms, m) =>

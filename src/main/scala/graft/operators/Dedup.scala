@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -37,11 +37,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup: group by md5(normText). Returns one row per distinct
-    * normalized text: the keeper (min id), the duplicate count. */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Exact dedup: group by md5(norm(text)). Returns one row per distinct
+    * normalized text: the keeper (min id), the duplicate count.
+    *
+    * @param norm pluggable canonicalizer ([[TextFns.Normalizer]]);
+    *   defaults to the byte-frozen ASCII [[normText]] — pass
+    *   [[graft.functions.TextFns.unicodeNormalizer]] on multilingual
+    *   corpora (ASCII docs hash identically either way) */
+  def exact(docs: DataFrame, idCol: String, textCol: String,
+      norm: Column => Column = normText): DataFrame =
     docs
-      .select(col(idCol), md5(normText(col(textCol))).as("text_hash"))
+      .select(col(idCol), md5(norm(col(textCol))).as("text_hash"))
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -53,11 +59,12 @@ object Dedup {
     * referenced multiple times by the shingle expression, so
     * CollapseProject keeps it as an attribute and the tokenizer runs
     * once per row instead of once per shingle lambda-invocation. */
-  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+  def shingleDocs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      norm: Column => Column = normText): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
-        tokens(normText(col(textCol))).as("toks"))
+        tokens(norm(col(textCol))).as("toks"))
       .select(col("doc_id"), wordShingles(col("toks"), n).as("shingles"))
 
   /** Exact n-gram Jaccard pairs with similarity ≥ num/den (an integer
@@ -80,10 +87,11 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, num: Int = 7, den: Int = 10,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = None,
+      norm: Column => Column = normText): DataFrame = {
     // persisted: both sides of the pair self-join and the two size
     // lookups read it — without this the whole shingle pipeline runs 4×.
-    val sh = shingleDocs(docs, idCol, textCol, n).persist()
+    val sh = shingleDocs(docs, idCol, textCol, n, norm).persist()
     val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
     maxDocFreq match {
       case None =>
@@ -407,7 +415,7 @@ object Dedup {
     * are long arithmetic over that array. */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame =
+      n: Int, k: Int, norm: Column => Column = normText): DataFrame =
     // zero-shingle docs (empty/whitespace/punctuation-only) must not
     // get a signature: array_min over nothing is a NULL element whose
     // band keys hash identically, pairing every empty doc with every
@@ -422,7 +430,7 @@ object Dedup {
     // (measured 1.8×). Pair consumers drop NULL sigs from the CACHED
     // frame (see minhashLshPairs), where no recompute is possible; the
     // oracle mirrors with WHERE len(shingles) > 0 — the same doc set.
-    shingleDocs(docs, idCol, textCol, n)
+    shingleDocs(docs, idCol, textCol, n, norm)
       .select(col("doc_id"), col("shingles"),
         transform(col("shingles"), s => hash32(s)).as("hashes"))
       .select(col("doc_id"), col("shingles"),
@@ -440,11 +448,12 @@ object Dedup {
   def minhashLshPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, k: Int = 32, bands: Int = 8,
-      num: Int = 7, den: Int = 10): DataFrame = {
+      num: Int = 7, den: Int = 10,
+      norm: Column => Column = normText): DataFrame = {
     require(k % bands == 0, s"bands=$bands must divide k=$k")
     // persisted: sigs feeds the band keys AND the verify-stage shingle
     // lookups; keys feeds both sides of the bucket self-join.
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k).persist()
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k, norm).persist()
     // zero-shingle docs (NULL sig) drop HERE, above the persist
     // boundary: the predicate reads the cached sig column through the
     // InMemoryRelation, so unlike a filter below the cache it can never
@@ -474,11 +483,12 @@ object Dedup {
     * shingleDocs: repartition for parallelism, tokens then token-hashes
     * as their own projections (the 60 bit-probes reference the hash
     * array 120×). */
-  def simhashDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashDocs(docs: DataFrame, idCol: String, textCol: String,
+      norm: Column => Column = normText): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
-        tokens(normText(col(textCol))).as("toks"))
+        tokens(norm(col(textCol))).as("toks"))
       .select(col("doc_id"), transform(col("toks"), t => hash60(t)).as("th"))
       .select(col("doc_id"), simhash60(col("th")).as("simhash"))
 
@@ -491,8 +501,8 @@ object Dedup {
     * scale. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxDist: Int = 3): DataFrame = {
-    val fp = simhashDocs(docs, idCol, textCol)
+      maxDist: Int = 3, norm: Column => Column = normText): DataFrame = {
+    val fp = simhashDocs(docs, idCol, textCol, norm)
     // persisted: both sides of the block self-join
     val blocks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map { blk =>

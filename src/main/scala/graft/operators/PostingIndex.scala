@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted BM25 posting index — retrieval served from disk without
@@ -42,10 +42,10 @@ import org.apache.spark.sql.functions._
 object PostingIndex {
 
   private def postings(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String, norm: Column => Column): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
-        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+        TextFns.tokens(norm(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")))
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -53,25 +53,33 @@ object PostingIndex {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
 
   private def statsRow(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame =
+      textCol: String, norm: Column => Column): DataFrame =
     docs
-      .select(size(TextFns.tokens(TextFns.normText(col(textCol)))).as("dl"))
+      .select(size(TextFns.tokens(norm(col(textCol)))).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
-  /** Create (overwrite) the index over a base corpus (batch −1). */
+  /** Create (overwrite) the index over a base corpus (batch −1).
+    *
+    * @param norm pluggable text canonicalizer; the SAME normalizer must
+    *   be used for build, every append, and every query against the
+    *   store (the tokenization defines the term space — mixing
+    *   normalizers would split one term into unjoinable spellings).
+    *   Defaults to the byte-frozen ASCII [[TextFns.normText]]; pass
+    *   [[TextFns.unicodeNormalizer]] for multilingual corpora. */
   def build(docs: DataFrame, idCol: String, textCol: String, name: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = 32,
+      norm: Column => Column = TextFns.normText): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ledger dropped with the data: see ShingleIndex.build
     Seq(s"${name}_post", s"${name}_stats", s"${name}_meta",
         s"${name}_batches")
       .foreach(ShingleIndex.dropTable(spark, _))
-    postings(docs, idCol, textCol)
+    postings(docs, idCol, textCol, norm)
       .withColumn("batch_id", lit(ShingleIndex.BaseBatch))
       .write.partitionBy("batch_id").bucketBy(buckets, "term").sortBy("term")
       .mode("overwrite").saveAsTable(s"${name}_post")
-    statsRow(docs, idCol, textCol)
+    statsRow(docs, idCol, textCol, norm)
       .withColumn("batch_id", lit(ShingleIndex.BaseBatch))
       .coalesce(1)
       .write.partitionBy("batch_id").mode("overwrite")
@@ -98,12 +106,15 @@ object PostingIndex {
     * replace a doc, ingest it under a fresh id and drop the old one
     * at [[compact]] time, or rebuild. */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      name: String, batchId: Long): Unit = {
+      name: String, batchId: Long,
+      norm: Column => Column = TextFns.normText): Unit = {
     ShingleIndex.insertByName(
-      postings(docs, idCol, textCol).withColumn("batch_id", lit(batchId)),
+      postings(docs, idCol, textCol, norm)
+        .withColumn("batch_id", lit(batchId)),
       s"${name}_post")
     ShingleIndex.insertByName(
-      statsRow(docs, idCol, textCol).withColumn("batch_id", lit(batchId))
+      statsRow(docs, idCol, textCol, norm)
+        .withColumn("batch_id", lit(batchId))
         .coalesce(1),
       s"${name}_stats")
   }
@@ -150,7 +161,8 @@ object PostingIndex {
   def topK(queries: DataFrame, idCol: String, textCol: String,
       name: String, nQueryTerms: Int, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(nQueryTerms >= 1 && nQueryTerms <= 128 && k >= 1,
       s"topK: need 1 <= nQueryTerms <= 128 and k >= 1, got $nQueryTerms/$k")
     val spark = queries.sparkSession
@@ -158,7 +170,8 @@ object PostingIndex {
     // deliberate: the query set is bounded, and a persist here would
     // put a pinned frame inside a returned lazy plan (the
     // caller-clears-cache convention can't reach it)
-    val qterms = Corpus.bm25QueryTerms(queries, idCol, textCol, nQueryTerms)
+    val qterms = Corpus.bm25QueryTerms(queries, idCol, textCol, nQueryTerms,
+      norm)
     val terms = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     val tf = spark.table(s"${name}_post")

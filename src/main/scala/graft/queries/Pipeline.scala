@@ -3403,6 +3403,150 @@ object Pipeline {
       .stripMargin
   }
 
+  // ---- multilingual text pipeline (p79/p80) -------------------------------
+
+  /** Planted multilingual fixture rows (negative ids — disjoint from the
+    * generated corpus, which is ASCII-only and would make a Unicode
+    * oracle row vacuous): unsegmented Chinese, Japanese kana+kanji,
+    * Hangul, Cyrillic, Arabic, Greek, Devanagari with combining vowel
+    * signs, PRE-COMPOSED and explicitly DECOMPOSED Latin accents (the
+    * ́-spelled row reaches both engines as the same decomposed
+    * codepoints, so NFC composition itself is under test), full-width
+    * forms + a ligature (NFC must NOT fold them — that's NFKC), and
+    * empty/whitespace-only edges. Spliced VERBATIM into both the Spark
+    * plan and the DuckDB VALUES clause, so both engines normalize
+    * identical inputs. Deliberately absent: U+0130/final-sigma-in-caps
+    * (the few codepoints where Java full case mapping and utf8proc's
+    * per-codepoint lower() disagree — see TextFns.normTextUnicode). */
+  private val MultilingualFixture: Seq[(Long, String)] = Seq(
+    -1L -> "Привет МИР это тестовый документ на русском языке!",
+    -2L -> "日本語のテキストです。カタカナとひらがなと漢字、句読点あり",
+    -3L -> "这是一个中文测试文档，没有空格。标点符号！",
+    -4L -> "مرحبا بالعالم هذا نص عربي للاختبار",
+    -5L -> "한국어 텍스트 문서입니다",
+    -6L -> "Café résumé naïve déjà vu — el niño español",
+    -7L -> "Café résumé déjà vu",
+    -8L -> "Ελληνικά κείμενο δοκιμής",
+    -9L -> "नमस्ते दुनिया यह हिंदी पाठ है",
+    -10L -> "Mixed English with 日本語 and Русский words, plus 123 numbers",
+    -11L -> "ＦＵＬＬＷＩＤＴＨ ｔｅｘｔ １２３ and the ﬁne ligature",
+    -12L -> "",
+    -13L -> "   \t\n  ")
+
+  private def fixtureValuesSql: String =
+    MultilingualFixture.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+    }.mkString(", ")
+
+  /** documents ∪ fixture — the input of both multilingual queries, at
+    * every scale (the fixture exercises the Unicode paths; the corpus
+    * keeps the queries honest about the ASCII fast path and volume). */
+  private def docsWithFixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.df(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(MultilingualFixture.toDF("doc_id", "text"))
+  }
+
+  /** DuckDB twin of TextFns.normTextUnicode (NFC form): nfc_normalize +
+    * lower + CJK char spacing + [^\p{L}\p{M}\p{N}] strip + collapse.
+    * RE2 script classes mirror Java's \p{IsX} spellings. */
+  private def normUniSql(c: String) =
+    s"trim(regexp_replace(regexp_replace(regexp_replace(" +
+      s"lower(nfc_normalize($c)), " +
+      "'([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g'), " +
+      "'[^\\p{L}\\p{M}\\p{N}]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Unicode-aware canonicalization, oracle-gated end-to-end: the full
+    * graft_normalize(NFC) → lower → CJK-space → \p-class strip chain
+    * hash-compared against DuckDB's independent implementation
+    * (nfc_normalize + utf8proc lower + RE2) over the real corpus PLUS
+    * the planted multilingual fixture. md5 hashes the normalized BYTES,
+    * so a green row proves byte-identical normalization — the property
+    * every md5-keyed operator downstream (dedup, shingles, BM25 terms,
+    * BPE words) inherits when threading TextFns.unicodeNormalizer. */
+  private def p79(spark: SparkSession, dir: String): DataFrame =
+    docsWithFixture(spark, dir)
+      .select(col("doc_id"),
+        TextFns.normTextUnicode(col("text")).as("norm_text"))
+      .select(col("doc_id"), col("norm_text"),
+        size(TextFns.tokens(col("norm_text"))).cast("long").as("n_tokens"),
+        md5(col("norm_text")).as("text_hash"))
+
+  private val p79Sql =
+    s"""WITH mul(doc_id, text) AS (VALUES $fixtureValuesSql),
+       |u AS (SELECT doc_id, text FROM documents
+       |      UNION ALL SELECT doc_id, text FROM mul),
+       |n AS (SELECT doc_id, ${normUniSql("text")} AS norm_text FROM u)
+       |SELECT doc_id, norm_text,
+       |  CAST(len(${toksSql("norm_text")}) AS BIGINT) AS n_tokens,
+       |  md5(norm_text) AS text_hash
+       |FROM n""".stripMargin
+
+  /** Script-aware language ID (TextFns.scriptLangId): codepoint-block
+    * evidence decides non-Latin scripts (kana→ja before Han→zh, then
+    * Hangul/Cyrillic/Arabic/Devanagari/Greek at 30% of letter+mark
+    * chars — integer cross-multiplied, exact in both engines), no
+    * letters at all → 'und', and Latin-script text falls through to
+    * the p08 stopword argmax (en/de/fr/es). Replaces nothing: p08 stays
+    * as the ASCII-profile baseline; this is the multilingual face. */
+  private def p80(spark: SparkSession, dir: String): DataFrame = {
+    val base = docsWithFixture(spark, dir)
+      .select(col("doc_id"),
+        TextFns.unicodeNorm(col("text"), "NFC").as("nfc"))
+      .select(col("doc_id"), col("nfc"),
+        TextFns.tokens(TextFns.normTextUnicode(col("nfc"))).as("toks"))
+    val scored = base.select(Seq(col("doc_id"), col("nfc")) ++
+      TextFns.LatinProfiles.map { case (l, words) =>
+        TextFns.stopwordHits(col("toks"), words).as(s"s_$l")
+      }: _*)
+    val langs = TextFns.LatinProfiles.map(_._1)
+    val fallback = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val beats = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(beats, lit(l)).otherwise(rest)
+    }
+    scored.select(col("doc_id"),
+      TextFns.scriptLangId(col("nfc"), fallback).as("lang_pred"))
+  }
+
+  private val p80Sql = {
+    val scoreCols = TextFns.LatinProfiles.map { case (l, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(toks, tk -> list_contains($list, tk))) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextFns.LatinProfiles.map(_._1)
+    val latinCases = langs.init.map { l =>
+      val beats = langs.filter(_ != l).map(o => s"s_$l >= s_$o")
+        .mkString(" AND ")
+      s"WHEN $beats THEN '$l'"
+    }.mkString(" ")
+    val scriptCnts = TextFns.ScriptLangs.map { case (lang, scripts, _, _) =>
+      val cls = scripts.map(s => s"\\p{$s}").mkString
+      s"length(nfc) - length(regexp_replace(nfc, '[$cls]', '', 'g')) AS c_$lang"
+    }.mkString(",\n    ")
+    val scriptCases = TextFns.ScriptLangs.map { case (lang, _, num, den) =>
+      s"WHEN c_$lang * $den >= n_lm * $num THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH mul(doc_id, text) AS (VALUES $fixtureValuesSql),
+       |u AS (SELECT doc_id, text FROM documents
+       |      UNION ALL SELECT doc_id, text FROM mul),
+       |b AS (SELECT doc_id, nfc_normalize(text) AS nfc FROM u),
+       |t AS (SELECT doc_id, nfc, ${toksSql(normUniSql("nfc"))} AS toks
+       |      FROM b),
+       |sc AS (SELECT doc_id,
+       |    length(nfc) - length(regexp_replace(nfc, '[\\p{L}\\p{M}]', '', 'g'))
+       |      AS n_lm,
+       |    $scriptCnts,
+       |    $scoreCols
+       |  FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN n_lm = 0 THEN 'und'
+       |    $scriptCases
+       |    ELSE CASE $latinCases ELSE '${langs.last}' END
+       |  END AS lang_pred
+       |FROM sc""".stripMargin
+  }
+
   // length-bucketed batching: rows per accelerator batch
   private val LenBatchSize = 16
 
@@ -3918,5 +4062,7 @@ object Pipeline {
     QueryDef("p74_hard_negatives", p74, Some(p74Sql)),
     QueryDef("p75_dsir_store", p75, Some(p72Sql)),
     QueryDef("p74b_hard_negatives_store", p74b, Some(p74bSql)),
-    QueryDef("p76_sample_store", p76, Some(p73Sql)))
+    QueryDef("p76_sample_store", p76, Some(p73Sql)),
+    QueryDef("p79_unicode_norm", p79, Some(p79Sql)),
+    QueryDef("p80_langid_script", p80, Some(p80Sql)))
 }

@@ -69,7 +69,12 @@ object Streams {
         call_function("graft_kll",
           col(valueCol).cast("double") +: lit(k) +: probs.map(lit): _*)
           .as("quantiles"),
-        count(lit(1)).as("n_events"))
+        // n_events counts the SKETCH POPULATION — non-null, non-NaN
+        // values, exactly the rows graft_kll ingests — so a window of
+        // all-null values reports 0 alongside its NULL quantiles
+        // rather than a positive count describing nothing
+        count(when(!isnan(col(valueCol).cast("double")),
+          col(valueCol))).as("n_events"))
       .select(col("win.start").as("window_start"), col("event_type"),
         col("quantiles"), col("n_events"))
 

@@ -112,14 +112,80 @@ class BpeSpec extends AnyFunSuite {
       // deep enough that both loops hit the no-pair-left early stop;
       // a checkpoint dir routes the distributed loop through its
       // RELIABLE per-round checkpoint branch (the cluster path)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft_bpe_ckpt").toString)
+      val ckptBase = java.nio.file.Files.createTempDirectory("graft_bpe_ckpt")
+      spark.sparkContext.setCheckpointDir(ckptBase.toString)
       val local = Corpus.bpeLearnLocal(vocab, 200)
       val dist = Corpus.bpeLearnRounds(vocab, 200)
       assert(local.nonEmpty && local.size < 200,
         s"expected early exhaustion, got ${local.size} merges")
       assert(local == dist)
+      // housekeeping contract: each round deletes its predecessor's
+      // reliable checkpoint once the successor materializes, and the
+      // final one dies with the loop — no vocabulary-scale rdd-* dirs
+      // may survive the call (cleanCheckpoints is off by default, so
+      // nothing else would ever collect them)
+      val leftover = java.nio.file.Files.walk(ckptBase).iterator()
+      val rdds = scala.jdk.CollectionConverters.IteratorHasAsScala(leftover)
+        .asScala.filter(_.getFileName.toString.startsWith("rdd-")).toList
+      assert(rdds.isEmpty, s"leaked checkpoints: $rdds")
     } finally { vocab.unpersist(); () }
+  }
+
+  test("single-task gates: word count and symbol MASS each force the distributed path") {
+    // 3 distinct words but huge total symbol mass relative to a tiny
+    // injected mass gate → must refuse >256 rounds (the distributed
+    // loop's cap), proving the routing looked at Σ|syms|, not just the
+    // distinct count; same corpus under real gates runs single-task
+    val docs = docsOf("abcdefghij abcdefghij klmnopqrst uvwxyzabcd")
+    val norm = graft.functions.TextFns.normText _
+    val byMass = intercept[IllegalArgumentException] {
+      Corpus.bpeLearnGated(docs, "text", rounds = 300, norm,
+        maxWords = 1000000L, maxMass = 5L)
+    }
+    assert(byMass.getMessage.contains("single-task gate"))
+    val byWords = intercept[IllegalArgumentException] {
+      Corpus.bpeLearnGated(docs, "text", rounds = 300, norm,
+        maxWords = 2L, maxMass = 1000000L)
+    }
+    assert(byWords.getMessage.contains("single-task gate"))
+    // inside both gates: the 300-round ask is legal single-task work
+    val m = Corpus.bpeLearnGated(docs, "text", rounds = 300, norm,
+      maxWords = 1000000L, maxMass = 1000000L)
+    assert(m.nonEmpty)
+    // and the small gates still learn the SAME merges when the round
+    // count is distributed-legal — routing must never change semantics
+    val dist = Corpus.bpeLearnGated(docs, "text", rounds = 20, norm,
+      maxWords = 2L, maxMass = 1000000L)
+    assert(dist == m.take(dist.size))
+  }
+
+  test("unicode normalizer: CJK corpus learns real merges, local and distributed agree") {
+    import graft.functions.TextFns
+    // unsegmented CJK under the Unicode normalizer becomes char-unigram
+    // words; BPE then re-fuses frequent adjacencies... of single-char
+    // words there are none, so ALSO give it katakana-free Cyrillic words
+    // whose multi-char tokens carry pairs — and pin that the ASCII
+    // normalizer would have destroyed all of it (zero vocab, no merges)
+    val docs = docsOf("это тест это тест это", "причёска причём причём")
+    val norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      TextFns.unicodeNormalizer()
+    val vocab = Corpus.bpeVocab(docs, "text", norm).persist()
+    try {
+      vocab.count()
+      val local = Corpus.bpeLearnLocal(vocab, 50)
+      val dist = Corpus.bpeLearnRounds(vocab, 50)
+      assert(local == dist)
+      assert(local.nonEmpty)
+      // round 1 must fuse the dominant Cyrillic pair: "причём" x2 +
+      // "причёска" x1 share п-р-и-ч-ё prefix pairs (weight 3 each);
+      // "это" x3 + "тест" x2 give (э,т)=3, (т,о)=3, (т,е)=2, (е,с)=2,
+      // (с,т)=2 — so the top count is 3 with a lexicographic tie-break
+      assert(local.head.cnt == 3L)
+    } finally { vocab.unpersist(); () }
+    // the ASCII normalizer on the same corpus: every doc normalizes to
+    // empty → empty vocabulary → zero merges (the exact silent-death
+    // mode the Unicode path exists to prevent)
+    assert(Corpus.bpeLearn(docs, "doc_id", "text", 5).isEmpty)
   }
 
   test("rounds beyond the old per-round-job cap run through the single-task loop") {

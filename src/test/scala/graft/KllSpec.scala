@@ -110,11 +110,16 @@ class KllSpec extends AnyFunSuite {
       .outputMode("update").start()
     try {
       // window [0,10): values 1..9; window [10,20): values 10,20,30
+      // plus one NaN row the sketch skips — n_events reports the SKETCH
+      // POPULATION (3), not the raw row count (4): a count that
+      // includes rows the quantiles never saw would overstate the
+      // population the quantiles describe
       in.addData((1 to 9).map(i =>
         (i.toLong, ts(i), s"u$i", "click", i.toDouble)): _*)
       in.addData(Seq((10L, ts(11), "u1", "click", 10.0),
         (11L, ts(12), "u2", "click", 20.0),
-        (12L, ts(13), "u3", "click", 30.0)): _*)
+        (12L, ts(13), "u3", "click", 30.0),
+        (13L, ts(14), "u4", "click", Double.NaN)): _*)
       q.processAllAvailable()
       val out = spark.table("kll_win")
         .select(col("window_start"), col("quantiles"), col("n_events"))

@@ -41,6 +41,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(5).mkString("\n"))
   }
 
+  test("normTextUnicode is byte-identical to normText on the ASCII corpus (no floor churn)") {
+    import graft.functions.TextFns
+    // the Unicode chain's ASCII fast path must reproduce normText
+    // EXACTLY — every hash, shingle, term, and floor in the ASCII
+    // pipeline depends on those bytes (<=> catches null-vs-"" drift too)
+    val diff = docs.select(
+        TextFns.normText(col("text")).as("a"),
+        TextFns.normTextUnicode(col("text")).as("u"))
+      .filter(!(col("a") <=> col("u"))).count()
+    assert(diff == 0L)
+  }
+
+  test("unicode normalizer threads end-to-end: NFC dedups spellings, CJK shingles pair, CJK BM25 retrieves; ASCII norm silently destroys the same corpus") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val uni: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      TextFns.unicodeNormalizer()
+    val d = Seq(
+      (1L, "Café déjà vu"),
+      (2L, "Café déjà vu"), // decomposed spelling of 1
+      (3L, "这是一个中文测试文档没有空格这是一个测试"),
+      (4L, "这是一个中文测试文档没有空格这是一个测话"), // one char off 3
+      (5L, "完全不同的内容和别的汉字组成没有重叠"))
+      .toDF("doc_id", "text")
+    // exact dedup under NFC: composed and decomposed accents are ONE
+    // text (keep_id 1, n_copies 2); the CJK docs stay distinct
+    val ex = Dedup.exact(d, "doc_id", "text", uni).collect()
+    assert(ex.length == 4)
+    val dup = ex.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dup.length == 1 && dup.head.getAs[Long]("keep_id") == 1L)
+    // the ASCII default on the same corpus: all three CJK docs
+    // normalize to "" and collapse into ONE bogus dup group — the
+    // silent corpus destruction the Unicode path exists to prevent
+    val exAscii = Dedup.exact(d.filter(col("doc_id") >= 3L),
+      "doc_id", "text").collect()
+    assert(exAscii.length == 1 &&
+      exAscii.head.getAs[Long]("n_copies") == 3L)
+    // char-unigram shingles from the CJK spacing: doc 4 (one char off
+    // doc 3) is an exact-Jaccard near-dup; the unrelated doc 5 is not
+    val pairs = Dedup.ngramJaccardPairs(d.filter(col("doc_id") >= 3L),
+        "doc_id", "text", n = 3, num = 6, den = 10, norm = uni)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)), s"got $pairs")
+    // BM25 over char-unigram terms: doc 3 as the query retrieves its
+    // near-dup first (ASCII norm would have produced zero terms)
+    val bm = Corpus.bm25TopK(d, "doc_id", "text",
+        col("doc_id") === 3L, nQueryTerms = 16, k = 2, norm = uni)
+      .collect().sortBy(_.getAs[Int]("rnk"))
+    assert(bm.nonEmpty && bm.head.getAs[Long]("doc_id") == 4L)
+  }
+
   test("exact dedup: keepers unique, copy counts sum to row count") {
     val d = Dedup.exact(docs, "doc_id", "text").collect()
     assert(d.map(_.getAs[Long]("keep_id")).distinct.length == d.length)
@@ -1706,6 +1757,38 @@ class PipelineSpec extends AnyFunSuite {
     // both edges nominal: the identity, nulls included
     assert(Corpus.quantileTrim(rows, "src", "id", "v", 5, 0.0, 1.0)
       .count() == rows.count())
+  }
+
+  test("quantileTrim: NaN scores neither poison the band edges nor sneak past them") {
+    import spark.implicits._
+    val a = (1L to 20L).map(i => (i, "a", i.toDouble))
+    val nanRow = Seq((21L, "a", Double.NaN))
+    val rows = (a ++ nanRow).toDF("id", "src", "v")
+    // NaN sorts GREATEST in Spark: unfiltered it would become the
+    // sample's upper order statistic and lerp the hi edge to NaN,
+    // silently disabling the upper trim. With the guard, thresholds
+    // are the same 2.9/18.1 as the NaN-free fixture and the NaN row
+    // itself drops (unscorable ≠ in-band).
+    val kept = Corpus.quantileTrim(rows, "src", "id", "v", 1,
+        loP = 0.1, hiP = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == (3L to 18L).toSet, s"got $kept")
+    // NaN must drop even when only the LOWER edge is active: before
+    // the guard, NaN >= lo was vacuously true under NaN-greatest
+    // comparison semantics and the row survived a bottom-trim
+    val bottomKept = Corpus.quantileTrim(rows, "src", "id", "v", 1,
+        loP = 0.1, hiP = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(!bottomKept.contains(21L), "NaN passed a bottom-only trim")
+    // in an UNthresholded group NaN rows are kept, like nulls
+    val orphan = rows.unionByName(Seq((99L, "zz", Double.NaN))
+      .toDF("id", "src", "v"))
+    // "zz" has one row; with sampleMod=1 it IS sampled — but its only
+    // value is NaN, so the group has NO scorable sample → no threshold
+    val keptZ = Corpus.quantileTrim(orphan, "src", "id", "v", 1,
+        loP = 0.1, hiP = 0.9)
+      .filter(col("src") === "zz").count()
+    assert(keptZ == 1L, "group with no scorable sample must keep rows")
   }
 
   test("rrfFuse: fixed-branch-order sums, absent branch adds zero, within-branch dup keeps best rank") {
