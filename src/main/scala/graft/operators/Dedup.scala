@@ -229,10 +229,11 @@ object Dedup {
   def incrementalNearDupPairs(
       oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
       textCol: String, n: Int = 5, num: Int = 7, den: Int = 10,
-      maxDocFreq: Int = 20): DataFrame = {
-    val shOld = shingleDocs(oldDocs, idCol, textCol, n)
+      maxDocFreq: Int = 20,
+      norm: Column => Column = normText): DataFrame = {
+    val shOld = shingleDocs(oldDocs, idCol, textCol, n, norm)
       .select(col("doc_id"), col("shingles"), lit(false).as("is_new"))
-    val shNew = shingleDocs(newDocs, idCol, textCol, n)
+    val shNew = shingleDocs(newDocs, idCol, textCol, n, norm)
       .select(col("doc_id"), col("shingles"), lit(true).as("is_new"))
     val sh = shOld.unionByName(shNew).persist()
     val invf = cappedIndex(sh, maxDocFreq, "is_new")

@@ -46,13 +46,22 @@ object Ingest {
     *   (None disables the decontamination gate)
     * @param bloomN / bloomMinHits the gate's n-gram width / hit floor
     * @param minTokens quality floor (whitespace tokens after scrub)
-    * @param num/den/maxDocFreq near-dup Jaccard threshold + df cap */
+    * @param num/den/maxDocFreq near-dup Jaccard threshold + df cap
+    * @param norm pluggable canonicalizer for the quality gate's token
+    *   count AND the triage probe's shingles — must match the
+    *   normalizer the shingle index was built with. The ASCII default
+    *   silently fails EVERY non-Latin doc as `low_quality` (its token
+    *   count is 0); a multilingual ingest passes
+    *   [[graft.functions.TextFns.unicodeNormalizer]] here and at
+    *   [[ShingleIndex.build]] */
   final case class Config(
       indexName: String,
       evalSketch: Option[Array[Byte]] = None,
       bloomN: Int = 8, bloomMinHits: Int = 2,
       minTokens: Int = 10,
-      num: Int = 7, den: Int = 10, maxDocFreq: Int = 20)
+      num: Int = 7, den: Int = 10, maxDocFreq: Int = 20,
+      norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextFns.normText)
 
   /** @return (doc_id, text [redacted], n_tokens, fate, dup_of) — fate ∈
     *         low_quality | contaminated | duplicate | accepted; dup_of
@@ -84,7 +93,7 @@ object Ingest {
     // takes no branch) straight to "accepted" — a contentless doc must
     // fail the quality gate like the empty string does
     val gated0 = scrubbed.select(col("doc_id"), col("text"),
-      coalesce(size(TextFns.tokens(TextFns.normText(col("text"))))
+      coalesce(size(TextFns.tokens(cfg.norm(col("text"))))
         .cast("long"), lit(0L)).as("n_tokens"))
     val gated = cfg.evalSketch match {
       case Some(sk) => graft.streaming.Streams
@@ -112,7 +121,7 @@ object Ingest {
     val survivors = triaged0.filter(col("_gate").isNull)
       .select(col("doc_id"), col("text"))
     val pairs = ShingleIndex.incrementalPairs(survivors, "doc_id", "text",
-      cfg.indexName, cfg.num, cfg.den, cfg.maxDocFreq)
+      cfg.indexName, cfg.num, cfg.den, cfg.maxDocFreq, cfg.norm)
     // drop rule: new×old drops the new doc; new×new (emitted once with
     // new_id < match_id) drops the LARGER id — min(dup_of) makes the
     // report deterministic when a doc matches several keepers

@@ -72,9 +72,17 @@ object ShingleIndex {
     * @param parts partition-directory count for `{name}_idx` (the file-
     *   pruning granularity). The posting write repartitions by `p` so
     *   file count stays ~parts·buckets (each task holds ~1 partition
-    *   value), not tasks·parts·buckets. */
+    *   value), not tasks·parts·buckets.
+    * @param norm pluggable canonicalizer; the SAME normalizer must be
+    *   used for build, every append, and every incrementalPairs probe
+    *   (shingle hashes define the match space — mixing normalizers
+    *   splits one text into unjoinable spellings). ASCII default;
+    *   [[graft.functions.TextFns.unicodeNormalizer]] for multilingual
+    *   corpora. */
   def build(docs: DataFrame, idCol: String, textCol: String, name: String,
-      n: Int = 5, buckets: Int = 32, parts: Int = 64): Unit = {
+      n: Int = 5, buckets: Int = 32, parts: Int = 64,
+      norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFns.normText): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     // the ledger goes too: a rebuilt index starts a NEW batch-id
@@ -85,7 +93,7 @@ object ShingleIndex {
       .foreach(dropTable(spark, _))
     // persisted across the two writes: without it the whole corpus
     // normalize/tokenize/shingle scan runs twice — once per table
-    val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
+    val sh = Dedup.shingleDocs(docs, idCol, textCol, n, norm).persist()
     try {
       postings(sh, parts, BaseBatch)
         .write.partitionBy("p", "batch_id").bucketBy(buckets, "s").sortBy("s")
@@ -152,10 +160,12 @@ object ShingleIndex {
     *   caller has no replay, but a ledger-guarded stream MUST pass its
     *   real batch id or replay repair has nothing to prune. */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      name: String, batchId: Long = BaseBatch): Unit = {
+      name: String, batchId: Long = BaseBatch,
+      norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFns.normText): Unit = {
     val (n, _, parts) = meta(docs.sparkSession, name)
     // persisted for the same two-writes reason as in build
-    val sh = Dedup.shingleDocs(docs, idCol, textCol, n).persist()
+    val sh = Dedup.shingleDocs(docs, idCol, textCol, n, norm).persist()
     try {
       insertByName(postings(sh, parts, batchId), s"${name}_idx")
       insertByName(sh.withColumn("batch_id", lit(batchId)), s"${name}_sh")
@@ -289,10 +299,12 @@ object ShingleIndex {
     * @return (new_id, match_id, inter, union_sz, match_is_new) */
   def incrementalPairs(newDocs: DataFrame, idCol: String, textCol: String,
       name: String, num: Int = 7, den: Int = 10,
-      maxDocFreq: Int = 20): DataFrame = {
+      maxDocFreq: Int = 20,
+      norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFns.normText): DataFrame = {
     val spark = newDocs.sparkSession
     val (n, _, parts) = meta(spark, name)
-    val shNew = Dedup.shingleDocs(newDocs, idCol, textCol, n).persist()
+    val shNew = Dedup.shingleDocs(newDocs, idCol, textCol, n, norm).persist()
     val newInv = shNew.select(col("doc_id"),
       explode(transform(col("shingles"), s => hash60(s))).as("s"))
     // FILE pruning: the batch can only match postings whose partition

@@ -367,7 +367,7 @@ object Streams {
         graft.operators.ShingleIndex.append(
           fates.filter(col("fate") === "accepted")
             .select(col("doc_id"), col("text")),
-          "doc_id", "text", cfg.indexName, batchId)
+          "doc_id", "text", cfg.indexName, batchId, cfg.norm)
         Seq(batchId).toDF("batch_id").write.mode("append").saveAsTable(ledger)
       } finally {
         // the callees (Ingest.triage → ShingleIndex.incrementalPairs)
@@ -968,7 +968,7 @@ object Streams {
         val accepted = fates.filter(col("fate") === "accepted")
           .select(col("doc_id"), col("text"))
         graft.operators.ShingleIndex.append(accepted, "doc_id", "text",
-          cfg.indexName, batchId)
+          cfg.indexName, batchId, cfg.norm)
         families.foreach(_.append(accepted, batchId))
         Seq(batchId).toDF("batch_id").write.mode("append")
           .saveAsTable(manifest)
