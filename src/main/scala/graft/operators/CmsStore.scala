@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted count-min sketch — corpus-wide n-gram document-frequency
@@ -44,13 +44,14 @@ object CmsStore {
 
   /** Create (overwrite) the store from a base corpus (batch −1). */
   def build(docs: DataFrame, idCol: String, textCol: String, name: String,
-      n: Int = 3, depth: Int = 4, width: Int = 65536): Unit = {
+      n: Int = 3, depth: Int = 4, width: Int = 65536,
+      norm: Column => Column = graft.functions.TextFns.normText): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     // ledger dropped with the data: see ShingleIndex.build
     Seq(s"${name}_cms", s"${name}_meta", s"${name}_batches")
       .foreach(ShingleIndex.dropTable(spark, _))
-    Corpus.cmsNgramMatrix(docs, idCol, textCol, n, depth, width)
+    Corpus.cmsNgramMatrix(docs, idCol, textCol, n, depth, width, norm)
       .withColumn("batch_id", lit(ShingleIndex.BaseBatch))
       .coalesce(1) // the matrix is ≤ depth·width rows — one file per batch
       .write.partitionBy("batch_id").mode("overwrite")
@@ -63,10 +64,11 @@ object CmsStore {
     * batch matrix builds with the STORED geometry; nothing already
     * written is read or touched. */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      name: String, batchId: Long): Unit = {
+      name: String, batchId: Long,
+      norm: Column => Column = graft.functions.TextFns.normText): Unit = {
     val (n, depth, width) = meta(docs.sparkSession, name)
     ShingleIndex.insertByName(
-      Corpus.cmsNgramMatrix(docs, idCol, textCol, n, depth, width)
+      Corpus.cmsNgramMatrix(docs, idCol, textCol, n, depth, width, norm)
         .withColumn("batch_id", lit(batchId))
         .coalesce(1),
       s"${name}_cms")

@@ -887,10 +887,11 @@ object Corpus {
     * @return (rw, bucket, cnt) — at most depth·width rows
     */
   def cmsNgramMatrix(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, depth: Int, width: Int): DataFrame = {
+      n: Int, depth: Int, width: Int,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(depth >= 1 && width >= 1,
       s"cmsNgramMatrix: need positive depth/width, got $depth/$width")
-    Dedup.shingleDocs(docs, idCol, textCol, n)
+    Dedup.shingleDocs(docs, idCol, textCol, n, norm)
       .select(explode(col("shingles")).as("ngram"))
       .select(explode(sequence(lit(0), lit(depth - 1))).as("rw"), col("ngram"))
       .select(col("rw"),
@@ -1386,62 +1387,71 @@ object Corpus {
         f.delete(new org.apache.hadoop.fs.Path(r, n), true); ()
       }
     var prevCkpt = Set.empty[String]
-    (1 to rounds).foreach { rnd =>
-      if (!done) {
-        val n = size(col("syms"))
-        val best = vocab
-          .select(col("cnt"),
-            explode(zip_with(slice(col("syms"), lit(1), n - 1),
-              slice(col("syms"), lit(2), n - 1),
-              (l, r) => struct(l.as("l"), r.as("r")))).as("pr"))
-          .groupBy(col("pr.l").as("lft"), col("pr.r").as("rgt"))
-          .agg(sum(col("cnt")).as("cnt"))
-          .orderBy(col("cnt").desc, col("lft"), col("rgt"))
-          .limit(1).collect()
-        if (best.isEmpty) done = true
-        else {
-          val b = best.head
-          val (l, r) = (b.getString(0), b.getString(1))
-          merges += BpeMerge(rnd, l, r, b.getLong(2))
-          // Lineage discipline for a deep iterative loop — BOTH chains
-          // grow per round and both have failure modes MEASURED IN
-          // THIS LOOP: un-truncated logical plans OOM the driver's
-          // plan strings by round ~150 (the MMR pathology — persist
-          // alone does not stop it; the fold's multiply-referenced
-          // syms column re-inlines under CollapseProject), and raw
-          // RDD graphs StackOverflow task serialization around depth
-          // ~90 (persist short-circuits computation, not the
-          // serialized object walk). Checkpointing every round bounds
-          // both chains at depth 1: RELIABLY when the context has a
-          // checkpoint dir — set one on a real cluster; this
-          // above-the-gate path runs precisely where executors get
-          // reclaimed, and reliable checkpoints survive that —
-          // falling back to localCheckpoint on undirected local runs
-          // (fast, executor-resident; a lost executor there means
-          // rerun, which local mode cannot hit).
-          val spark = vocab.sparkSession
-          val folded = vocab
-            .select(col("word"), col("cnt"),
-              bpeMergeFold(col("syms"), l, r).as("syms"))
-          val next =
-            if (spark.sparkContext.getCheckpointDir.isDefined) {
-              val before = listCkpt()
-              val ck = folded.checkpoint()
-              val created = listCkpt() -- before
-              dropCkpt(prevCkpt) // successor is materialized; predecessor dies
-              prevCkpt = created
-              ck
-            } else folded.localCheckpoint()
-          vocab.unpersist()
-          vocab = next
+    try {
+      (1 to rounds).foreach { rnd =>
+        if (!done) {
+          val n = size(col("syms"))
+          val best = vocab
+            .select(col("cnt"),
+              explode(zip_with(slice(col("syms"), lit(1), n - 1),
+                slice(col("syms"), lit(2), n - 1),
+                (l, r) => struct(l.as("l"), r.as("r")))).as("pr"))
+            .groupBy(col("pr.l").as("lft"), col("pr.r").as("rgt"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .orderBy(col("cnt").desc, col("lft"), col("rgt"))
+            .limit(1).collect()
+          if (best.isEmpty) done = true
+          else {
+            val b = best.head
+            val (l, r) = (b.getString(0), b.getString(1))
+            merges += BpeMerge(rnd, l, r, b.getLong(2))
+            // Lineage discipline for a deep iterative loop — BOTH chains
+            // grow per round and both have failure modes MEASURED IN
+            // THIS LOOP: un-truncated logical plans OOM the driver's
+            // plan strings by round ~150 (the MMR pathology — persist
+            // alone does not stop it; the fold's multiply-referenced
+            // syms column re-inlines under CollapseProject), and raw
+            // RDD graphs StackOverflow task serialization around depth
+            // ~90 (persist short-circuits computation, not the
+            // serialized object walk). Checkpointing every round bounds
+            // both chains at depth 1: RELIABLY when the context has a
+            // checkpoint dir — set one on a real cluster; this
+            // above-the-gate path runs precisely where executors get
+            // reclaimed, and reliable checkpoints survive that —
+            // falling back to localCheckpoint on undirected local runs
+            // (fast, executor-resident; a lost executor there means
+            // rerun, which local mode cannot hit).
+            val spark = vocab.sparkSession
+            val folded = vocab
+              .select(col("word"), col("cnt"),
+                bpeMergeFold(col("syms"), l, r).as("syms"))
+            val next =
+              if (spark.sparkContext.getCheckpointDir.isDefined) {
+                val before = listCkpt()
+                val ck = folded.checkpoint()
+                val created = listCkpt() -- before
+                // track the successor BEFORE deleting the predecessor:
+                // if the delete throws, the finally below still knows
+                // which dir is live and collects it on the way out
+                val old = prevCkpt
+                prevCkpt = created
+                dropCkpt(old) // successor is materialized; predecessor dies
+                ck
+              } else folded.localCheckpoint()
+            vocab.unpersist()
+            vocab = next
+          }
         }
       }
+      merges.toList
+    } finally {
+      vocab.unpersist()
+      // runs on success AND failure: the merges are already local rows
+      // (or abandoned), so the last generation's checkpoint has no
+      // further reader — without this, an exception mid-loop would
+      // leak a vocabulary-scale rdd-* dir forever
+      dropCkpt(prevCkpt)
     }
-    vocab.unpersist()
-    // the merges are already local rows — the final generation's
-    // checkpoint has no further reader either
-    dropCkpt(prevCkpt)
-    merges.toList
   }
 
   /** The single-task merge loop: the whole vocabulary rides into ONE
@@ -1790,11 +1800,13 @@ object Corpus {
     * @return (doc_id, n_feats, weight)
     */
   def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame =
+      textCol: String, buckets: Int,
+      norm: Column => Column = TextFns.normText): DataFrame =
     dsirScore(raw, idCol, textCol, buckets,
-      collectDsirHist(dsirHistogram(raw, idCol, textCol, buckets), buckets),
-      collectDsirHist(dsirHistogram(target, idCol, textCol, buckets),
-        buckets))
+      collectDsirHist(dsirHistogram(raw, idCol, textCol, buckets, norm),
+        buckets),
+      collectDsirHist(dsirHistogram(target, idCol, textCol, buckets, norm),
+        buckets), norm)
 
   /** (doc_id, fb) — every doc's hashed feature-bucket array. The
     * two-step projection is load-bearing: `toks` must be a
@@ -1804,9 +1816,10 @@ object Corpus {
     * (O(len²) per doc; measured 40 s vs ~1 s on the sf0.1 scoring
     * pass — the wordShingles CSE trap). */
   private[operators] def dsirFeatureFrame(df: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame = df
+      textCol: String, buckets: Int,
+      norm: Column => Column = TextFns.normText): DataFrame = df
     .select(col(idCol).as("doc_id"),
-      TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+      TextFns.tokens(norm(col(textCol))).as("toks"))
     .select(col("doc_id"), dsirFeatures(col("toks"), buckets).as("fb"))
 
   /** (b, c) bucket histogram of a corpus' hashed features — the
@@ -1816,8 +1829,9 @@ object Corpus {
     * One explode + groupBy on a key space of ≤ `buckets` values —
     * map-side partials collapse every task to ≤ buckets rows. */
   private[operators] def dsirHistogram(df: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame =
-    dsirFeatureFrame(df, idCol, textCol, buckets)
+      textCol: String, buckets: Int,
+      norm: Column => Column = TextFns.normText): DataFrame =
+    dsirFeatureFrame(df, idCol, textCol, buckets, norm)
       .select(explode(col("fb")).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("c"))
 
@@ -1836,7 +1850,8 @@ object Corpus {
     * [[graft.operators.DsirStore.weights]] share. */
   private[operators] def dsirScore(raw: DataFrame, idCol: String,
       textCol: String, buckets: Int, s: Array[Long],
-      t: Array[Long]): DataFrame = {
+      t: Array[Long],
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 22),
       s"dsir: buckets must be in [1, 2^22] (dense literal array rides " +
         s"into every task), got $buckets")
@@ -1848,7 +1863,8 @@ object Corpus {
     val ratios = Array.tabulate(buckets)(b =>
       ((t(b) + 1L).toDouble * (sTot + buckets).toDouble) /
         ((s(b) + 1L).toDouble * (tTot + buckets).toDouble))
-    dsirFeatureFrame(raw, idCol, textCol, buckets).select(col("doc_id"),
+    dsirFeatureFrame(raw, idCol, textCol, buckets, norm)
+      .select(col("doc_id"),
       coalesce(size(col("fb")), lit(0)).cast("long").as("n_feats"),
       when(size(col("fb")) > 0,
         aggregate(col("fb"), lit(0.0d),

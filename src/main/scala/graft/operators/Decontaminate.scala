@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data hygiene step that flags
@@ -34,11 +34,13 @@ object Decontaminate {
     */
   def ngramOverlap(
       corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minHits: Int = 1): DataFrame = {
-    val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)
+      n: Int = 8, minHits: Int = 1,
+      norm: Column => Column = graft.functions.TextFns.normText)
+      : DataFrame = {
+    val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n, norm)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
     val hits = corpusGrams
-      .join(broadcast(evalGrams(eval, textCol, n).select(col("s"))),
+      .join(broadcast(evalGrams(eval, textCol, n, norm).select(col("s"))),
         Seq("s")) // map-side semi vs tiny set
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("s")).as("eval_gram_hits"))
@@ -63,11 +65,13 @@ object Decontaminate {
     * instead of collapsing it onto one partition; they are discarded
     * right after shingling, so their nondeterminism never reaches the
     * result (grams are id-free). */
-  def evalGrams(eval: DataFrame, textCol: String, n: Int): DataFrame = {
+  def evalGrams(eval: DataFrame, textCol: String, n: Int,
+      norm: Column => Column = graft.functions.TextFns.normText)
+      : DataFrame = {
     import graft.functions.TextFns.hash60
     Dedup.shingleDocs(
         eval.select(monotonically_increasing_id().as("doc_id"), col(textCol)),
-        "doc_id", textCol, n)
+        "doc_id", textCol, n, norm)
       .select(explode(col("shingles")).as("s"))
       .distinct()
       .select(col("s"), hash60(col("s")).as("g"))
@@ -122,13 +126,15 @@ object Decontaminate {
   def bloomNgramOverlap(
       corpus: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minHits: Int = 1, bitsPerKey: Int = 10,
-      estimatedGrams: Long = 1L << 21): DataFrame = {
+      estimatedGrams: Long = 1L << 21,
+      norm: Column => Column = graft.functions.TextFns.normText)
+      : DataFrame = {
     import graft.functions.TextFns.hash60
-    val evGrams = evalGrams(eval, textCol, n).persist()
+    val evGrams = evalGrams(eval, textCol, n, norm).persist()
     // the persisted gram set is reused by the verify join below
     val sketch = gramSketch(evGrams.select(col("g")), bitsPerKey,
       estimatedGrams)
-    val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n)
+    val corpusGrams = Dedup.shingleDocs(corpus, idCol, textCol, n, norm)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
       .select(col("doc_id"), col("s"), hash60(col("s")).as("g"))
       .filter(call_function("graft_might_contain", lit(sketch), col("g")))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted DSIR model — the importance-weighting distribution pair of
@@ -39,15 +39,16 @@ object DsirStore {
   /** Create (overwrite) the store: frozen target histogram + the base
     * corpus' source histogram (batch −1). */
   def build(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, name: String, buckets: Int): Unit = {
+      textCol: String, name: String, buckets: Int,
+      norm: Column => Column = graft.functions.TextFns.normText): Unit = {
     val spark = raw.sparkSession
     import spark.implicits._
     Seq(s"${name}_tgt", s"${name}_dsir", s"${name}_meta",
       s"${name}_batches").foreach(ShingleIndex.dropTable(spark, _))
-    Corpus.dsirHistogram(target, idCol, textCol, buckets)
+    Corpus.dsirHistogram(target, idCol, textCol, buckets, norm)
       .coalesce(1) // ≤ buckets rows — one file
       .write.mode("overwrite").saveAsTable(s"${name}_tgt")
-    Corpus.dsirHistogram(raw, idCol, textCol, buckets)
+    Corpus.dsirHistogram(raw, idCol, textCol, buckets, norm)
       .withColumn("batch_id", lit(ShingleIndex.BaseBatch))
       .coalesce(1)
       .write.partitionBy("batch_id").mode("overwrite")
@@ -63,10 +64,11 @@ object DsirStore {
     * (built with the STORED geometry; nothing already written is read
     * or touched). */
   def append(docs: DataFrame, idCol: String, textCol: String,
-      name: String, batchId: Long): Unit = {
+      name: String, batchId: Long,
+      norm: Column => Column = graft.functions.TextFns.normText): Unit = {
     val b = buckets(docs.sparkSession, name)
     ShingleIndex.insertByName(
-      Corpus.dsirHistogram(docs, idCol, textCol, b)
+      Corpus.dsirHistogram(docs, idCol, textCol, b, norm)
         .withColumn("batch_id", lit(batchId))
         .coalesce(1),
       s"${name}_dsir")
@@ -101,11 +103,13 @@ object DsirStore {
     * so far. Bit-identical to [[Corpus.dsirWeights]] over the union of
     * all ingested corpora (histogram addition is exact). */
   def weights(docs: DataFrame, idCol: String, textCol: String,
-      name: String): DataFrame = {
+      name: String,
+      norm: Column => Column = graft.functions.TextFns.normText)
+      : DataFrame = {
     val spark = docs.sparkSession
     val b = buckets(spark, name)
     Corpus.dsirScore(docs, idCol, textCol, b,
       Corpus.collectDsirHist(sourceHist(spark, name), b),
-      Corpus.collectDsirHist(spark.table(s"${name}_tgt"), b))
+      Corpus.collectDsirHist(spark.table(s"${name}_tgt"), b), norm)
   }
 }

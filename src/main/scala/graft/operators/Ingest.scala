@@ -97,7 +97,8 @@ object Ingest {
         .cast("long"), lit(0L)).as("n_tokens"))
     val gated = cfg.evalSketch match {
       case Some(sk) => graft.streaming.Streams
-        .bloomDecontaminated(gated0, sk, "text", cfg.bloomN, cfg.bloomMinHits)
+        .bloomDecontaminated(gated0, sk, "text", cfg.bloomN,
+          cfg.bloomMinHits, cfg.norm)
         .drop("eval_gram_hits")
       case None => gated0.withColumn("contaminated", lit(false))
     }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -239,10 +239,16 @@ object Streams {
     * @return input columns + (eval_gram_hits, contaminated)
     */
   def bloomDecontaminated(docs: DataFrame, sketch: Array[Byte],
-      textCol: String, n: Int = 8, minHits: Int = 1): DataFrame = {
-    import graft.functions.TextFns.{hash60, normText, tokens, wordShingles}
+      textCol: String, n: Int = 8, minHits: Int = 1,
+      norm: Column => Column = graft.functions.TextFns.normText)
+      : DataFrame = {
+    import graft.functions.TextFns.{hash60, tokens, wordShingles}
+    // norm must match the normalizer the sketch's grams were built
+    // with (Decontaminate.evalGrams) — an ASCII gate over a
+    // unicode-normalized sketch (or vice versa) probes disjoint gram
+    // spaces and silently flags nothing
     val hits = size(filter(
-      transform(wordShingles(tokens(normText(col(textCol))), n),
+      transform(wordShingles(tokens(norm(col(textCol))), n),
         s => hash60(s)),
       g => call_function("graft_might_contain", lit(sketch), g)))
     docs
@@ -790,26 +796,39 @@ object Streams {
       append: (DataFrame, Long) => Unit)
 
   object StoreFamily {
-    def shingle(name: String, idCol: String, textCol: String): StoreFamily =
+    // Text families take the SAME pluggable normalizer their stores
+    // were built with (ASCII default) — a group ingest with a Unicode
+    // triage (Ingest.Config.norm) must pass the matching normalizer
+    // here too, or one commit would write divergent tokenizations
+    // (empty postings but counted stats rows, for a CJK batch).
+    def shingle(name: String, idCol: String, textCol: String,
+        norm: Column => Column = graft.functions.TextFns.normText)
+        : StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.ShingleIndex.pruneBatch(s, name, id),
         (b, id) => graft.operators.ShingleIndex.append(b, idCol, textCol,
-          name, id))
-    def posting(name: String, idCol: String, textCol: String): StoreFamily =
+          name, id, norm))
+    def posting(name: String, idCol: String, textCol: String,
+        norm: Column => Column = graft.functions.TextFns.normText)
+        : StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.PostingIndex.pruneBatch(s, name, id),
         (b, id) => graft.operators.PostingIndex.append(b, idCol, textCol,
-          name, id))
-    def cms(name: String, idCol: String, textCol: String): StoreFamily =
+          name, id, norm))
+    def cms(name: String, idCol: String, textCol: String,
+        norm: Column => Column = graft.functions.TextFns.normText)
+        : StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.CmsStore.pruneBatch(s, name, id),
         (b, id) => graft.operators.CmsStore.append(b, idCol, textCol,
-          name, id))
-    def dsir(name: String, idCol: String, textCol: String): StoreFamily =
+          name, id, norm))
+    def dsir(name: String, idCol: String, textCol: String,
+        norm: Column => Column = graft.functions.TextFns.normText)
+        : StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.DsirStore.pruneBatch(s, name, id),
         (b, id) => graft.operators.DsirStore.append(b, idCol, textCol,
-          name, id))
+          name, id, norm))
     def drift(name: String, groupCol: String, valueCol: String): StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.DriftStore.pruneBatch(s, name, id),

@@ -53,6 +53,15 @@ object GroupProbe {
     val nBatches = args.lift(3).map(_.toInt).getOrElse(3)
     val docs0 = graft.Tables.df(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
+    // the replica/batch id arithmetic below assumes compact ids: a
+    // corpus copy strides by 1e9 and a batch tag by 1e6, so hash-like
+    // or >1e6 source ids would silently collide across batches and
+    // violate the append families' doc-disjointness contract — refuse
+    // loudly rather than measure a corrupted store
+    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId < 1000000L,
+      s"GroupProbe: doc_id values must be < 1e6 for the id-offset " +
+        s"scheme (got max $maxId); re-key the corpus first")
     def corpusOf(r: Int): DataFrame = enrich(
       (0 until r).map { k =>
         docs0.select(

@@ -92,6 +92,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(bm.nonEmpty && bm.head.getAs[Long]("doc_id") == 4L)
   }
 
+  test("unicode decontamination: a non-Latin eval leak is caught when sketch and gate share the normalizer; the ASCII gate is blind to it") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val uni: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      TextFns.unicodeNormalizer()
+    val leak = "это тестовый документ на русском языке для проверки утечки"
+    val eval = Seq(leak).toDF("text")
+    val corpus = Seq(
+      (1L, leak), // verbatim eval copy
+      (2L, "совершенно другой текст без общих фрагментов вообще никак"))
+      .toDF("doc_id", "text")
+    val sketch = graft.operators.Decontaminate.gramSketch(
+      graft.operators.Decontaminate.evalGrams(eval, "text", 5, uni)
+        .select(col("g")))
+    def fates(norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      graft.streaming.Streams
+        .bloomDecontaminated(corpus, sketch, "text", 5, 1, norm)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated"))
+        .toMap
+    val u = fates(uni)
+    assert(u(1L) && !u(2L), s"unicode gate: $u")
+    // the ASCII default over the same sketch: every Cyrillic doc
+    // normalizes to zero shingles, so NOTHING is flagged — the silent
+    // decontamination bypass cfg.norm threading exists to prevent
+    val a = fates(TextFns.normText)
+    assert(!a(1L) && !a(2L), s"ascii gate should be blind here: $a")
+  }
+
   test("exact dedup: keepers unique, copy counts sum to row count") {
     val d = Dedup.exact(docs, "doc_id", "text").collect()
     assert(d.map(_.getAs[Long]("keep_id")).distinct.length == d.length)
