@@ -58,16 +58,30 @@ object TextFns {
     * sigma): Java full case mapping and utf8proc's per-codepoint
     * mapping disagree there.
     */
-  def normTextUnicode(c: Column, form: String = "NFC"): Column = {
-    val cjkSpaced = regexp_replace(lower(unicodeNorm(c, form)),
-      "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+  def normTextUnicode(c: Column, form: String = "NFC",
+      cjkSpace: Boolean = true): Column = {
+    val low = lower(unicodeNorm(c, form))
+    val spaced =
+      if (cjkSpace)
+        regexp_replace(low,
+          "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+      else low
     trim(regexp_replace(
-      regexp_replace(cjkSpaced, "[^\\p{L}\\p{M}\\p{N}]", " "), " +", " "))
+      regexp_replace(spaced, "[^\\p{L}\\p{M}\\p{N}]", " "), " +", " "))
   }
 
-  /** The [[normTextUnicode]] chain as a [[Normalizer]] value. */
-  def unicodeNormalizer(form: String = "NFC"): Normalizer =
-    c => normTextUnicode(c, form)
+  /** The [[normTextUnicode]] chain as a [[Normalizer]] value.
+    *
+    * `cjkSpace = false` keeps each unsegmented CJK run as ONE
+    * whitespace token instead of char unigrams — the right input for
+    * BPE training, where the char-spaced form makes every ideograph a
+    * single-symbol word that no merge can ever grow (SentencePiece-
+    * style subword learning needs the sequence intact); everything
+    * else (shingles, BM25, langid) wants the default spacing, where a
+    * token is a comparable unit across scripts. */
+  def unicodeNormalizer(form: String = "NFC",
+      cjkSpace: Boolean = true): Normalizer =
+    c => normTextUnicode(c, form, cjkSpace)
 
   /** Unicode normalization via the native [[graft.expressions
     * .UnicodeNormalize]] expression (ASCII rows pass through without

@@ -188,6 +188,30 @@ class BpeSpec extends AnyFunSuite {
     assert(Corpus.bpeLearn(docs, "doc_id", "text", 5).isEmpty)
   }
 
+  test("CJK BPE: cjkSpace=false keeps ideograph runs as words so merges can grow multi-char tokens") {
+    import graft.functions.TextFns
+    // 测试 appears 3x inside longer runs; under the DEFAULT char
+    // spacing every ideograph is a one-symbol word and NOTHING can
+    // merge — the no-spacing normalizer keeps runs intact, so round 1
+    // fuses the dominant adjacent pair
+    val docs = docsOf("这是测试文档", "测试内容", "进行测试")
+    val spacedNorm = TextFns.unicodeNormalizer()
+    val runNorm = TextFns.unicodeNormalizer(cjkSpace = false)
+    assert(Corpus.bpeLearn(docs, "doc_id", "text", 5, spacedNorm).isEmpty,
+      "char-spaced CJK words are single symbols — no merges expected")
+    val merges = Corpus.bpeLearn(docs, "doc_id", "text", 5, runNorm)
+    assert(merges.nonEmpty)
+    assert(merges.head == Corpus.BpeMerge(1, "测", "试", 3L),
+      s"got ${merges.head}")
+    // and the encode side tokenizes with the learned subwords: 测试
+    // becomes ONE token inside each run
+    val enc = Corpus.bpeEncode(docs, "doc_id", "text",
+        merges.take(1), runNorm)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[String](1)).toMap
+    assert(enc(1L).contains("测试"), s"got ${enc(1L)}")
+  }
+
   test("rounds beyond the old per-round-job cap run through the single-task loop") {
     // 300 rounds was a hard require before; under the gate it is one
     // executor task — exhaustion stops it long before 300

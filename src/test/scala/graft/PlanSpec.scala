@@ -333,6 +333,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("p79/p80 multilingual text pipeline is a pure map: zero exchanges, zero joins, no UDFs") {
+    // normalization and script-ID must stay per-row codegen'd maps
+    // over the union scan — an exchange or join here means the regex/
+    // when-chain design regressed to something that shuffles a 100 TB
+    // corpus to canonicalize it
+    Seq("p79_unicode_norm", "p80_langid_script").foreach { q =>
+      val p = plan(q)
+      assert(!"(?m)^\\(\\d+\\) Exchange\\b".r.findAllIn(p).hasNext,
+        s"$q must not shuffle:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$q must stay UDF-free:\n$p")
+    }
+  }
+
   test("p72 dsir scoring pass is a pure map: zero exchanges, zero joins") {
     // the histograms collect O(buckets) during construction; the frame
     // the caller runs must score each row against the literal ratio
