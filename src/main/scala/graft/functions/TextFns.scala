@@ -237,6 +237,21 @@ object TextFns {
     ("hi", Seq("Devanagari"), 3, 10),
     ("el", Seq("Greek"), 3, 10))
 
+  /** Stopword profiles for the SCRIPT languages, in the token space
+    * [[normTextUnicode]] produces (CJK entries are single chars —
+    * that IS the token unit after ideograph/kana spacing). Together
+    * with [[LatinProfiles]] these drive language-aware quality
+    * scoring: a doc's stopword ratio is only meaningful against ITS
+    * language's function words — the p09 English list scores every
+    * non-English doc as garbage. Languages absent here (ko/hi/el/…)
+    * get the stopword gate WAIVED, not failed — no profile is not
+    * evidence of low quality (the low-resource-language rule). */
+  val ScriptProfiles: Seq[(String, Seq[String])] = Seq(
+    "ru" -> Seq("и", "в", "не", "на", "что", "это", "с", "как"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "有", "我", "这"),
+    "ja" -> Seq("の", "に", "は", "を", "が", "た", "で", "て"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"))
+
   /** Chars of `c` inside the Java regex character class `clsBody`
     * (codepoint count, same arithmetic as DuckDB's length − length
     * after removal — both engines count codepoints). */

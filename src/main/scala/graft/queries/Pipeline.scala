@@ -3489,13 +3489,17 @@ object Pipeline {
     * letters at all → 'und', and Latin-script text falls through to
     * the p08 stopword argmax (en/de/fr/es). Replaces nothing: p08 stays
     * as the ASCII-profile baseline; this is the multilingual face. */
-  private def p80(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared multilingual base of p80/p81: (doc_id, toks, lang_pred)
+    * over documents ∪ fixture — NFC-normalized raw text feeds the
+    * script counts, the Unicode token array feeds the Latin stopword
+    * fallback (and p81's quality features downstream). */
+  private def multiBase(spark: SparkSession, dir: String): DataFrame = {
     val base = docsWithFixture(spark, dir)
       .select(col("doc_id"),
         TextFns.unicodeNorm(col("text"), "NFC").as("nfc"))
       .select(col("doc_id"), col("nfc"),
         TextFns.tokens(TextFns.normTextUnicode(col("nfc"))).as("toks"))
-    val scored = base.select(Seq(col("doc_id"), col("nfc")) ++
+    val scored = base.select(Seq(col("doc_id"), col("nfc"), col("toks")) ++
       TextFns.LatinProfiles.map { case (l, words) =>
         TextFns.stopwordHits(col("toks"), words).as(s"s_$l")
       }: _*)
@@ -3505,11 +3509,13 @@ object Pipeline {
         .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
       when(beats, lit(l)).otherwise(rest)
     }
-    scored.select(col("doc_id"),
+    scored.select(col("doc_id"), col("toks"),
       TextFns.scriptLangId(col("nfc"), fallback).as("lang_pred"))
   }
 
-  private val p80Sql = {
+  /** The SQL twin of [[multiBase]]: CTE chain ending in
+    * `lp(doc_id, toks, lang_pred)`. */
+  private def multiBaseSql: String = {
     val scoreCols = TextFns.LatinProfiles.map { case (l, words) =>
       val list = words.map(w => s"'$w'").mkString("[", ",", "]")
       s"len(list_filter(toks, tk -> list_contains($list, tk))) AS s_$l"
@@ -3533,18 +3539,78 @@ object Pipeline {
        |b AS (SELECT doc_id, nfc_normalize(text) AS nfc FROM u),
        |t AS (SELECT doc_id, nfc, ${toksSql(normUniSql("nfc"))} AS toks
        |      FROM b),
-       |sc AS (SELECT doc_id,
+       |sc AS (SELECT doc_id, toks,
        |    length(nfc) - length(regexp_replace(nfc, '[\\p{L}\\p{M}]', '', 'g'))
        |      AS n_lm,
        |    $scriptCnts,
        |    $scoreCols
-       |  FROM t)
-       |SELECT doc_id,
+       |  FROM t),
+       |lp AS (SELECT doc_id, toks,
        |  CASE WHEN n_lm = 0 THEN 'und'
        |    $scriptCases
        |    ELSE CASE $latinCases ELSE '${langs.last}' END
        |  END AS lang_pred
-       |FROM sc""".stripMargin
+       |  FROM sc)""".stripMargin
+  }
+
+  private def p80(spark: SparkSession, dir: String): DataFrame =
+    multiBase(spark, dir).select(col("doc_id"), col("lang_pred"))
+
+  private val p80Sql =
+    s"""$multiBaseSql
+       |SELECT doc_id, lang_pred FROM lp""".stripMargin
+
+  // language-aware quality gate: minimum tokens + per-language
+  // stopword-ratio floor (1/20), waived for languages without a
+  // profile (low-resource rule — no evidence is not failure)
+  private val QualMinTokens = 3
+  private val QualStopNum = 1
+  private val QualStopDen = 20
+
+  /** Language-AWARE quality gating — the multilingual face of p09:
+    * stopword evidence only counts against the doc's OWN language's
+    * profile (the p09 English list scores every non-English doc as
+    * garbage), CJK profiles live in the char-token space the spacing
+    * normalizer produces, and unprofiled languages waive the stopword
+    * floor instead of failing it. Pure per-row maps over the shared
+    * [[multiBase]]; exact integer cross-multiplication for the ratio
+    * floor, so both engines agree bit-for-bit. */
+  private def p81(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = TextFns.LatinProfiles ++ TextFns.ScriptProfiles
+    val hits = profiles.foldRight(lit(null).cast("long")) {
+      case ((l, words), rest) =>
+        when(col("lang_pred") === l,
+          TextFns.stopwordHits(col("toks"), words).cast("long"))
+          .otherwise(rest)
+    }
+    multiBase(spark, dir)
+      .select(col("doc_id"), col("lang_pred"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        hits.as("stop_hits"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("stop_hits"),
+        (col("n_tokens") >= QualMinTokens &&
+          (col("stop_hits").isNull ||
+            col("stop_hits") * QualStopDen >=
+              col("n_tokens") * QualStopNum)).as("keep"))
+  }
+
+  private val p81Sql = {
+    val profiles = TextFns.LatinProfiles ++ TextFns.ScriptProfiles
+    val hitCases = profiles.map { case (l, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"WHEN lang_pred = '$l' THEN " +
+        s"CAST(len(list_filter(toks, tk -> list_contains($list, tk))) AS BIGINT)"
+    }.mkString("\n    ")
+    s"""$multiBaseSql,
+       |q AS (SELECT doc_id, lang_pred,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CASE $hitCases ELSE NULL END AS stop_hits
+       |  FROM lp)
+       |SELECT doc_id, lang_pred, n_tokens, stop_hits,
+       |  (n_tokens >= $QualMinTokens AND (stop_hits IS NULL OR
+       |    stop_hits * $QualStopDen >= n_tokens * $QualStopNum)) AS keep
+       |FROM q""".stripMargin
   }
 
   // length-bucketed batching: rows per accelerator batch
@@ -4064,5 +4130,6 @@ object Pipeline {
     QueryDef("p74b_hard_negatives_store", p74b, Some(p74bSql)),
     QueryDef("p76_sample_store", p76, Some(p73Sql)),
     QueryDef("p79_unicode_norm", p79, Some(p79Sql)),
-    QueryDef("p80_langid_script", p80, Some(p80Sql)))
+    QueryDef("p80_langid_script", p80, Some(p80Sql)),
+    QueryDef("p81_quality_multilingual", p81, Some(p81Sql)))
 }

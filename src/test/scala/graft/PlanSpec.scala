@@ -338,7 +338,8 @@ class PlanSpec extends AnyFunSuite {
     // over the union scan — an exchange or join here means the regex/
     // when-chain design regressed to something that shuffles a 100 TB
     // corpus to canonicalize it
-    Seq("p79_unicode_norm", "p80_langid_script").foreach { q =>
+    Seq("p79_unicode_norm", "p80_langid_script",
+      "p81_quality_multilingual").foreach { q =>
       val p = plan(q)
       assert(!"(?m)^\\(\\d+\\) Exchange\\b".r.findAllIn(p).hasNext,
         s"$q must not shuffle:\n$p")
