@@ -78,6 +78,58 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
+  test("multilingual ingest e2e: unicode config triages CJK/Cyrillic correctly where the ASCII config fails everything as low_quality") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val uni: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      TextFns.unicodeNormalizer()
+    val ruDoc = "архивариус каталогизировал семнадцать рукописей до полудня " +
+      "и аннотировал каждое поле скрупулёзными перекрёстными ссылками"
+    // the LAST token changes: only the final 5-gram shingle differs
+    // (J = 8/10 ≥ 0.7) — a mid-document edit would kill five of nine
+    // shingles and genuinely not be a near-dup at this length
+    val ruNearDup = ruDoc.replace("ссылками", "пометками")
+    val zhEval = "这是评估集中的一段中文基准文本用于检测泄漏情况的句子"
+    try {
+      ShingleIndex.build(Seq((1L, ruDoc)).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_ing_u", n = 5, norm = uni)
+      val sketch = graft.operators.Decontaminate.gramSketch(
+        graft.operators.Decontaminate
+          .evalGrams(Seq(zhEval).toDF("text"), "text", 5, uni)
+          .select(col("g")),
+        estimatedGrams = 1L << 12)
+      val cfg = Ingest.Config("graft_ing_u", evalSketch = Some(sketch),
+        bloomN = 5, norm = uni)
+      val batch = Seq(
+        (10L, "короткий"), // one token → quality gate
+        (11L, zhEval + "，再加上一些额外的汉字使其足够长通过质量门槛"), // eval leak
+        (12L, ruNearDup), // near-dup of the indexed Cyrillic doc
+        (13L, "совершенно новое сочинение о приливных эстуариях и цаплях " +
+          "которые патрулируют их на рассвете каждую осень"))
+        .toDF("doc_id", "text")
+      val t = Ingest.triage(batch, "doc_id", "text", cfg)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("fate"),
+            Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+      assert(t(10L)._1 == "low_quality", t.toString)
+      assert(t(11L)._1 == "contaminated", t.toString)
+      assert(t(12L) == (("duplicate", Some(1L))), t.toString)
+      assert(t(13L)._1 == "accepted", t.toString)
+      // the ASCII default over the same batch: every doc tokenizes to
+      // ZERO tokens and dies at the quality gate — leaks pass no gate
+      // because nothing passes any gate (the silent-death contrast)
+      val ascii = Ingest.triage(batch, "doc_id", "text",
+          cfg.copy(norm = TextFns.normText))
+        .collect().map(r => r.getAs[String]("fate")).distinct.toSeq
+      assert(ascii == Seq("low_quality"), ascii.toString)
+    } finally {
+      Seq("graft_ing_u_idx", "graft_ing_u_sh", "graft_ing_u_meta",
+        "graft_ing_u_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("p41's Bloom gate is FP-free at the gated SF: sketch verdicts == exact overlap") {
     // The p41 oracle reproduces the Bloom gate as EXACT distinct-gram
     // overlap, on the argument that the 1<<18-key sketch's false-
