@@ -252,6 +252,22 @@ object TextFns {
     "ja" -> Seq("の", "に", "は", "を", "が", "た", "で", "て"),
     "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا"))
 
+  /** The [[LatinProfiles]] stopword argmax over PRE-MATERIALIZED
+    * `s_<lang>` hit columns (materialize them in their own projection
+    * first — each is referenced |langs|−1 times by the comparisons):
+    * first profile whose hits are ≥ every other's wins, last profile
+    * is the unconditional fallback. Shared by the batch langid queries
+    * and the streaming [[graft.streaming.Streams.languageMix]]
+    * monitor, so the decision can never drift between faces. */
+  def latinArgmax: Column = {
+    val langs = LatinProfiles.map(_._1)
+    langs.init.foldRight(lit(langs.last)) { (l, rest) =>
+      val beats = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(beats, lit(l)).otherwise(rest)
+    }
+  }
+
   /** Chars of `c` inside the Java regex character class `clsBody`
     * (codepoint count, same arithmetic as DuckDB's length − length
     * after removal — both engines count codepoints). */

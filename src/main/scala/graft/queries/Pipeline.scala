@@ -3503,14 +3503,8 @@ object Pipeline {
       TextFns.LatinProfiles.map { case (l, words) =>
         TextFns.stopwordHits(col("toks"), words).as(s"s_$l")
       }: _*)
-    val langs = TextFns.LatinProfiles.map(_._1)
-    val fallback = langs.init.foldRight(lit(langs.last)) { (l, rest) =>
-      val beats = langs.filter(_ != l)
-        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
-      when(beats, lit(l)).otherwise(rest)
-    }
     scored.select(col("doc_id"), col("toks"),
-      TextFns.scriptLangId(col("nfc"), fallback).as("lang_pred"))
+      TextFns.scriptLangId(col("nfc"), TextFns.latinArgmax).as("lang_pred"))
   }
 
   /** The SQL twin of [[multiBase]]: CTE chain ending in

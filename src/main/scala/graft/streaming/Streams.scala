@@ -78,6 +78,45 @@ object Streams {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("quantiles"), col("n_events"))
 
+  /** Windowed corpus-COMPOSITION monitor — the streaming face of the
+    * script-aware language ID: per (window, predicted language), the
+    * doc count and token mass arriving on a document stream. Language
+    * prediction is the same pure per-row expression as the batch query
+    * (NFC normalize → script codepoint shares → [[graft.functions
+    * .TextFns.latinArgmax]] stopword fallback — shared expressions, so
+    * the two faces can never drift), and the aggregate is a plain
+    * windowed count/sum: bounded state per (window, lang), partial
+    * aggregation works. Watch an ingest's language mix drift
+    * window-over-window — the upstream early warning for a corpus
+    * whose quality gates ([[graft.operators.Ingest]] with a Unicode
+    * normalizer) are about to see a distribution they weren't tuned
+    * on. */
+  def languageMix(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.TextFns
+    val base = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        TextFns.unicodeNorm(col(textCol), "NFC").as("nfc"))
+      .select(col(tsCol), col("nfc"),
+        TextFns.tokens(TextFns.normTextUnicode(col("nfc"))).as("toks"))
+    val scored = base.select(Seq(col(tsCol), col("nfc"), col("toks")) ++
+      TextFns.LatinProfiles.map { case (l, words) =>
+        TextFns.stopwordHits(col("toks"), words).as(s"s_$l")
+      }: _*)
+    scored
+      .select(col(tsCol), size(col("toks")).cast("long").as("n_toks"),
+        TextFns.scriptLangId(col("nfc"), TextFns.latinArgmax).as("lang"))
+      .groupBy(window(col(tsCol), window_).as("win"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .select(col("win.start").as("window_start"), col("lang"),
+        col("n_docs"), col("n_tokens"))
+  }
+
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming analog of Dedup.exact: duplicates arriving within
     * `watermark` of the original are dropped; state is bounded by the

@@ -15,6 +15,34 @@ class StreamsSpec extends AnyFunSuite {
 
   private def ts(minute: Int) = new Timestamp(3600L * 1000 * 24 + minute * 60000L)
 
+  test("languageMix: windowed per-language doc counts and token mass over a multilingual doc stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    in.addData(
+      (ts(1), "Привет мир это тестовый документ на русском языке"),
+      (ts(2), "это второй русский документ в том же окне"),
+      (ts(3), "这是一个中文测试文档"),
+      (ts(4), "the quick brown fox and the lazy dog run for cover"),
+      (ts(12), "документ на русском уже в следующем окне"))
+    val q = Streams.languageMix(in.toDF().toDF("ts", "text"),
+        window_ = "10 minutes", watermark = "20 minutes")
+      .writeStream.format("memory").queryName("lang_mix")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("lang_mix").collect()
+      .map(r => (r.getTimestamp(0).getTime / 60000 % 1440,
+        r.getAs[String]("lang")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    // window [0,10): ru x2 (8 + 8 tokens), zh x1 (10 char tokens),
+    // en x1 (11 tokens); window [10,20): ru x1 (7 tokens)
+    assert(rows((0, "ru")) == ((2L, 16L)), rows.toString)
+    assert(rows((0, "zh")) == ((1L, 10L)), rows.toString)
+    assert(rows((0, "en")) == ((1L, 11L)), rows.toString)
+    assert(rows((10, "ru")) == ((1L, 7L)), rows.toString)
+    assert(rows.size == 4)
+  }
+
   test("windowed stats aggregate incrementally per event_type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
