@@ -252,15 +252,18 @@ object Bench {
       .mkString("{", ",", "}")
     val loads = adjudicated.map { case (k, s) => "\"" + k + "\":" + fmt(s.load) }
       .mkString("{", ",", "}")
-    val suspect = adjudicated.collect {
-      case (k, s) if s.wall > 0.2 && s.cpu / s.wall < 0.5 => "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    val suspectNames = adjudicated.collect {
+      case (k, s) if s.wall > 0.2 && s.cpu / s.wall < 0.5 => k
+    }
     // The gc-side twin of suspect_contended: >0.2 s wall with more than
     // half of it inside collections. Reported, not enforced, same as cpu.
-    val suspectGc = adjudicated.collect {
-      case (k, s) if s.wall > 0.2 && s.gcMs / 1e3 > 0.5 * s.wall =>
-        "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    val suspectGcNames = adjudicated.collect {
+      case (k, s) if s.wall > 0.2 && s.gcMs / 1e3 > 0.5 * s.wall => k
+    }
+    def jarr(names: Seq[String]): String =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val suspect = jarr(suspectNames)
+    val suspectGc = jarr(suspectGcNames)
     val adjJson = adjudication.map { case (k, (ins, iso, v)) =>
       "\"" + k + "\":{\"in_suite\":" + fmt(ins) + ",\"isolated\":" +
         fmt(iso) + ",\"verdict\":\"" + v + "\"}"
@@ -282,11 +285,11 @@ object Bench {
     // in bench_results.json (cwd) and in the full line above.
     val budget = 1800
     val ordered = adjudicated.sortBy { case (_, s) => -s.wall }
-    // the compact line's adjudication is BOUNDED (worst 8 by in-suite
-    // wall + a total count): a heavily-contended run can have dozens
-    // of adjudicated entries, and an unbounded object in the fixed
-    // head would blow the 1800-char budget the queries-map trimming
-    // below cannot see — the full object is always in the long line
+    // EVERYTHING in the compact line's fixed head is BOUNDED (counts +
+    // a worst-8 sample): a heavily-contended run can put dozens of
+    // names into adjudication/suspect/failed, and any unbounded array
+    // in the head blows the 1800-char budget the queries-map trimming
+    // below cannot see — the full arrays are always in the long line
     // and bench_results.json
     val adjCompact = {
       val shown = adjudication.toSeq.sortBy { case (_, (ins, _, _)) => -ins }
@@ -294,8 +297,10 @@ object Bench {
         .map { case (k, (_, _, v)) => "\"" + k + "\":\"" + v + "\"" }
       s""""adjudicated":${adjudication.size},"adj":${shown.mkString("{", ",", "}")}"""
     }
+    def capped(names: Seq[String]): String =
+      s"""{"n":${names.size},"head":${jarr(names.take(8))}}"""
     val head =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${adjudicated.size},"failed":$failedJson,$adjCompact,"suspect_contended":$suspect,"suspect_gc":$suspectGc,"detail":"bench_results.json","""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${adjudicated.size},"failed":${capped(failed.toSeq)},$adjCompact,"suspect_contended":${capped(suspectNames)},"suspect_gc":${capped(suspectGcNames)},"detail":"bench_results.json","""
     val tailFixedMax = // worst-case closing: omitted count + seconds
       s""""queries_omitted":${adjudicated.size},"omitted_sec":${fmt(total)}}""".length
     val kept = scala.collection.mutable.ListBuffer[String]()

@@ -268,6 +268,35 @@ object TextFns {
     }
   }
 
+  /** The language-ID projection scaffold shared by the batch queries
+    * (p80/p81's multiBase) and the streaming monitor
+    * ([[graft.streaming.Streams.languageMix]]): carry columns + the
+    * Unicode token array + the predicted language. The THREE-stage
+    * projection is load-bearing, not style — `nfc`, `toks`, and each
+    * `s_<lang>` hit count are materialized as attributes in their own
+    * select because every one is referenced multiple times downstream
+    * (the argmax reads each s_ column |langs|−1 times; scriptLangId
+    * scans nfc once per script class), and an inlined copy would
+    * re-run the normalizer per reference under CollapseProject — the
+    * CSE trap measured on the minhash/DSIR paths. One shared builder,
+    * so the batch and streaming language decisions cannot drift.
+    *
+    * @return df's `carry` columns + (toks: array<string>, lang_pred) */
+  def withLangPred(df: org.apache.spark.sql.DataFrame, textCol: String,
+      carry: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val keep = carry.map(col)
+    val base = df
+      .select(keep :+ unicodeNorm(col(textCol), "NFC").as("nfc"): _*)
+      .select(keep ++ Seq(col("nfc"),
+        tokens(normTextUnicode(col("nfc"))).as("toks")): _*)
+    val scored = base.select(keep ++ Seq(col("nfc"), col("toks")) ++
+      LatinProfiles.map { case (l, words) =>
+        stopwordHits(col("toks"), words).as(s"s_$l")
+      }: _*)
+    scored.select(keep ++ Seq(col("toks"),
+      scriptLangId(col("nfc"), latinArgmax).as("lang_pred")): _*)
+  }
+
   /** Chars of `c` inside the Java regex character class `clsBody`
     * (codepoint count, same arithmetic as DuckDB's length − length
     * after removal — both engines count codepoints). */

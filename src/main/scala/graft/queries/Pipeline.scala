@@ -3482,30 +3482,14 @@ object Pipeline {
        |  md5(norm_text) AS text_hash
        |FROM n""".stripMargin
 
-  /** Script-aware language ID (TextFns.scriptLangId): codepoint-block
-    * evidence decides non-Latin scripts (kana→ja before Han→zh, then
-    * Hangul/Cyrillic/Arabic/Devanagari/Greek at 30% of letter+mark
-    * chars — integer cross-multiplied, exact in both engines), no
-    * letters at all → 'und', and Latin-script text falls through to
-    * the p08 stopword argmax (en/de/fr/es). Replaces nothing: p08 stays
-    * as the ASCII-profile baseline; this is the multilingual face. */
   /** Shared multilingual base of p80/p81: (doc_id, toks, lang_pred)
-    * over documents ∪ fixture — NFC-normalized raw text feeds the
-    * script counts, the Unicode token array feeds the Latin stopword
-    * fallback (and p81's quality features downstream). */
-  private def multiBase(spark: SparkSession, dir: String): DataFrame = {
-    val base = docsWithFixture(spark, dir)
-      .select(col("doc_id"),
-        TextFns.unicodeNorm(col("text"), "NFC").as("nfc"))
-      .select(col("doc_id"), col("nfc"),
-        TextFns.tokens(TextFns.normTextUnicode(col("nfc"))).as("toks"))
-    val scored = base.select(Seq(col("doc_id"), col("nfc"), col("toks")) ++
-      TextFns.LatinProfiles.map { case (l, words) =>
-        TextFns.stopwordHits(col("toks"), words).as(s"s_$l")
-      }: _*)
-    scored.select(col("doc_id"), col("toks"),
-      TextFns.scriptLangId(col("nfc"), TextFns.latinArgmax).as("lang_pred"))
-  }
+    * over documents ∪ fixture — the [[TextFns.withLangPred]] scaffold
+    * (NFC-normalized raw text feeds the script counts, the Unicode
+    * token array feeds the Latin stopword fallback and p81's quality
+    * features downstream). */
+  private def multiBase(spark: SparkSession, dir: String): DataFrame =
+    TextFns.withLangPred(docsWithFixture(spark, dir), "text",
+      carry = Seq("doc_id"))
 
   /** The SQL twin of [[multiBase]]: CTE chain ending in
     * `lp(doc_id, toks, lang_pred)`. */
@@ -3547,6 +3531,13 @@ object Pipeline {
        |  FROM sc)""".stripMargin
   }
 
+  /** Script-aware language ID (TextFns.scriptLangId): codepoint-block
+    * evidence decides non-Latin scripts (kana→ja before Han→zh, then
+    * Hangul/Cyrillic/Arabic/Devanagari/Greek at 30% of letter+mark
+    * chars — integer cross-multiplied, exact in both engines), no
+    * letters at all → 'und', and Latin-script text falls through to
+    * the p08 stopword argmax (en/de/fr/es). Replaces nothing: p08 stays
+    * as the ASCII-profile baseline; this is the multilingual face. */
   private def p80(spark: SparkSession, dir: String): DataFrame =
     multiBase(spark, dir).select(col("doc_id"), col("lang_pred"))
 

@@ -96,26 +96,16 @@ object Streams {
       textCol: String = "text",
       tsCol: String = "ts",
       window_ : String = "1 hour",
-      watermark: String = "2 hours"): DataFrame = {
-    import graft.functions.TextFns
-    val base = docs
-      .withWatermark(tsCol, watermark)
-      .select(col(tsCol),
-        TextFns.unicodeNorm(col(textCol), "NFC").as("nfc"))
-      .select(col(tsCol), col("nfc"),
-        TextFns.tokens(TextFns.normTextUnicode(col("nfc"))).as("toks"))
-    val scored = base.select(Seq(col(tsCol), col("nfc"), col("toks")) ++
-      TextFns.LatinProfiles.map { case (l, words) =>
-        TextFns.stopwordHits(col("toks"), words).as(s"s_$l")
-      }: _*)
-    scored
+      watermark: String = "2 hours"): DataFrame =
+    graft.functions.TextFns
+      .withLangPred(docs.withWatermark(tsCol, watermark), textCol,
+        carry = Seq(tsCol))
       .select(col(tsCol), size(col("toks")).cast("long").as("n_toks"),
-        TextFns.scriptLangId(col("nfc"), TextFns.latinArgmax).as("lang"))
+        col("lang_pred").as("lang"))
       .groupBy(window(col(tsCol), window_).as("win"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .select(col("win.start").as("window_start"), col("lang"),
         col("n_docs"), col("n_tokens"))
-  }
 
   /** Streaming exact dedup on event_id within the watermark horizon —
     * the streaming analog of Dedup.exact: duplicates arriving within
@@ -832,7 +822,15 @@ object Streams {
   final case class StoreFamily(
       name: String,
       prune: (SparkSession, Long) => Unit,
-      append: (DataFrame, Long) => Unit)
+      append: (DataFrame, Long) => Unit,
+      /** The text normalizer the family's append closes over (None for
+        * non-tokenizing families — drift/vectors/sample). Carried so
+        * [[triageMultiIngestBatch]] can ASSERT it matches `cfg.norm`
+        * instead of trusting a comment: a group whose triage
+        * normalizes Unicode but whose posting family defaults to ASCII
+        * would commit divergent tokenizations under one manifest row
+        * (empty postings but counted stats for a non-Latin batch). */
+      norm: Option[Column => Column] = None)
 
   object StoreFamily {
     // Text families take the SAME pluggable normalizer their stores
@@ -846,28 +844,28 @@ object Streams {
       StoreFamily(name,
         (s, id) => graft.operators.ShingleIndex.pruneBatch(s, name, id),
         (b, id) => graft.operators.ShingleIndex.append(b, idCol, textCol,
-          name, id, norm))
+          name, id, norm), norm = Some(norm))
     def posting(name: String, idCol: String, textCol: String,
         norm: Column => Column = graft.functions.TextFns.normText)
         : StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.PostingIndex.pruneBatch(s, name, id),
         (b, id) => graft.operators.PostingIndex.append(b, idCol, textCol,
-          name, id, norm))
+          name, id, norm), norm = Some(norm))
     def cms(name: String, idCol: String, textCol: String,
         norm: Column => Column = graft.functions.TextFns.normText)
         : StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.CmsStore.pruneBatch(s, name, id),
         (b, id) => graft.operators.CmsStore.append(b, idCol, textCol,
-          name, id, norm))
+          name, id, norm), norm = Some(norm))
     def dsir(name: String, idCol: String, textCol: String,
         norm: Column => Column = graft.functions.TextFns.normText)
         : StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.DsirStore.pruneBatch(s, name, id),
         (b, id) => graft.operators.DsirStore.append(b, idCol, textCol,
-          name, id, norm))
+          name, id, norm), norm = Some(norm))
     def drift(name: String, groupCol: String, valueCol: String): StoreFamily =
       StoreFamily(name,
         (s, id) => graft.operators.DriftStore.pruneBatch(s, name, id),
@@ -1009,6 +1007,23 @@ object Streams {
         families.map(_.name).mkString(", ") +
         " — a repeated family would append the batch twice into one " +
         "store under one batch_id, which prune/replay cannot repair")
+    // the same-normalizer invariant is ASSERTED, not commented: every
+    // tokenizing family must normalize exactly as the triage does
+    // (Column.equals compares the normalized expression trees the two
+    // functions build over a probe column — identical normalizers
+    // build identical trees)
+    locally {
+      val probe = col("__graft_norm_probe__")
+      val want = cfg.norm(probe)
+      families.foreach(f => f.norm.foreach(n =>
+        require(n(probe) == want,
+          s"triageMultiIngestBatch: family '${f.name}' was constructed " +
+            "with a text normalizer different from cfg.norm — one " +
+            "manifest commit would write divergent tokenizations " +
+            "(empty postings but counted stats rows for a non-Latin " +
+            "batch); pass the SAME normalizer to the StoreFamily " +
+            "constructor and Ingest.Config")))
+    }
     val manifest = s"${group}_manifest"
     val committed = spark.catalog.tableExists(manifest) &&
       spark.table(manifest).filter(col("batch_id") === batchId)

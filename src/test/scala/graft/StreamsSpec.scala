@@ -43,6 +43,40 @@ class StreamsSpec extends AnyFunSuite {
     assert(rows.size == 4)
   }
 
+  test("triage group asserts the family-vs-triage normalizer invariant before touching anything") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    // the mechanism: independently-constructed normalizers compare by
+    // the expression tree they build, not by function reference — if
+    // Column equality ever regresses to reference identity this pins it
+    val probe = org.apache.spark.sql.functions.col("x")
+    assert(TextFns.normText(probe) == TextFns.normText(probe))
+    assert(TextFns.unicodeNormalizer()(probe) ==
+      TextFns.unicodeNormalizer()(probe))
+    assert(TextFns.normText(probe) != TextFns.unicodeNormalizer()(probe))
+    // a unicode triage over an ASCII-default posting family must fail
+    // LOUDLY before any prune/append/manifest mutation
+    val cfg = graft.operators.Ingest.Config("graft_nm_idx",
+      norm = TextFns.unicodeNormalizer())
+    val batch = Seq((1L, "text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Streams.triageMultiIngestBatch(batch, 1L, "doc_id", "text", cfg,
+        "graft_nm_grp",
+        Seq(Streams.StoreFamily.posting("graft_nm_post", "doc_id", "text")))
+    }
+    assert(e.getMessage.contains("normalizer"), e.getMessage)
+    // matching normalizers pass the check (fails later on the absent
+    // index table, proving the norm gate itself was cleared)
+    val ok = intercept[Exception] {
+      Streams.triageMultiIngestBatch(batch, 1L, "doc_id", "text", cfg,
+        "graft_nm_grp",
+        Seq(Streams.StoreFamily.posting("graft_nm_post", "doc_id", "text",
+          norm = TextFns.unicodeNormalizer())))
+    }
+    assert(!ok.getMessage.contains("different text normalizer"),
+      ok.getMessage)
+  }
+
   test("windowed stats aggregate incrementally per event_type") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
