@@ -187,17 +187,28 @@ object Bench {
       else a // cpu/gc/other/load travel with the run whose wall we report
     val results = selected.map { case (name, fn) =>
       val r1 = timeOnce(name, fn)
+      // a failure on EITHER base run is a FAILURE (the -1 sentinel wins
+      // over the other run's valid time): a query that crashes every
+      // other execution is broken, not slow — reporting its lucky
+      // run's wall while also listing it in `failed` would contradict
+      // the sentinel contract above. Retry attempts below are the
+      // opposite: extras on top of a completed best-of-two, so their
+      // failures are ignored (and not recorded) rather than poisoning
+      // a measurement that already exists.
       val best2 =
         if (r1.wall < 0) r1 // failed: don't re-run, keep the sentinel
-        else betterOf(r1, timeOnce(name, fn))
+        else {
+          val r2 = timeOnce(name, fn)
+          if (r2.wall < 0) r2 else betterOf(r1, r2)
+        }
       // gc+retry: the third attempt exists to clear same-JVM pressure a
       // predecessor left behind, so it only fires when the query is both
       // slow vs its floor AND had a floor to compare against.
       val bestAll = floors.get(name) match {
-        case Some(f) if best2.wall > 2 * f =>
+        case Some(f) if best2.wall >= 0 && best2.wall > 2 * f =>
           System.gc()
           Thread.sleep(250)
-          betterOf(best2, timeOnce(name, fn))
+          betterOf(best2, timeOnce(name, fn, recordFail = false))
         case _ => best2
       }
       (name, bestAll)

@@ -59,8 +59,16 @@ object TextFns {
     * mapping disagree there.
     */
   def normTextUnicode(c: Column, form: String = "NFC",
-      cjkSpace: Boolean = true): Column = {
-    val low = lower(unicodeNorm(c, form))
+      cjkSpace: Boolean = true): Column =
+    postNormChain(unicodeNorm(c, form), cjkSpace)
+
+  /** The [[normTextUnicode]] steps AFTER Unicode normalization (lower →
+    * optional CJK spacing → class strip → collapse) — for callers that
+    * already materialized `graft_normalize` output as a column
+    * ([[withLangPred]]): re-normalizing is idempotent but costs a full
+    * native normalization pass per row for nothing. */
+  private def postNormChain(normalized: Column, cjkSpace: Boolean): Column = {
+    val low = lower(normalized)
     val spaced =
       if (cjkSpace)
         regexp_replace(low,
@@ -288,13 +296,19 @@ object TextFns {
     val base = df
       .select(keep :+ unicodeNorm(col(textCol), "NFC").as("nfc"): _*)
       .select(keep ++ Seq(col("nfc"),
-        tokens(normTextUnicode(col("nfc"))).as("toks")): _*)
-    val scored = base.select(keep ++ Seq(col("nfc"), col("toks")) ++
+        // nfc is already normalized — run only the post-NFC steps
+        tokens(postNormChain(col("nfc"), cjkSpace = true)).as("toks")): _*)
+    val scored = base.select(keep ++ Seq(col("nfc"), col("toks"),
+      charClassCount(col("nfc"), "\\p{L}\\p{M}").as("n_lm")) ++
+      ScriptLangs.map { case (lang, scripts, _, _) =>
+        charClassCount(col("nfc"),
+          scripts.map(s => s"\\p{Is$s}").mkString).as(s"c_$lang")
+      } ++
       LatinProfiles.map { case (l, words) =>
         stopwordHits(col("toks"), words).as(s"s_$l")
       }: _*)
     scored.select(keep ++ Seq(col("toks"),
-      scriptLangId(col("nfc"), latinArgmax).as("lang_pred")): _*)
+      scriptLangIdFromCounts(latinArgmax).as("lang_pred")): _*)
   }
 
   /** Chars of `c` inside the Java regex character class `clsBody`
@@ -307,11 +321,18 @@ object TextFns {
     * counts run BEFORE tokenization; punctuation never enters any
     * count): each [[ScriptLangs]] rule fires when its script's char
     * share of the letter+mark population clears the threshold, a text
-    * with NO letters/marks is "und", and anything left (Latin-script
+    * with NO letters/marks — including NULL text, which is as
+    * contentless as empty — is "und", and anything left (Latin-script
     * text) falls through to `fallback` — typically the
     * [[LatinProfiles]] stopword argmax. The whole decision is one
     * codegen'd when-chain over length-diff counts: no UDF, no explode,
-    * linear scans per script class. */
+    * linear scans per script class. NOTE each count expression is
+    * inlined into its comparison here (conditional branches are
+    * excluded from codegen CSE, so a document is re-scanned per
+    * branch); the production path is [[withLangPred]], which
+    * MATERIALIZES the counts as attributes first and decides via
+    * [[scriptLangIdFromCounts]] — use this direct form only for
+    * one-off column expressions. */
   def scriptLangId(nfc: Column, fallback: Column): Column = {
     val nLm = charClassCount(nfc, "\\p{L}\\p{M}")
     val chain = ScriptLangs.foldRight(fallback) {
@@ -320,6 +341,20 @@ object TextFns {
           scripts.map(s => s"\\p{Is$s}").mkString)
         when(cnt * den >= nLm * num, lit(lang)).otherwise(rest)
     }
-    when(nLm === 0, lit("und")).otherwise(chain)
+    when(nLm.isNull || nLm === 0, lit("und")).otherwise(chain)
+  }
+
+  /** The [[scriptLangId]] decision over PRE-MATERIALIZED count columns
+    * `n_lm` and `c_<lang>` (see [[withLangPred]] — each count is an
+    * attribute, so every branch compares two ints instead of
+    * re-scanning the document). */
+  def scriptLangIdFromCounts(fallback: Column): Column = {
+    val chain = ScriptLangs.foldRight(fallback) {
+      case ((lang, _, num, den), rest) =>
+        when(col(s"c_$lang") * den >= col("n_lm") * num, lit(lang))
+          .otherwise(rest)
+    }
+    when(col("n_lm").isNull || col("n_lm") === 0, lit("und"))
+      .otherwise(chain)
   }
 }

@@ -56,7 +56,8 @@ object CmsStore {
       .coalesce(1) // the matrix is ≤ depth·width rows — one file per batch
       .write.partitionBy("batch_id").mode("overwrite")
       .saveAsTable(s"${name}_cms")
-    Seq((n, depth, width)).toDF("n", "depth", "width")
+    Seq((n, depth, width, ShingleIndex.normFp(norm)))
+      .toDF("n", "depth", "width", "norm_fp")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
@@ -67,6 +68,7 @@ object CmsStore {
       name: String, batchId: Long,
       norm: Column => Column = graft.functions.TextFns.normText): Unit = {
     val (n, depth, width) = meta(docs.sparkSession, name)
+    ShingleIndex.checkNormFp(docs.sparkSession, name, norm)
     ShingleIndex.insertByName(
       Corpus.cmsNgramMatrix(docs, idCol, textCol, n, depth, width, norm)
         .withColumn("batch_id", lit(batchId))

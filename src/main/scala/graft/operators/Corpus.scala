@@ -38,11 +38,11 @@ object Corpus {
     * @return (doc_id, term, tf, doc_freq, score, rnk) with rnk ≤ k.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, norm: Column => Column = TextFns.normText): DataFrame = {
     val toks = docs
       .repartition(par(docs), col(idCol))
       .select(col(idCol).as("doc_id"),
-        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+        TextFns.tokens(norm(col(textCol))).as("toks"))
     // 1-row corpus size, broadcast into the plan (no .count() action)
     val nDocs = toks.agg(count(lit(1)).as("n_docs"))
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
@@ -69,10 +69,11 @@ object Corpus {
     * @return (domain, n_docs, domain_tokens, token_share, mix_weight).
     */
   def domainMixWeights(docs: DataFrame, domainCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     val per = docs
       .select(col(domainCol).as("domain"),
-        size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n_tokens"))
+        size(TextFns.tokens(norm(col(textCol)))).as("n_tokens"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("domain_tokens"))
@@ -195,11 +196,12 @@ object Corpus {
     */
   def tokenQuantiles(docs: DataFrame, groupCol: String, textCol: String,
       probs: Seq[(String, Double)] = Seq("p25" -> 0.25, "p50" -> 0.5,
-        "p90" -> 0.9, "p99" -> 0.99)): DataFrame = {
+        "p90" -> 0.9, "p99" -> 0.99),
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p._2 >= 0 && p._2 <= 1),
       s"tokenQuantiles probs must lie in [0, 1], got $probs")
     val n = docs.select(col(groupCol).as("grp"),
-      size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n"))
+      size(TextFns.tokens(norm(col(textCol)))).as("n"))
     val hist = n.groupBy(col("grp"), col("n")).agg(count(lit(1)).as("cnt"))
     val wCum = Window.partitionBy(col("grp")).orderBy(col("n"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -255,11 +257,12 @@ object Corpus {
     * @return (grp, n_docs, grp_tokens, token_share, p_keep, n_kept)
     */
   def temperatureSample(docs: DataFrame, groupCol: String, idCol: String,
-      textCol: String, tau: Double = 0.5): DataFrame = {
+      textCol: String, tau: Double = 0.5,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     // persisted: the token-count projection feeds both the per-source
     // rollup and the kept-count pass — one tokenizer run, not two
     val t = docs.select(col(groupCol).as("grp"), col(idCol).as("_id"),
-      size(TextFns.tokens(TextFns.normText(col(textCol)))).as("_n"))
+      size(TextFns.tokens(norm(col(textCol)))).as("_n"))
       .persist()
     val per = t.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"),
@@ -298,13 +301,14 @@ object Corpus {
     *   the trainer's loader splits that doc across the two windows.
     */
   def packSequences(docs: DataFrame, groupCol: String, idCol: String,
-      textCol: String, budget: Int): DataFrame = {
+      textCol: String, budget: Int,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
-        size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n_tokens"))
+        size(TextFns.tokens(norm(col(textCol)))).as("n_tokens"))
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("bin_id",
@@ -333,7 +337,8 @@ object Corpus {
     */
   def splitStats(docs: DataFrame, idCol: String, textCol: String,
       cuts: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 90,
-        "test" -> 100)): DataFrame = {
+        "test" -> 100),
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.head._2 > 0 &&
       cuts.zip(cuts.tail).forall { case ((_, a), (_, b)) => a < b },
       s"cuts must be strictly increasing upper bounds ending at 100, got $cuts")
@@ -344,7 +349,7 @@ object Corpus {
       })
     docs
       .select(split.as("split"),
-        size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n"))
+        size(TextFns.tokens(norm(col(textCol)))).as("n"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n")).cast("long").as("total_tokens"))
@@ -372,13 +377,14 @@ object Corpus {
     */
   def splitByGroup(docs: DataFrame, idCol: String, textCol: String,
       groups: DataFrame, cuts: Seq[(String, Int)] = Seq("train" -> 80,
-        "val" -> 90, "test" -> 100)): DataFrame = {
+        "val" -> 90, "test" -> 100),
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(cuts.nonEmpty && cuts.last._2 == 100 && cuts.head._2 > 0 &&
       cuts.zip(cuts.tail).forall { case ((_, a), (_, b)) => a < b },
       s"cuts must be strictly increasing upper bounds ending at 100, got $cuts")
     val keyed = docs
       .select(col(idCol).as("doc_id"),
-        size(TextFns.tokens(TextFns.normText(col(textCol)))).as("n"))
+        size(TextFns.tokens(norm(col(textCol)))).as("n"))
       .join(groups.select(col("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
       .withColumn("grp_key", coalesce(col("cluster_id"), col("doc_id")))
@@ -524,11 +530,12 @@ object Corpus {
     * @return (doc_id, n_bigrams, avg_p)
     */
   def lmBigramScore(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     val t = docs
       .repartition(par(docs), col(idCol))
       .select(col(idCol).as("doc_id"),
-        TextFns.tokens(TextFns.normText(col(textCol))).as("toks"))
+        TextFns.tokens(norm(col(textCol))).as("toks"))
     // bigrams with positions; when() without otherwise yields NULL for
     // <2-token docs and explode drops them (Spark's sequence(0, -1)
     // would count DOWN — the guard is load-bearing, not cosmetic)
@@ -685,10 +692,11 @@ object Corpus {
     * @return (batch, n_docs, max_len, sum_len, padding)
     */
   def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
-      batchSize: Int): DataFrame = {
+      batchSize: Int,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     require(batchSize >= 1, s"lengthBatches: batchSize >= 1, got $batchSize")
     val t = docs.select(col(idCol).as("doc_id"),
-      size(TextFns.tokens(TextFns.normText(col(textCol)))).cast("long")
+      size(TextFns.tokens(norm(col(textCol)))).cast("long")
         .as("len"))
       .withColumn("one", lit(1L))
     orderedPrefixSum(t, Seq("len", "doc_id"), "one", "rn")

@@ -280,13 +280,14 @@ object Dedup {
     *   md5(normText(text)): reassembly is verifiable, not just counted.
     */
   def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 5, maxDf: Int = 3): DataFrame = {
+      w: Int = 5, maxDf: Int = 3,
+      norm: Column => Column = normText): DataFrame = {
     require(w > 0, s"chunkDedup chunk width must be positive, got $w")
     require(maxDf >= 1, s"chunkDedup maxDf must be >= 1, got $maxDf")
     val t = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
-        tokens(normText(col(textCol))).as("toks"))
+        tokens(norm(col(textCol))).as("toks"))
     val chunks = t
       .select(col("doc_id"), posexplode(
         transform(
@@ -350,7 +351,8 @@ object Dedup {
     *   with nothing removed hashes to md5(normText(text))).
     */
   def repeatedSpanDedup(docs: DataFrame, idCol: String, textCol: String,
-      w: Int = 10, minCount: Int = 2): DataFrame = {
+      w: Int = 10, minCount: Int = 2,
+      norm: Column => Column = normText): DataFrame = {
     require(w > 0, s"repeatedSpanDedup span width must be positive, got $w")
     require(minCount >= 2,
       s"repeatedSpanDedup minCount must be >= 2 (1 covers everything), got $minCount")
@@ -358,7 +360,7 @@ object Dedup {
     val t = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol).as("doc_id"),
-        tokens(normText(col(textCol))).as("toks"))
+        tokens(norm(col(textCol))).as("toks"))
       // reused by the gram scan AND the final reassembly join — one
       // tokenizer pass instead of two (Bench/Verify clear cache per
       // query; long-lived callers own the lifecycle, the convention

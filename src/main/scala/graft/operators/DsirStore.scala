@@ -53,7 +53,7 @@ object DsirStore {
       .coalesce(1)
       .write.partitionBy("batch_id").mode("overwrite")
       .saveAsTable(s"${name}_dsir")
-    Seq(buckets).toDF("buckets")
+    Seq((buckets, ShingleIndex.normFp(norm))).toDF("buckets", "norm_fp")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
@@ -67,6 +67,7 @@ object DsirStore {
       name: String, batchId: Long,
       norm: Column => Column = graft.functions.TextFns.normText): Unit = {
     val b = buckets(docs.sparkSession, name)
+    ShingleIndex.checkNormFp(docs.sparkSession, name, norm)
     ShingleIndex.insertByName(
       Corpus.dsirHistogram(docs, idCol, textCol, b, norm)
         .withColumn("batch_id", lit(batchId))
@@ -108,6 +109,7 @@ object DsirStore {
       : DataFrame = {
     val spark = docs.sparkSession
     val b = buckets(spark, name)
+    ShingleIndex.checkNormFp(spark, name, norm)
     Corpus.dsirScore(docs, idCol, textCol, b,
       Corpus.collectDsirHist(sourceHist(spark, name), b),
       Corpus.collectDsirHist(spark.table(s"${name}_tgt"), b), norm)

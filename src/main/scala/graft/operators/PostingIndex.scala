@@ -84,7 +84,7 @@ object PostingIndex {
       .coalesce(1)
       .write.partitionBy("batch_id").mode("overwrite")
       .saveAsTable(s"${name}_stats")
-    Seq(Tuple1(buckets)).toDF("buckets")
+    Seq((buckets, ShingleIndex.normFp(norm))).toDF("buckets", "norm_fp")
       .write.mode("overwrite").saveAsTable(s"${name}_meta")
   }
 
@@ -108,6 +108,7 @@ object PostingIndex {
   def append(docs: DataFrame, idCol: String, textCol: String,
       name: String, batchId: Long,
       norm: Column => Column = TextFns.normText): Unit = {
+    ShingleIndex.checkNormFp(docs.sparkSession, name, norm)
     ShingleIndex.insertByName(
       postings(docs, idCol, textCol, norm)
         .withColumn("batch_id", lit(batchId)),
@@ -166,6 +167,7 @@ object PostingIndex {
     require(nQueryTerms >= 1 && nQueryTerms <= 128 && k >= 1,
       s"topK: need 1 <= nQueryTerms <= 128 and k >= 1, got $nQueryTerms/$k")
     val spark = queries.sparkSession
+    ShingleIndex.checkNormFp(spark, name, norm)
     // computed twice (the driver collect below + the scoring plan) —
     // deliberate: the query set is bounded, and a persist here would
     // put a pinned frame inside a returned lazy plan (the

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,17 +53,19 @@ object Resolve {
     * row per DISTINCT non-empty canonical name, with the min record id
     * as its representative and the record support count. */
   private def canonicalNames(recs: DataFrame, idCol: String,
-      nameCol: String): DataFrame =
+      nameCol: String, norm: Column => Column): DataFrame =
     recs
-      .select(TextFns.normText(col(nameCol)).as("name"), col(idCol).as("rid"))
+      .select(norm(col(nameCol)).as("name"), col(idCol).as("rid"))
       .filter(length(col("name")) > 0)
       .groupBy(col("name"))
       .agg(min(col("rid")).as("rep_id"), count(lit(1)).as("n_recs"))
       .repartition(par(recs), col("name"))
 
   def fuzzyNamePairs(recs: DataFrame, idCol: String, nameCol: String,
-      maxDist: Int, maxBlock: Long = 1000L): DataFrame =
-    pairsFromNames(canonicalNames(recs, idCol, nameCol), maxDist, maxBlock)
+      maxDist: Int, maxBlock: Long = 1000L,
+      norm: Column => Column = TextFns.normText): DataFrame =
+    pairsFromNames(canonicalNames(recs, idCol, nameCol, norm), maxDist,
+      maxBlock)
 
   /** The block–pair–gate stages over an already-built names frame —
     * shared so [[entityIds]] computes the record-scale exact-group scan
@@ -119,14 +121,15 @@ object Resolve {
     * @return (rid, name, entity_id) — one row per contributing record
     */
   def entityIds(recs: DataFrame, idCol: String, nameCol: String,
-      maxDist: Int, maxBlock: Long = 1000L): DataFrame = {
+      maxDist: Int, maxBlock: Long = 1000L,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     // persisted: the names frame is name-vocabulary-scale (tiny) but
     // its LINEAGE is the record-scale exact-group scan, and it feeds
     // three consumers (blocking, the pair-side rejoins, nameEntity) —
     // without the pin each consumer re-runs the record scan. Persisted
     // under the repo's caller-clears-cache convention (Verify/the
     // ingest loops clear per call).
-    val names = canonicalNames(recs, idCol, nameCol).persist()
+    val names = canonicalNames(recs, idCol, nameCol, norm).persist()
     val edges = pairsFromNames(names, maxDist, maxBlock)
       .select(col("id_a").as("ida"), col("id_b").as("idb"))
     val cc = Clusters.connectedComponents(edges)
@@ -137,7 +140,7 @@ object Resolve {
         coalesce(col("cluster_id"), col("rep_id")).as("entity_id"))
     recs
       .select(col(idCol).as("rid"),
-        TextFns.normText(col(nameCol)).as("name"))
+        norm(col(nameCol)).as("name"))
       .join(nameEntity, Seq("name"))
       .select(col("rid"), col("name"), col("entity_id"))
   }
@@ -163,7 +166,8 @@ object Resolve {
     */
   def goldenRecords(recs: DataFrame, idCol: String, nameCol: String,
       maxDist: Int, attrs: Seq[String],
-      maxBlock: Long = 1000L): DataFrame = {
+      maxBlock: Long = 1000L,
+      norm: Column => Column = TextFns.normText): DataFrame = {
     // the pipeline introduces working columns; an attribute shadowing
     // one would produce an ambiguous-column error naming neither the
     // operator nor the offending attr — refuse up front instead
@@ -173,7 +177,7 @@ object Resolve {
       s"${attrs.filter(reserved).mkString(", ")} collide with the " +
       s"operator's working columns (${reserved.mkString(", ")}) — " +
       "alias them before calling")
-    val ids = entityIds(recs, idCol, nameCol, maxDist, maxBlock)
+    val ids = entityIds(recs, idCol, nameCol, maxDist, maxBlock, norm)
     // persisted: every mode pick below is an entity-scale aggregation,
     // but each one CONSUMES this record-scale join — k attributes would
     // re-execute it k+2 times without the pin (ReuseExchange does not

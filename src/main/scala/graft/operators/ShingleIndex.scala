@@ -101,7 +101,8 @@ object ShingleIndex {
       sh.withColumn("batch_id", lit(BaseBatch))
         .write.partitionBy("batch_id").bucketBy(buckets, "doc_id")
         .mode("overwrite").saveAsTable(s"${name}_sh")
-      Seq((n, buckets, parts)).toDF("n", "buckets", "parts")
+      Seq((n, buckets, parts, normFp(norm)))
+        .toDF("n", "buckets", "parts", "norm_fp")
         .write.mode("overwrite").saveAsTable(s"${name}_meta")
     } finally sh.unpersist(blocking = false)
   }
@@ -164,6 +165,7 @@ object ShingleIndex {
       norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         graft.functions.TextFns.normText): Unit = {
     val (n, _, parts) = meta(docs.sparkSession, name)
+    checkNormFp(docs.sparkSession, name, norm)
     // persisted for the same two-writes reason as in build
     val sh = Dedup.shingleDocs(docs, idCol, textCol, n, norm).persist()
     try {
@@ -291,6 +293,41 @@ object ShingleIndex {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
+  /** Deterministic fingerprint of a text normalizer: the expression
+    * tree it builds over a fixed probe column, rendered as a string —
+    * zero Spark jobs, so checking it per append/probe costs nothing.
+    * Persisted into every text store's `{name}_meta` at build and
+    * REQUIRED to match at append/probe time: the "same normalizer for
+    * build, every append, every probe" contract is thereby enforced by
+    * the store itself, not by scaladoc (a mismatched caller would
+    * silently write/query a disjoint hash space). Stores built before
+    * the fingerprint existed lack the column and skip the check.
+    * (Stability note: the rendered tree is stable for a fixed Spark
+    * version; a Spark upgrade that changes expression printing
+    * invalidates stored fingerprints LOUDLY — rebuild or re-stamp.) */
+  private[operators] def normFp(
+      norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : String =
+    norm(col("__graft_norm_fp__")).toString
+
+  /** Require `{name}_meta`'s stored normalizer fingerprint (if present)
+    * to match the caller's normalizer. */
+  private[operators] def checkNormFp(spark: SparkSession, name: String,
+      norm: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : Unit = {
+    val m = spark.table(s"${name}_meta")
+    if (m.columns.contains("norm_fp")) {
+      val stored = m.head().getAs[String]("norm_fp")
+      val got = normFp(norm)
+      require(stored == got,
+        s"$name: this store was built with a DIFFERENT text normalizer " +
+          s"than the caller passed (stored fingerprint:\n  $stored\n" +
+          s"caller's:\n  $got\n) — appends/probes under a mismatched " +
+          "normalizer write or query a disjoint token/shingle space; " +
+          "pass the build-time normalizer, or rebuild the store")
+    }
+  }
+
   /** New-batch near-dup pairs against the indexed corpus — row-for-row
     * the result of `Dedup.incrementalNearDupPairs(corpus, newDocs, …)`
     * without touching the corpus text. See the object scaladoc for the
@@ -304,6 +341,7 @@ object ShingleIndex {
         graft.functions.TextFns.normText): DataFrame = {
     val spark = newDocs.sparkSession
     val (n, _, parts) = meta(spark, name)
+    checkNormFp(spark, name, norm)
     val shNew = Dedup.shingleDocs(newDocs, idCol, textCol, n, norm).persist()
     val newInv = shNew.select(col("doc_id"),
       explode(transform(col("shingles"), s => hash60(s))).as("s"))

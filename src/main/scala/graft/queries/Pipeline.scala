@@ -3524,7 +3524,7 @@ object Pipeline {
        |    $scoreCols
        |  FROM t),
        |lp AS (SELECT doc_id, toks,
-       |  CASE WHEN n_lm = 0 THEN 'und'
+       |  CASE WHEN n_lm IS NULL OR n_lm = 0 THEN 'und'
        |    $scriptCases
        |    ELSE CASE $latinCases ELSE '${langs.last}' END
        |  END AS lang_pred

@@ -58,7 +58,10 @@ object GroupProbe {
     // or >1e6 source ids would silently collide across batches and
     // violate the append families' doc-disjointness contract — refuse
     // loudly rather than measure a corrupted store
-    val maxId = docs0.agg(max(col("doc_id"))).head().getLong(0)
+    val maxIdRow = docs0.agg(max(col("doc_id"))).head()
+    require(!maxIdRow.isNullAt(0),
+      s"GroupProbe: documents table at $dir is empty — nothing to probe")
+    val maxId = maxIdRow.getLong(0)
     require(maxId < 1000000L,
       s"GroupProbe: doc_id values must be < 1e6 for the id-offset " +
         s"scheme (got max $maxId); re-key the corpus first")

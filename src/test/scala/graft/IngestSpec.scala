@@ -78,7 +78,7 @@ class IngestSpec extends AnyFunSuite {
     }
   }
 
-  test("multilingual ingest e2e: unicode config triages CJK/Cyrillic correctly where the ASCII config fails everything as low_quality") {
+  test("multilingual ingest e2e: unicode config triages CJK/Cyrillic correctly; a mismatched ASCII config is rejected by the store fingerprint") {
     import spark.implicits._
     import graft.functions.TextFns
     val uni: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
@@ -115,13 +115,16 @@ class IngestSpec extends AnyFunSuite {
       assert(t(11L)._1 == "contaminated", t.toString)
       assert(t(12L) == (("duplicate", Some(1L))), t.toString)
       assert(t(13L)._1 == "accepted", t.toString)
-      // the ASCII default over the same batch: every doc tokenizes to
-      // ZERO tokens and dies at the quality gate — leaks pass no gate
-      // because nothing passes any gate (the silent-death contrast)
-      val ascii = Ingest.triage(batch, "doc_id", "text",
-          cfg.copy(norm = TextFns.normText))
-        .collect().map(r => r.getAs[String]("fate")).distinct.toSeq
-      assert(ascii == Seq("low_quality"), ascii.toString)
+      // the ASCII default over the same batch: the store's normalizer
+      // fingerprint rejects the mismatched probe LOUDLY — before this
+      // gate existed, every doc silently died at the quality gate
+      // (zero tokens) and the index was never even consulted
+      val e = intercept[IllegalArgumentException] {
+        Ingest.triage(batch, "doc_id", "text",
+          cfg.copy(norm = TextFns.normText)).collect()
+      }
+      assert(e.getMessage.contains("DIFFERENT text normalizer"),
+        e.getMessage)
     } finally {
       Seq("graft_ing_u_idx", "graft_ing_u_sh", "graft_ing_u_meta",
         "graft_ing_u_batches")

@@ -121,6 +121,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(!a(1L) && !a(2L), s"ascii gate should be blind here: $a")
   }
 
+  test("store normalizer fingerprint: a mismatched append/probe fails loudly against the build-time normalizer") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val uni: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      TextFns.unicodeNormalizer()
+    val d = Seq((1L, "некоторый русский текст для индекса в хранилище"))
+      .toDF("doc_id", "text")
+    try {
+      graft.operators.PostingIndex.build(d, "doc_id", "text",
+        "graft_fp_post", norm = uni)
+      // ASCII-default append against the unicode-built store: the
+      // stored fingerprint rejects it BEFORE any divergent rows land
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.PostingIndex.append(
+          Seq((2L, "ещё один документ")).toDF("doc_id", "text"),
+          "doc_id", "text", "graft_fp_post", batchId = 1L)
+      }
+      assert(e.getMessage.contains("DIFFERENT text normalizer"),
+        e.getMessage)
+      // and a mismatched topK probe is rejected too (it would query a
+      // disjoint term space and silently retrieve nothing)
+      val q = intercept[IllegalArgumentException] {
+        graft.operators.PostingIndex.topK(
+          Seq((9L, "текст")).toDF("doc_id", "text"), "doc_id", "text",
+          "graft_fp_post", nQueryTerms = 4, k = 3).count()
+      }
+      assert(q.getMessage.contains("DIFFERENT text normalizer"),
+        q.getMessage)
+      // the matching normalizer passes both paths
+      graft.operators.PostingIndex.append(
+        Seq((2L, "ещё один документ")).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_fp_post", batchId = 1L, norm = uni)
+      assert(graft.operators.PostingIndex.topK(
+        Seq((9L, "русский текст")).toDF("doc_id", "text"), "doc_id",
+        "text", "graft_fp_post", nQueryTerms = 4, k = 3,
+        norm = uni).count() >= 1)
+    } finally {
+      Seq("graft_fp_post_post", "graft_fp_post_stats",
+        "graft_fp_post_meta", "graft_fp_post_batches")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("exact dedup: keepers unique, copy counts sum to row count") {
     val d = Dedup.exact(docs, "doc_id", "text").collect()
     assert(d.map(_.getAs[Long]("keep_id")).distinct.length == d.length)

@@ -66,14 +66,18 @@ class StreamsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("normalizer"), e.getMessage)
     // matching normalizers pass the check (fails later on the absent
-    // index table, proving the norm gate itself was cleared)
+    // index table, proving the norm gate itself was cleared) — the
+    // negative assertion matches the require's REAL message text, so a
+    // regression to rejecting equal normalizers cannot slip past it
+    assert(e.getMessage.contains("normalizer different from cfg.norm"),
+      s"guard string drifted from the require message: ${e.getMessage}")
     val ok = intercept[Exception] {
       Streams.triageMultiIngestBatch(batch, 1L, "doc_id", "text", cfg,
         "graft_nm_grp",
         Seq(Streams.StoreFamily.posting("graft_nm_post", "doc_id", "text",
           norm = TextFns.unicodeNormalizer())))
     }
-    assert(!ok.getMessage.contains("different text normalizer"),
+    assert(!ok.getMessage.contains("normalizer different from cfg.norm"),
       ok.getMessage)
   }
 
