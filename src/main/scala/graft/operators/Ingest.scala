@@ -88,20 +88,29 @@ object Ingest {
         col(idCol))
       .select(col(idCol).as("doc_id"),
         Corpus.redactText(col(textCol)).as("text"))
+    // Tokenize ONCE into a materialized attribute shared by the
+    // quality gate (n_tokens) and the Bloom probe's shingle window —
+    // the wordShingles CSE trap (see bloomDecontaminated): slicing an
+    // inline tokenize expression re-runs it per window position,
+    // O(tokens²) per row; measured 4.3 s vs 0.5 s for this gate chain
+    // at sf0.1. The attribute is dropped before the checkpoint fence so
+    // the materialized blocks never carry the token array.
     // NULL text counts as 0 tokens: size(NULL) is NULL, and a NULL
     // n_tokens would sail past the `< minTokens` gate (NULL comparison
     // takes no branch) straight to "accepted" — a contentless doc must
     // fail the quality gate like the empty string does
+    val tok = "__graft_triage_toks"
     val gated0 = scrubbed.select(col("doc_id"), col("text"),
-      coalesce(size(TextFns.tokens(cfg.norm(col("text"))))
-        .cast("long"), lit(0L)).as("n_tokens"))
-    val gated = cfg.evalSketch match {
+      TextFns.tokens(cfg.norm(col("text"))).as(tok))
+      .select(col("doc_id"), col("text"), col(tok),
+        coalesce(size(col(tok)).cast("long"), lit(0L)).as("n_tokens"))
+    val gated = (cfg.evalSketch match {
       case Some(sk) => graft.streaming.Streams
-        .bloomDecontaminated(gated0, sk, "text", cfg.bloomN,
-          cfg.bloomMinHits, cfg.norm)
+        .bloomDecontaminatedToks(gated0, sk, tok, cfg.bloomN,
+          cfg.bloomMinHits)
         .drop("eval_gram_hits")
       case None => gated0.withColumn("contaminated", lit(false))
-    }
+    }).drop(tok)
     // Lazy localCheckpoint, NOT persist(): it materializes the gate
     // columns once at first action and TRUNCATES LINEAGE, which does
     // two jobs at once. (1) No un-owned pinned cache: checkpoint

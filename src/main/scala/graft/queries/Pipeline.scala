@@ -652,11 +652,17 @@ object Pipeline {
 
   private def p11(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.df(spark, dir, "documents")
-    val norm = TextFns.normText(col("text"))
-    val shingles = TextFns.wordShingles(TextFns.tokens(norm), ShingleN)
-    docs.select(col("doc_id"),
-      TextFns.hash60(norm).as("fingerprint"),
-      array_min(transform(shingles, s => TextFns.hash32(s))).as("min_shingle_hash"))
+    // normalized text and its token array are materialized attributes
+    // before the shingle window slices them — the wordShingles CSE
+    // trap (O(tokens²) re-tokenize per row when the window slices an
+    // inline expression; see Ingest.triage)
+    docs.select(col("doc_id"), TextFns.normText(col("text")).as("normed"))
+      .select(col("doc_id"), col("normed"),
+        TextFns.tokens(col("normed")).as("toks"))
+      .select(col("doc_id"),
+        TextFns.hash60(col("normed")).as("fingerprint"),
+        array_min(transform(TextFns.wordShingles(col("toks"), ShingleN),
+          s => TextFns.hash32(s))).as("min_shingle_hash"))
   }
 
   private val p11Sql = {

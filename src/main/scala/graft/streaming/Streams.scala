@@ -271,14 +271,32 @@ object Streams {
       textCol: String, n: Int = 8, minHits: Int = 1,
       norm: Column => Column = graft.functions.TextFns.normText)
       : DataFrame = {
-    import graft.functions.TextFns.{hash60, tokens, wordShingles}
+    import graft.functions.TextFns.tokens
     // norm must match the normalizer the sketch's grams were built
     // with (Decontaminate.evalGrams) — an ASCII gate over a
     // unicode-normalized sketch (or vice versa) probes disjoint gram
-    // spaces and silently flags nothing
+    // spaces and silently flags nothing.
+    // The token array is materialized as an ATTRIBUTE before the
+    // shingle window slices it — the wordShingles CSE trap: slicing an
+    // inline tokenize EXPRESSION re-runs normalize+tokenize once per
+    // window position, O(tokens²) per row (measured 4.9 s vs 0.5 s on
+    // the sf0.1 p41 gate chain). Multi-reference inside wordShingles
+    // keeps CollapseProject from inlining it back after the drop.
+    val tok = "__graft_bloom_toks"
+    bloomDecontaminatedToks(
+      docs.withColumn(tok, tokens(norm(col(textCol)))),
+      sketch, tok, n, minHits).drop(tok)
+  }
+
+  /** [[bloomDecontaminated]] over a pre-tokenized column — for callers
+    * that already materialized the token array ([[graft.operators
+    * .Ingest.triage]] shares one tokenize between its quality gate and
+    * this probe). Same probe-count semantics. */
+  def bloomDecontaminatedToks(docs: DataFrame, sketch: Array[Byte],
+      toksCol: String, n: Int = 8, minHits: Int = 1): DataFrame = {
+    import graft.functions.TextFns.{hash60, wordShingles}
     val hits = size(filter(
-      transform(wordShingles(tokens(norm(col(textCol))), n),
-        s => hash60(s)),
+      transform(wordShingles(col(toksCol), n), s => hash60(s)),
       g => call_function("graft_might_contain", lit(sketch), g)))
     docs
       .withColumn("eval_gram_hits", hits.cast("long"))
