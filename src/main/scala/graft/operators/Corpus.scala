@@ -1816,6 +1816,47 @@ object Corpus {
       collectDsirHist(dsirHistogram(target, idCol, textCol, buckets, norm),
         buckets), norm)
 
+  /** [[dsirWeights]] when the target corpus is a predicate-selected
+    * SUBSET of `raw` (the common "score everything against the
+    * high-quality slice" call): one tokenize+feature pass serves both
+    * histograms AND the scoring, instead of three. The feature frame
+    * (doc_id, target?, fb) is persisted (memory-and-disk — fb is a few
+    * ints per token, the same order as the text it came from) and the
+    * two bucket histograms collapse into ONE explode+groupBy with a
+    * conditional count — identical counts, so weights are bit-identical
+    * to `dsirWeights(raw, raw.filter(targetPred), …)` (DsirSpec pins
+    * the equality). Recompute-vs-persist: the tokenize chain is two
+    * regex passes + a per-token hash per doc, far more expensive than
+    * re-reading cached fb arrays, and the persist is released with the
+    * plan (callers that outlive a query should unpersist via
+    * sparkSession.catalog.clearCache or scope the frame). */
+  def dsirWeightsWithin(raw: DataFrame, targetPred: Column, idCol: String,
+      textCol: String, buckets: Int,
+      norm: Column => Column = TextFns.normText): DataFrame = {
+    val ff = raw
+      .select(col(idCol).as("doc_id"), targetPred.as("__tgt"),
+        TextFns.tokens(norm(col(textCol))).as("toks"))
+      .select(col("doc_id"), col("__tgt"),
+        dsirFeatures(col("toks"), buckets).as("fb"))
+      .persist()
+    val s = new Array[Long](buckets)
+    val t = new Array[Long](buckets)
+    // one pass, both histograms: count every feature and, in the same
+    // partial aggregate, the target-subset ones (NULL predicate rows
+    // count as non-target, exactly like filter(targetPred) drops them)
+    ff.select(col("__tgt"), explode(col("fb")).as("b"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("c_all"),
+        count(when(col("__tgt"), lit(1))).as("c_tgt"))
+      .collect()
+      .foreach { r =>
+        val b = r.getAs[Long]("b").toInt
+        s(b) = r.getAs[Long]("c_all")
+        t(b) = r.getAs[Long]("c_tgt")
+      }
+    dsirScoreFb(ff.select(col("doc_id"), col("fb")), buckets, s, t)
+  }
+
   /** (doc_id, fb) — every doc's hashed feature-bucket array. The
     * two-step projection is load-bearing: `toks` must be a
     * materialized attribute before dsirFeatures references it —
@@ -1859,7 +1900,15 @@ object Corpus {
   private[operators] def dsirScore(raw: DataFrame, idCol: String,
       textCol: String, buckets: Int, s: Array[Long],
       t: Array[Long],
-      norm: Column => Column = TextFns.normText): DataFrame = {
+      norm: Column => Column = TextFns.normText): DataFrame =
+    dsirScoreFb(dsirFeatureFrame(raw, idCol, textCol, buckets, norm),
+      buckets, s, t)
+
+  /** The scoring projection of [[dsirScore]] over an already-built
+    * (doc_id, fb) feature frame — shared with [[dsirWeightsWithin]],
+    * whose persisted frame must not be re-derived from text. */
+  private[operators] def dsirScoreFb(ff: DataFrame, buckets: Int,
+      s: Array[Long], t: Array[Long]): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 22),
       s"dsir: buckets must be in [1, 2^22] (dense literal array rides " +
         s"into every task), got $buckets")
@@ -1871,8 +1920,7 @@ object Corpus {
     val ratios = Array.tabulate(buckets)(b =>
       ((t(b) + 1L).toDouble * (sTot + buckets).toDouble) /
         ((s(b) + 1L).toDouble * (tTot + buckets).toDouble))
-    dsirFeatureFrame(raw, idCol, textCol, buckets, norm)
-      .select(col("doc_id"),
+    ff.select(col("doc_id"),
       coalesce(size(col("fb")), lit(0)).cast("long").as("n_feats"),
       when(size(col("fb")) > 0,
         aggregate(col("fb"), lit(0.0d),
@@ -1896,8 +1944,15 @@ object Corpus {
   def dsirSelect(weights: DataFrame): DataFrame = {
     // wmax and the acceptance filter are two passes over the scored
     // frame — persist it (3 longs + a double per doc, tiny next to the
-    // text it came from) so the upstream scoring runs once
-    val scored = weights.filter(col("n_feats") > 0).persist()
+    // text it came from) so the upstream scoring runs once. Persist the
+    // UNFILTERED frame: a filter below the persist gets pushed under
+    // the scoring projection with the whole feature expression inlined,
+    // so the single materialization pass would evaluate
+    // tokenize+features twice per row (measured in the p72b plan —
+    // Filter(5) carried the full expression below the Projects). The
+    // n_feats = 0 rows the cache now also holds are 3 longs + a NULL
+    // each.
+    val scored = weights.persist().filter(col("n_feats") > 0)
     val wmax = scored.agg(max(col("weight")).as("wmax"))
     scored.crossJoin(broadcast(wmax))
       .filter((TextFns.hash32(concat(lit("dsir|"),

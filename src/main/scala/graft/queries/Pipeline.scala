@@ -3642,8 +3642,12 @@ object Pipeline {
     * pattern), so the weight doubles hash-match bit-for-bit. */
   private def p72(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.df(spark, dir, "documents")
-    graft.operators.Corpus.dsirWeights(docs,
-      docs.filter(col("lang") === "en"), "doc_id", "text", DsirBuckets)
+    // target = an in-corpus slice ⇒ the shared-feature-frame path: one
+    // tokenize pass serves both histograms and the scoring (weights
+    // bit-identical to dsirWeights(docs, docs.filter(…), …) — DsirSpec
+    // pins the equality, the p72 oracle hash-gates the output)
+    graft.operators.Corpus.dsirWeightsWithin(docs,
+      col("lang") === "en", "doc_id", "text", DsirBuckets)
   }
 
   /** Shared CTE block: features → histograms → smoothed ratio list →

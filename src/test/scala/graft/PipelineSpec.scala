@@ -1738,6 +1738,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(!kept.contains(4L))
   }
 
+  test("dsirWeightsWithin: bit-identical to dsirWeights over the predicate subset, NULL predicate rows are non-target") {
+    import spark.implicits._
+    val B = 256
+    // lang column with a NULL: dsirWeights' filter drops it from the
+    // target; dsirWeightsWithin's conditional count must do the same
+    val rows = Seq(
+      (1L, "alpha beta alpha beta", "en"),
+      (2L, "alpha beta gamma", "en"),
+      (3L, "zulu yankee xray whiskey", "de"),
+      (4L, "!?!.", "en"),
+      (5L, "beta alpha beta delta", null))
+    val docs = rows.toDF("doc_id", "text", "lang")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val ref = m(Corpus.dsirWeights(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text", B))
+    val got = m(Corpus.dsirWeightsWithin(docs,
+      col("lang") === "en", "doc_id", "text", B))
+    assert(got == ref)
+    // the shared path's select output survives dsirSelect identically
+    val keptRef = Corpus.dsirSelect(Corpus.dsirWeights(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text", B))
+      .collect().map(_.getLong(0)).toSet
+    spark.catalog.clearCache()
+    val keptGot = Corpus.dsirSelect(Corpus.dsirWeightsWithin(docs,
+      col("lang") === "en", "doc_id", "text", B))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptGot == keptRef)
+    spark.catalog.clearCache()
+  }
+
   test("histogramDrift: hand-computed chi-square, smoothing keeps new bins finite, shift raises the stat") {
     import spark.implicits._
     val ref = Seq(0L, 0L, 1L).map(("g", _)).toDF("src", "v")
