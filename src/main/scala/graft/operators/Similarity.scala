@@ -1321,20 +1321,29 @@ object Similarity {
     * max-sim is defined as +0.0 there, so every round scores through
     * the SAME expression.
     *
-    * Greedy selection is inherently sequential in k, so it is
-    * expressed as k UNROLLED relational rounds, each a bounded
-    * window/join over the per-query shortlist — never a driver loop
-    * over collected rows. Corpus-scale work happens exactly once (the
-    * shortlist build, one broadcast nested-loop like
-    * [[bruteForceTopK]]); the shortlist (queries × poolK rows) is
-    * persisted and every later round touches only it, so cost is
-    * O(k · Q · poolK²) on an O(Q·poolK) frame regardless of corpus
-    * size.
+    * Greedy selection is inherently sequential in k but LOCAL to one
+    * query's shortlist, so after the one corpus-scale pass (the
+    * shortlist build, a broadcast nested-loop like [[bruteForceTopK]])
+    * the k rounds run inside a single per-query expression over the
+    * collected candidate array — one job, one exchange, no per-round
+    * driver round-trips (the previous k-unrolled relational form paid
+    * ~0.3 s of job scheduling per round regardless of data size). The
+    * shortlist array is ≤ poolK structs of (id, rel, vector), so the
+    * per-row state is poolK·dim doubles — bounded by construction,
+    * independent of corpus size. msim is maintained incrementally:
+    * msim_i(d) = max(msim_{i-1}(d), cos(d, pick_{i-1})) — max over
+    * doubles is associative, so the running form equals the
+    * max-over-all-picks definition bit-for-bit. Cost is
+    * O(Q · k · poolK²) comparisons + O(Q · k · poolK) dot products.
     *
     * Determinism: rel and the pairwise cosines are the shared
     * [[dot]]-fold; MAX over doubles is merge-order-free; λ·rel −
     * (1−λ)·maxSim is a fixed IEEE sequence (λ = 0.5 halves exactly);
-    * ties break on item id — the oracle replays all k rounds verbatim.
+    * ties break on item id (argmax compares mmr then id — SQL double
+    * comparison, same total order as the old rank window after float
+    * normalization); the collected array's order cannot matter because
+    * argmax scans the whole array. PipelineSpec pins exact mmr doubles
+    * against a hand fold; the p67 oracle replays all k rounds.
     *
     * @return (query_id, rnk, item_id, mmr): rnk = selection order,
     *         1 <= rnk <= min(k, |shortlist(q)|)
@@ -1359,47 +1368,65 @@ object Similarity {
       .withColumn("r0", row_number().over(wRel))
       .filter(col("r0") <= poolK)
       .drop("r0")
-      .persist() // reused by every greedy round — never rescan the corpus
+    val pool = short.groupBy(col("query_id"))
+      .agg(collect_list(struct(col("item_id"), col("rel"), col("cv"),
+        col("cv_n"))).as("cands"))
     val lam = lit(lambda)
     val oneMinusLam = lit(1.0 - lambda)
-    def pickTop(cands: DataFrame, rnk: Int): DataFrame = {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("mmr").desc, col("item_id"))
-      cands
-        .select(col("query_id"), col("item_id"),
-          (lam * col("rel") - oneMinusLam * col("msim")).as("mmr"),
-          col("cv"), col("cv_n"))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("query_id"), lit(rnk).as("rnk"), col("item_id"),
-          col("mmr"), col("cv"), col("cv_n"))
+    def fld(s: Column, n: String) = s.getField(n)
+    // remaining candidates carry a running msim; NULL = "no picks yet"
+    // (scoring coalesces it to +0.0, the empty-selected-set value, but
+    // the real max must start from the FIRST cosine — folding the 0.0
+    // sentinel into the max would clamp negative cosines at zero)
+    val rem0 = transform(col("cands"), x => struct(
+      fld(x, "item_id").as("item_id"), fld(x, "rel").as("rel"),
+      fld(x, "cv").as("cv"), fld(x, "cv_n").as("cv_n"),
+      lit(null).cast("double").as("msim")))
+    // empty picks array with the output element type, derived from the
+    // data itself (slice to length 0) so item_id's type stays generic
+    val sel0 = slice(transform(col("cands"), x => struct(
+      lit(0).as("rnk"), fld(x, "item_id").as("item_id"),
+      lit(0.0).as("mmr"), fld(x, "cv").as("cv"),
+      fld(x, "cv_n").as("cv_n"))), 1, 0)
+    val step: (Column, Column) => Column = (st, i) => {
+      val rem = fld(st, "rem")
+      val sel = fld(st, "sel")
+      val scored = transform(rem, x => struct(
+        fld(x, "item_id").as("item_id"),
+        (lam * fld(x, "rel") - oneMinusLam *
+          coalesce(fld(x, "msim"), lit(0.0))).as("mmr"),
+        fld(x, "cv").as("cv"), fld(x, "cv_n").as("cv_n")))
+      // argmax by (mmr desc, item_id asc) — a linear fold, ties on id
+      val best = aggregate(
+        slice(scored, lit(2), greatest(size(scored) - 1, lit(0))),
+        element_at(scored, 1),
+        (b, x) => when(fld(x, "mmr") > fld(b, "mmr") ||
+          (fld(x, "mmr") === fld(b, "mmr") &&
+            fld(x, "item_id") < fld(b, "item_id")), x).otherwise(b))
+      val newSel = concat(sel, array(struct(
+        i.cast("int").as("rnk"), fld(best, "item_id").as("item_id"),
+        fld(best, "mmr").as("mmr"), fld(best, "cv").as("cv"),
+        fld(best, "cv_n").as("cv_n"))))
+      val newRem = transform(
+        filter(rem, x => fld(x, "item_id") =!= fld(best, "item_id")),
+        x => {
+          val cosb = dot(fld(x, "cv"), fld(best, "cv")) /
+            (fld(x, "cv_n") * fld(best, "cv_n"))
+          struct(fld(x, "item_id").as("item_id"),
+            fld(x, "rel").as("rel"), fld(x, "cv").as("cv"),
+            fld(x, "cv_n").as("cv_n"),
+            when(fld(x, "msim").isNull, cosb)
+              .otherwise(greatest(fld(x, "msim"), cosb)).as("msim"))
+        })
+      when(size(rem) > 0,
+        struct(newRem.as("rem"), newSel.as("sel"))).otherwise(st)
     }
-    val firstPick = pickTop(short.withColumn("msim", lit(0.0)), 1)
-    val selected = (2 to k).foldLeft(firstPick) { (sel, i) =>
-      val rem = short.join(sel.select(col("query_id"), col("item_id")),
-        Seq("query_id", "item_id"), "left_anti")
-      val ms = rem
-        .join(sel.select(col("query_id"), col("cv").as("sv"),
-          col("cv_n").as("sv_n")), Seq("query_id"))
-        .groupBy(col("query_id"), col("item_id"))
-        .agg(max(col("rel")).as("rel"), // per-(q, item) constants: max
-          max(dot(col("cv"), col("sv")) / (col("cv_n") * col("sv_n")))
-            .as("msim"), // MAX over doubles — merge-order-free
-          first(col("cv")).as("cv"), // constant within the group
-          max(col("cv_n")).as("cv_n"))
-      // each round references the previous selection twice (anti join +
-      // pairwise-sim join), so without intervention the logical plan
-      // doubles per round — measured: a 4,200-line plan whose
-      // compile + cache-materialization cascade cost ~12 s at sf0.001.
-      // localCheckpoint TRUNCATES the lineage each round (the frame is
-      // Q×i rows — trivial to store), keeping every round's plan
-      // constant-size. Eager, so round i's job runs before round i+1
-      // plans. On a cluster with executor churn, reliable checkpoint()
-      // is the drop-in hardening; local mode has no such loss window.
-      sel.unionByName(pickTop(ms, i)).localCheckpoint()
-    }
-    selected.select(col("query_id"), col("rnk"), col("item_id"),
-      col("mmr"))
+    val picks = aggregate(sequence(lit(1), lit(k)),
+      struct(rem0.as("rem"), sel0.as("sel")), step,
+      st => fld(st, "sel"))
+    pool.select(col("query_id"), explode(picks).as("p"))
+      .select(col("query_id"), col("p.rnk").as("rnk"),
+        col("p.item_id").as("item_id"), col("p.mmr").as("mmr"))
   }
 
   /** Symmetric per-vector int8 quantization audit: scale = 127/max|x_i|,

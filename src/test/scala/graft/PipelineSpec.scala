@@ -1946,6 +1946,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(rel == Map(1 -> 10L, 2 -> 11L, 3 -> 12L))
   }
 
+  test("mmrRerank: mmr doubles equal a hand-computed greedy fold (incremental running-max form)") {
+    import spark.implicits._
+    val qv = Seq(1.0, 0.0, 0.0)
+    // 13's cosine to every other candidate is NEGATIVE: msim must be
+    // the max of ACTUAL pick cosines (negative allowed), never clamped
+    // by round 1's 0.0 empty-set scoring sentinel
+    val cs = Seq(
+      10L -> Seq(0.9, 0.1, 0.0),
+      11L -> Seq(0.8, 0.2, 0.1),
+      12L -> Seq(0.1, 0.9, 0.3),
+      13L -> Seq(-0.2, -0.2, 0.9))
+    val q = Seq((1L, qv)).toDF("vec_id", "embedding")
+    val c = cs.map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    // hand greedy MMR, λ=0.5, the same left-to-right dot fold; msim is
+    // the true max over selected-pick cosines (None before any pick)
+    def dotS(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]): Double =
+      dotS(a, b) / (math.sqrt(dotS(a, a)) * math.sqrt(dotS(b, b)))
+    var rem = cs.map { case (id, v) =>
+      (id, cos(qv, v), v, Option.empty[Double]) }
+    val expect = scala.collection.mutable.ListBuffer[(Int, Long, Double)]()
+    for (rnk <- 1 to 4) {
+      val scored = rem.map { case (id, rel, v, ms) =>
+        (id, 0.5 * rel - 0.5 * ms.getOrElse(0.0), v) }
+      val (pid, pmmr, pv) = scored.minBy { case (id, m, _) => (-m, id) }
+      expect += ((rnk, pid, pmmr))
+      rem = rem.filter(_._1 != pid).map { case (id, rel, v, ms) =>
+        (id, rel, v,
+          Some(ms.fold(cos(v, pv))(m => math.max(m, cos(v, pv))))) }
+    }
+    val out = Similarity.mmrRerank(q, c, "vec_id", "embedding",
+      poolK = 4, k = 4, lambda = 0.5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(out == expect.toSeq) // exact doubles, not approximate
+  }
+
   test("mmrRerank: short shortlists yield min(k, candidates) picks; results are layout-invariant") {
     import spark.implicits._
     val q = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
