@@ -183,7 +183,10 @@ object Dedup {
     * which a window-based df would lose (WindowExec buffers whole
     * partitions — skew-unsafe on mega-hot shingles). */
   private def cappedCandidates(sh: DataFrame, cap: Int): DataFrame = {
-    val invf = cappedIndex(sh, cap)
+    // persisted: the self-join's two sides would otherwise each re-run
+    // the explode + hash60 + df-cap anti-join chain (the exchanges
+    // dedupe at runtime via AQE reuse, the map-side chains do not)
+    val invf = cappedIndex(sh, cap).persist()
     invf.as("a")
       .join(invf.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -1187,6 +1187,20 @@ object Similarity {
     * built-ins (sequence/aggregate/shiftleft) — stays inside
     * whole-stage codegen. */
   private[graft] def signPack(vec: Column): Column = {
+    // the argument is BOUND as a lambda variable before any per-bit
+    // element_at touches it: the pack fold random-accesses the array
+    // once per bit, and a caller passing a computed expression (e.g.
+    // residualPack's zip_with subtraction) would otherwise re-evaluate
+    // that whole expression per bit — O(dim²) per row. Invisible at the
+    // bench's dim=64 (cost-neutral, measured), decisive at production
+    // dims (a 1024-dim residual would re-run a 1024-element zip_with
+    // 1024 times per vector). A lambda variable is evaluated once per
+    // element of its input, so wrapping in a 1-tuple makes the helper
+    // total-cost-safe for ANY argument shape.
+    element_at(transform(array(vec), v => signPackBody(v)), 1)
+  }
+
+  private def signPackBody(vec: Column): Column = {
     val nWords = floor((size(vec) + lit(63)) / lit(64)).cast("int")
     // size(vec)=0 would make the outer sequence(0, -1) DESCENDING and
     // the inner fold probe element_at(vec, 0) — a runtime error, not an

@@ -552,8 +552,11 @@ class PlanSpec extends AnyFunSuite {
     // BEFORE the join — if cv/embedding leaks into this projection the
     // whole point of the 1-bit tier (bandwidth-bound candidate scan)
     // is gone at 100 TB
-    assert("Output \\[2\\]: \\[neighbor_id#\\d+L, .*AS cb#\\d+\\]".r
-        .findFirstIn(p).isDefined,
+    // (neighbor_id may appear bare or as an inline `vec_id AS
+    // neighbor_id` alias depending on how the projections collapse —
+    // both carry exactly the two pack-side columns)
+    assert(("Output \\[2\\]: \\[(\\w+#\\d+L AS )?neighbor_id#\\d+L, " +
+        ".*AS cb#\\d+\\]").r.findFirstIn(p).isDefined,
       p.linesIterator.filter(_.contains("cb#")).mkString("\n"))
     // exact vectors re-attach for the shortlist via broadcast hash
     // joins (the shortlist is |Q|·oversample·k rows)
