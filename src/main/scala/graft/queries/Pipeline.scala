@@ -1690,16 +1690,24 @@ object Pipeline {
     * a same-JVM SF switch). */
   private def embFingerprint(v: DataFrame): org.apache.spark.sql.Row =
     v.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("vec_id").cast("string"),
-        col("embedding").cast("string")))).cast("long").as("ids")).head()
+      sum(xxhash64(col("vec_id"), col("embedding"))
+        .bitwiseAND(lit(0xFFFFFFFFL))).cast("long").as("ids")).head()
 
   /** Content fingerprint of a documents frame — the text-store twin of
     * [[embFingerprint]] (p64's posting index is shared by p64 and
-    * p66b through it). */
+    * p66b through it).
+    *
+    * Fingerprints are memo keys, not oracle surface, so they use the
+    * codegen-native xxhash64 over the raw columns (arrays hash
+    * directly — no cast-to-string materialization, no md5), masked to
+    * 32 bits so the ANSI sum has the same 2^31-row overflow headroom
+    * as the hash32 form it replaced. Changing the function invalidates
+    * stored `graft_*_fp` rows once — memoizedBuild rebuilds and
+    * re-stamps on the first post-upgrade call, by design. */
   private def docsFingerprint(docs: DataFrame): org.apache.spark.sql.Row =
     docs.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
-        col("text")))).cast("long").as("ids")).head()
+      sum(xxhash64(col("doc_id"), col("text"))
+        .bitwiseAND(lit(0xFFFFFFFFL))).cast("long").as("ids")).head()
 
   private def memoizedBuild(spark: SparkSession, fpTable: String,
       fp: org.apache.spark.sql.Row, requiredTables: Seq[String])(
@@ -1744,12 +1752,13 @@ object Pipeline {
     // doc_id 0..499 with different texts), so a (count, id-sum) key
     // collides across SFs and a same-JVM SF switch — Bench warms every
     // query at the sf0.01 sibling dir — would silently triage against
-    // the wrong corpus' index. hash32 over (id, md5(text)) sums stay
-    // far below Long range at any realistic corpus size (no ANSI
-    // overflow: 2^32 per row ⇒ 2^63 needs ~2^31 rows).
+    // the wrong corpus' index. xxhash64(id, text) masked to 32 bits
+    // keeps the ANSI sum far below Long range at any realistic corpus
+    // size (2^32 per row ⇒ 2^63 needs ~2^31 rows); memo key only, not
+    // oracle surface — see docsFingerprint's rationale.
     val fp = corpus.agg(count(lit(1)).cast("long").as("n"),
-      sum(TextFns.hash32(concat_ws("|", col("doc_id").cast("string"),
-        md5(coalesce(col("text"), lit("")))))).cast("long").as("ids")).head()
+      sum(xxhash64(col("doc_id"), col("text"))
+        .bitwiseAND(lit(0xFFFFFFFFL))).cast("long").as("ids")).head()
     memoizedBuild(spark, "graft_p41_fp", fp, Seq("graft_p41_meta")) {
       graft.operators.ShingleIndex.build(corpus, "doc_id", "text",
         "graft_p41", buckets = 32, parts = 16)
