@@ -76,10 +76,16 @@ object Resolve {
     require(maxBlock >= 2, s"fuzzyNamePairs: maxBlock must be >= 2, got $maxBlock")
     val blocks = names.select(col("name"),
       explode(array_distinct(TextFns.tokens(col("name")))).as("blk"))
+    // persisted: the candidate self-join's two sides would otherwise
+    // each re-run the explode + block-size groupBy + filter chain (the
+    // same map-side duplication as Dedup.cappedCandidates — exchanges
+    // dedupe at runtime, map chains do not). Caller-clears-cache
+    // convention, as with `names`.
     val kept = blocks.join(
       blocks.groupBy(col("blk")).agg(count(lit(1)).as("bsz"))
         .filter(col("bsz") <= maxBlock),
       Seq("blk"))
+      .persist()
     val cand = kept.select(col("blk"), col("name").as("name_a"))
       .join(kept.select(col("blk"), col("name").as("name_b")), Seq("blk"))
       .filter(col("name_a") < col("name_b"))
