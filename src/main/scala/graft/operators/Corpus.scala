@@ -1745,7 +1745,15 @@ object Corpus {
     }.reduceLeft(_ unionByName _)
     val perBranch = rankings.indices.map(i =>
       max(when(col("br") === i, col("contrib"))).as(s"b$i"))
-    val fused = tagged.groupBy(col("query_id"), col("item_id"))
+    // one exchange for groupBy AND window: partitioning by query_id
+    // alone satisfies the (query_id, item_id) aggregation's clustering
+    // requirement and is exactly the rank window's partitioning, so
+    // the window re-shuffle disappears (guide-§2.4 shared-exchange
+    // rule). Skew-safe by construction: a query's rows are bounded at
+    // branches × its top-k list length.
+    val par = rankings.head.sparkSession.sparkContext.defaultParallelism
+    val fused = tagged.repartition(par, col("query_id"))
+      .groupBy(col("query_id"), col("item_id"))
       .agg(perBranch.head, perBranch.tail: _*)
       .select(col("query_id"), col("item_id"),
         rankings.indices.map(i => coalesce(col(s"b$i"), lit(0.0)))
