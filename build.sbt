@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print a one-line JSON contract that the driver reads from
+// the LAST lines of stdout. sbt's default LoggedOutput prefixes every
+// forked-stdout line with "[info] " and prints "[success] Total time..."
+// AFTER it — 12 rounds of artifacts show the driver never parsed the
+// line because of exactly this. Pass the forked process's stdout through
+// untouched and drop the success banner so the compact JSON line is the
+// last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
