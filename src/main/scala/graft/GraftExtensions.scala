@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{DotProduct, DotProductRewrite, DotRange, HammingDistance, KMin, KllSketch, KmvSketch, L2Range, UnicodeNormalize}
+import graft.expressions.{CapList, DotProduct, DotProductRewrite, DotRange, HammingDistance, KMin, KllSketch, KmvSketch, L2Range, UnicodeNormalize}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -86,6 +86,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_kmin k must be an integer literal, got $other")
         }
         KMin(children.head, k)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_caplist"),
+      new ExpressionInfo(classOf[CapList].getName, "graft_caplist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_caplist takes (long_col, cap)")
+        val cap = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_caplist cap must be an integer literal, got $other")
+        }
+        CapList(children.head, cap)
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_kll"),

@@ -183,15 +183,46 @@ object Dedup {
     * which a window-based df would lose (WindowExec buffers whole
     * partitions — skew-unsafe on mega-hot shingles). */
   private def cappedCandidates(sh: DataFrame, cap: Int): DataFrame = {
-    // persisted: the self-join's two sides would otherwise each re-run
-    // the explode + hash60 + df-cap anti-join chain (the exchanges
-    // dedupe at runtime via AQE reuse, the map-side chains do not)
-    val invf = cappedIndex(sh, cap).persist()
-    invf.as("a")
-      .join(invf.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .distinct()
+    import org.apache.spark.sql.types.LongType
+    if (sh.schema("doc_id").dataType == LongType) {
+      // Fused single-pass form (long ids — every query path): ONE
+      // groupBy(s) with a saturating bounded collect (graft_caplist,
+      // O(cap) state per key — skew-safe on stop-shingles by
+      // construction) replaces the old count→anti-join→persist→self-join
+      // cascade. size(ids) > cap is EXACTLY the old `df > cap` drop
+      // (caplist counts rows, duplicates included, same as count(1));
+      // a kept group's array is its complete posting list, so the
+      // in-expression pair expansion below emits exactly the pairs the
+      // capped self-join did: {x, y} per position pair i < j, oriented
+      // by value, self-pairs (within-doc hash collisions) dropped by
+      // the strict < — then distinct, as before. 2 exchanges end to
+      // end (groupBy + distinct) instead of the previous
+      // df-groupBy + anti-broadcast + persist + self-join-broadcast +
+      // distinct, and the inverted index is never materialized twice.
+      val hinv = sh.select(col("doc_id"),
+        explode(transform(col("shingles"), s => hash60(s))).as("s"))
+      hinv.groupBy(col("s"))
+        .agg(call_function("graft_caplist", col("doc_id"), lit(cap)).as("ids"))
+        .filter(size(col("ids")) <= cap)
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))), y =>
+            struct(least(x, y).as("ida"), greatest(x, y).as("idb"))))))
+          .as("p"))
+        .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+        .filter(col("ida") < col("idb"))
+        .distinct()
+    } else {
+      // generic-id fallback: the original capped self-join. persisted:
+      // the self-join's two sides would otherwise each re-run the
+      // explode + hash60 + df-cap anti-join chain (the exchanges
+      // dedupe at runtime via AQE reuse, the map-side chains do not)
+      val invf = cappedIndex(sh, cap).persist()
+      invf.as("a")
+        .join(invf.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .distinct()
+    }
   }
 
   /** The df-capped hashed inverted index itself: (doc_id, s=hash60,
