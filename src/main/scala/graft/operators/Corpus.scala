@@ -756,12 +756,12 @@ object Corpus {
     * Scale shape (100 TB corpus, bounded query set): the corpus
     * SHUFFLES once — on (doc, term) for tf; dl rides along (max of a
     * per-doc constant), so doc lengths never need a second corpus
-    * join. It SCANS twice: the 1-row stats aggregate and the tf build
-    * are separate consumers of the tokenization (persisting the full
-    * token arrays to share them would materialize more than the corpus
-    * itself — the wrong trade; [[PostingIndex]] is the amortized form
-    * that tokenizes once at build time and serves any number of
-    * queries from the stored postings). Everything after tf touches
+    * join. It TOKENIZES once: the 1-row stats aggregate derives from
+    * the tf build itself (Σ dl ≡ Σ tf) plus a column-pruned row count,
+    * so the text is decoded exactly once per call ([[PostingIndex]] is
+    * the amortized form that tokenizes once at BUILD time and serves
+    * any number of queries from the stored postings). Everything after
+    * tf touches
     * only the postings of the query vocabulary: the query-term set broadcasts into the tf
     * scan, df comes from the FILTERED postings (no full-vocabulary df
     * table is ever materialized), and corpus stats are a broadcast
@@ -796,16 +796,24 @@ object Corpus {
       .select(col(idCol).as("doc_id"),
         TextFns.tokens(norm(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")))
-    // 1-row corpus stats broadcast into the plan (no driver action);
-    // avgdl is ONE division of two exact integers
-    val stats = toks.agg(count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val qterms = bm25QueryTerms(docs.filter(queryPred), idCol, textCol,
       nQueryTerms, norm)
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // 1-row corpus stats broadcast into the plan (no driver action);
+    // avgdl is ONE division of two exact integers. Derived WITHOUT a
+    // second corpus tokenize: Σ dl ≡ Σ tf (a doc's token count is the
+    // sum of its per-term tfs; docs with no tokens add 0 to both), so
+    // sum_dl reads the tf aggregate — whose shuffle the scoring path
+    // already pays and ReuseExchange dedupes — and n_docs is a
+    // column-pruned row count (parquet footer counts, no text decode).
+    // Same exact integers in, same one division, bit-identical avgdl.
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tf.agg(sum(col("tf")).as("sum_dl")))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     bm25Score(tf, qterms, stats, nQueryTerms, k, k1, b, maxDf)
   }
 
@@ -1745,14 +1753,17 @@ object Corpus {
     }.reduceLeft(_ unionByName _)
     val perBranch = rankings.indices.map(i =>
       max(when(col("br") === i, col("contrib"))).as(s"b$i"))
-    // one exchange for groupBy AND window: partitioning by query_id
-    // alone satisfies the (query_id, item_id) aggregation's clustering
-    // requirement and is exactly the rank window's partitioning, so
-    // the window re-shuffle disappears (guide-§2.4 shared-exchange
-    // rule). Skew-safe by construction: a query's rows are bounded at
-    // branches × its top-k list length.
-    val par = rankings.head.sparkSession.sparkContext.defaultParallelism
-    val fused = tagged.repartition(par, col("query_id"))
+    // no repartition before the fusion aggregate: every branch is a
+    // rank-window output already hash-partitioned by query_id, Union
+    // preserves the common partitioning in this Spark build, and
+    // hash(query_id) satisfies both the (query_id, item_id) aggregation
+    // (subset rule) and the rank window below — the plan is
+    // exchange-free from the Union to the result with no help. (A
+    // forced fixed-width repartition here was tried and reverted: the
+    // planner elides it when redundant — identical before/after plans —
+    // and where it DID materialize it would pin a width AQE can no
+    // longer size.)
+    val fused = tagged
       .groupBy(col("query_id"), col("item_id"))
       .agg(perBranch.head, perBranch.tail: _*)
       .select(col("query_id"), col("item_id"),

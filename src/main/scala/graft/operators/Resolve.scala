@@ -184,15 +184,29 @@ object Resolve {
       s"operator's working columns (${reserved.mkString(", ")}) — " +
       "alias them before calling")
     val ids = entityIds(recs, idCol, nameCol, maxDist, maxBlock, norm)
-    // persisted: every mode pick below is an entity-scale aggregation,
-    // but each one CONSUMES this record-scale join — k attributes would
-    // re-execute it k+2 times without the pin (ReuseExchange does not
-    // reliably dedupe repeated subtrees; see Clusters). Caller-clears-
-    // cache convention, as above.
+    // ONE record-scale exchange feeds the whole fan-out: ending the
+    // shared prefix at a repartition(entity_id) EXCHANGE (not a persist)
+    // lets AQE's runtime exchange reuse dedupe the k+2 identical
+    // consumer subtrees — the r12 rule: chains that end at a shuffle
+    // exchange are deduped at runtime, map-side chains are not — so the
+    // record-scale join runs once without pinning a cache. hash(
+    // entity_id) then statically satisfies EVERY downstream operator:
+    // each modePick's groupBy(entity_id, value) (subset rule), its
+    // top-1 window, the n_records groupBy, and the final entity_id
+    // equi-joins — zero further exchanges over record- or entity-scale
+    // data (guide §2.4: establish the partitioning once). A previous
+    // attempt put the repartition UNDER a persist: the cache boundary
+    // (AdaptiveSparkPlan inside InMemoryRelation) hides partitioning
+    // from the consumers' static plans, which re-inserted every
+    // exchange — the exchange must be visible to EnsureRequirements.
+    // By-column repartition (no fixed width), so AQE can still size it.
+    // Skew-safe: the per-attribute top-1 windows still compile to
+    // WindowGroupLimit, and a mega-entity's aggregation state is the
+    // same per-key state the post-shuffle aggregate held before.
     val joined = recs
       .select((col(idCol).as("rid") +: attrs.map(col)): _*)
       .join(ids, Seq("rid"))
-      .persist()
+      .repartition(col("entity_id"))
     def modePick(valueCol: String, outName: String): DataFrame = {
       val w = Window.partitionBy(col("entity_id"))
         .orderBy(col("cnt").desc, col(valueCol).asc)

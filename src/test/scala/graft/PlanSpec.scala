@@ -260,9 +260,12 @@ class PlanSpec extends AnyFunSuite {
     // side on a tiny key set
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"expected >=3 broadcast joins in BM25 plan:\n${p.take(2000)}")
-    // the only nested-loop is the 1-row corpus-stats broadcast
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
-      "unexpected nested-loop joins beyond the 1-row stats cross")
+    // the only nested-loops are 1-row stats crosses: the contrib ×
+    // stats broadcast, plus the stats row's own n_docs × sum_dl
+    // composition (row count crossed with the tf-derived length sum —
+    // the shape that keeps the corpus tokenize single-pass)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "unexpected nested-loop joins beyond the 1-row stats crosses")
     // per-query top-k compiles to the map-side group limit
     assert(p.contains("WindowGroupLimit"), "no WindowGroupLimit in BM25 plan")
   }
