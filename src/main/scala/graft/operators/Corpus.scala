@@ -796,7 +796,7 @@ object Corpus {
       .select(col(idCol).as("doc_id"),
         TextFns.tokens(norm(col(textCol))).as("toks"))
       .withColumn("dl", size(col("toks")))
-    val qterms = bm25QueryTerms(docs.filter(queryPred), idCol, textCol,
+    val qterms = bm25QueryTermsLocal(docs.filter(queryPred), idCol, textCol,
       nQueryTerms, norm)
     val tf = toks
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
@@ -831,6 +831,24 @@ object Corpus {
       .groupBy(col("query_id"), col("col"))
       .agg((min(col("pos")) + 1).as("pos"))
       .select(col("query_id"), col("pos"), col("col").as("term"))
+
+  /** [[bm25QueryTerms]] evaluated ONCE and re-planted as a local
+    * relation. The scoring core references the query-term frame twice
+    * (the vocabulary semi-filter and the per-position join) and each
+    * broadcast build would re-run the query-doc tokenize + groupBy —
+    * two distributed jobs over a result that is BOUNDED by
+    * |queries| × nQueryTerms rows (the operator's contract; the same
+    * bounded-driver-state class as the store probes' term collect and
+    * the CMS gate literals). Collecting once and inlining the rows
+    * makes both references free local broadcasts; values are the exact
+    * same rows, so scoring is unchanged. */
+  private[operators] def bm25QueryTermsLocal(queries: DataFrame,
+      idCol: String, textCol: String, nQueryTerms: Int,
+      norm: Column => Column = TextFns.normText): DataFrame = {
+    val qt = bm25QueryTerms(queries, idCol, textCol, nQueryTerms, norm)
+    qt.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qt.collect(): _*), qt.schema)
+  }
 
   /** The scoring core shared by [[bm25TopK]] (in-memory) and
     * [[PostingIndex.topK]] (served from disk) — ONE implementation, so

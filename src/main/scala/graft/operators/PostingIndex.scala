@@ -168,12 +168,13 @@ object PostingIndex {
       s"topK: need 1 <= nQueryTerms <= 128 and k >= 1, got $nQueryTerms/$k")
     val spark = queries.sparkSession
     ShingleIndex.checkNormFp(spark, name, norm)
-    // computed twice (the driver collect below + the scoring plan) —
-    // deliberate: the query set is bounded, and a persist here would
-    // put a pinned frame inside a returned lazy plan (the
-    // caller-clears-cache convention can't reach it)
-    val qterms = Corpus.bm25QueryTerms(queries, idCol, textCol, nQueryTerms,
-      norm)
+    // evaluated ONCE: the collected rows serve the isin bucket filter
+    // below AND re-plant as the scoring plan's local query-term frame
+    // (Corpus.bm25QueryTermsLocal) — the query set is bounded, and the
+    // old compute-twice form paid the query tokenize + groupBy once per
+    // driver collect and once per scoring broadcast build
+    val qterms = Corpus.bm25QueryTermsLocal(queries, idCol, textCol,
+      nQueryTerms, norm)
     val terms = qterms.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
     val tf = spark.table(s"${name}_post")
