@@ -810,8 +810,12 @@ object Corpus {
     // already pays and ReuseExchange dedupes — and n_docs is a
     // column-pruned row count (parquet footer counts, no text decode).
     // Same exact integers in, same one division, bit-identical avgdl.
+    // sum(when(dl >= 1, tf)) == sum(tf) — dl ≥ 1 wherever a tf row
+    // exists; the dl reference keeps this branch's tf subtree
+    // canonically identical to the scoring branch's so ReuseExchange
+    // dedupes the corpus aggregation (see dfq0 in bm25Score).
     val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(tf.agg(sum(col("tf")).as("sum_dl")))
+      .crossJoin(tf.agg(sum(when(col("dl") >= 1, col("tf"))).as("sum_dl")))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
     bm25Score(tf, qterms, stats, nQueryTerms, k, k1, b, maxDf)
@@ -865,7 +869,18 @@ object Corpus {
       maxDf: Option[Long]): DataFrame = {
     val qvocab = qterms.select(col("term")).distinct()
     val posting = tf.join(broadcast(qvocab), Seq("term"))
-    val dfq0 = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df == count(1) — tf ≥ 1 and dl ≥ 1 by construction, so the
+    // predicate is always true. The references are load-bearing: a
+    // bare count(1) lets column pruning specialize this branch's tf
+    // subtree (partial_count only, no partial_max(dl)), making it
+    // canonically DIFFERENT from the scoring branch's — ReuseExchange
+    // then cannot dedupe them and the corpus tokenize+tf shuffle runs
+    // once PER BRANCH (measured: three distinct hashpartitioning(
+    // doc_id, term) exchanges in p57's post-execution plan).
+    // Referencing tf and dl keeps the subtrees identical, so all
+    // consumers share ONE corpus aggregation.
+    val dfq0 = posting.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1 && col("dl") >= 1, 1)).as("df"))
     val dfq = maxDf.fold(dfq0)(cap => dfq0.filter(col("df") <= cap))
     val kk1 = k1 + 1.0
     val oneMinusB = 1.0 - b
