@@ -6,6 +6,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement discipline (numbers are only comparable across rounds if
   * the harness is deterministic):
+  *   - the timed action is the NOOP SINK (guide §1.4): it computes
+  *     every column of every row and discards the result. Rounds 1-12
+  *     timed `count()`, which let the optimizer prune map-only
+  *     projections — pure-projection queries measured their scan, not
+  *     their expressions. Switched in r13 with a ONE-TIME floor
+  *     re-base; totals are NOT comparable to pre-r13 artifacts (the
+  *     last count()-mode run is kept in
+  *     bench_results_count_r13close.json, floors history in git);
   *   - queries run in DECLARATION order (SparkEntry.orderedQueries), so
   *     adding a query never reshuffles which predecessors warmed the JIT
   *     for which successors;
@@ -49,7 +57,9 @@ import org.apache.spark.sql.SparkSession
   *     artifact is therefore judgeable with zero external re-runs.
   */
 object Bench {
-  /** Per-query floors, sf0.1 local[32] idle-machine best-of-two. Used
+  /** Per-query floors, sf0.1 local[32] idle-machine best-of-two —
+    * noop-sink-mode since r13 (count-mode floors were retired with the
+    * timed action, never min-merged across the discontinuity). Used
     * ONLY to decide whether a query earned the gc+retry third attempt —
     * never to alter a timing. A query absent never retries; its first
     * recorded floor lands at the next re-record.
@@ -104,7 +114,7 @@ object Bench {
     }
     selected.foreach { case (name, f) =>
       try {
-        f(spark, warmDir).count()
+        f(spark, warmDir).write.format("noop").mode("overwrite").save()
       } catch {
         case e: Throwable =>
           System.err.println(s"warmup failed for $name: $e")
@@ -166,7 +176,19 @@ object Bench {
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true } catch {
+        try {
+          // noop sink (guide §1.4): computes EVERY column of every row
+          // and discards it. count() let the optimizer prune map-only
+          // projections, so pure-projection queries (p10/p11/p33/p38,
+          // the dsir scorers…) measured their scan instead of their
+          // expressions — r12's p11 fix was invisible here but real in
+          // Verify. Switched in r13 (the final optimization round) with
+          // a ONE-TIME floor re-base; bench totals are NOT comparable
+          // to r12 and earlier artifacts (see OPTIMIZATION_r13.md,
+          // which also records the last count()-mode run).
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
           case e: Throwable =>
             if (recordFail) failed += name
             System.err.println(s"BENCH FAILURE in $name:")

@@ -225,6 +225,55 @@ object Dedup {
     }
   }
 
+  /** Fused incremental candidate generation over a tagged inverted
+    * index — the asymmetric (new-probe vs old-corpus) sibling of the
+    * single-pass form in [[cappedCandidates]], shared by
+    * [[incrementalNearDupPairs]] (in-memory) and
+    * [[ShingleIndex.incrementalPairs]] (store-served), so the two
+    * paths stay row-identical by construction.
+    *
+    * Input: (s, doc_id: long, is_new) posting rows. ONE groupBy(s)
+    * collects TWO saturating bounded lists per shingle — the batch
+    * postings and the old postings, each `graft_caplist`-capped at
+    * cap+1 (CapList skips the NULL the `when` produces for the other
+    * side, so one aggregation pass serves both) — then the combined
+    * df-cap is `size(new)+size(old) <= cap`: exact when neither list
+    * saturated, and a saturated list alone already exceeds the cap, so
+    * the drop set is EXACTLY the old (df_old + df_new) > cap rule.
+    * Pairs expand in-expression from kept lists: new×new once with the
+    * smaller id as new_id (least/greatest + the != filter, as in the
+    * symmetric path), new×old keeping the new doc as probe; old×old
+    * never forms. Replaces two df aggregates, an over-cap join, two
+    * persists, a semi-join, a union, and the candidate self-join with
+    * one exchange + the distinct.
+    *
+    * @return (new_id, match_id, match_is_new), distinct
+    */
+  private[operators] def incrementalCandidates(tagged: DataFrame,
+      cap: Int): DataFrame = {
+    val lists = tagged.groupBy(col("s")).agg(
+      call_function("graft_caplist",
+        when(col("is_new"), col("doc_id")), lit(cap)).as("new_ids"),
+      call_function("graft_caplist",
+        when(!col("is_new"), col("doc_id")), lit(cap)).as("old_ids"))
+    val nn = flatten(transform(col("new_ids"), (x, i) =>
+      transform(slice(col("new_ids"), i + lit(2), size(col("new_ids"))), y =>
+        struct(least(x, y).as("new_id"), greatest(x, y).as("match_id"),
+          lit(true).as("match_is_new")))))
+    val no = flatten(transform(col("new_ids"), x =>
+      transform(col("old_ids"), o =>
+        struct(x.as("new_id"), o.as("match_id"),
+          lit(false).as("match_is_new")))))
+    lists
+      .filter(size(col("new_ids")) >= 1 &&
+        size(col("new_ids")) + size(col("old_ids")) <= cap)
+      .select(explode(concat(nn, no)).as("p"))
+      .select(col("p.new_id").as("new_id"), col("p.match_id").as("match_id"),
+        col("p.match_is_new").as("match_is_new"))
+      .filter(col("new_id") =!= col("match_id"))
+      .distinct()
+  }
+
   /** The df-capped hashed inverted index itself: (doc_id, s=hash60,
     * passthrough cols) with over-cap shingles anti-joined out — the one
     * place the hashing and cap semantics live; every candidate
@@ -270,17 +319,28 @@ object Dedup {
     val shNew = shingleDocs(newDocs, idCol, textCol, n, norm)
       .select(col("doc_id"), col("shingles"), lit(true).as("is_new"))
     val sh = shOld.unionByName(shNew).persist()
-    val invf = cappedIndex(sh, maxDocFreq, "is_new")
-    // the probe side is NEW docs only — old×old pairs never form.
-    // a<b on ids dedups new×new; new×old keeps the new doc as probe.
-    val cand = invf.filter(col("is_new")).as("a")
-      .join(invf.as("b"),
-        col("a.s") === col("b.s")
-          && (col("a.doc_id") < col("b.doc_id") || !col("b.is_new"))
-          && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("match_id"),
-        col("b.is_new").as("match_is_new"))
-      .distinct()
+    val cand = if (sh.schema("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType) {
+      // fused single-aggregation form (long ids — every query path):
+      // see incrementalCandidates
+      incrementalCandidates(
+        sh.select(col("doc_id"), col("is_new"),
+          explode(transform(col("shingles"), s => hash60(s))).as("s")),
+        maxDocFreq)
+    } else {
+      // generic-id fallback: the original capped-index self-join.
+      // the probe side is NEW docs only — old×old pairs never form.
+      // a<b on ids dedups new×new; new×old keeps the new doc as probe.
+      val invf = cappedIndex(sh, maxDocFreq, "is_new")
+      invf.filter(col("is_new")).as("a")
+        .join(invf.as("b"),
+          col("a.s") === col("b.s")
+            && (col("a.doc_id") < col("b.doc_id") || !col("b.is_new"))
+            && col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("match_id"),
+          col("b.is_new").as("match_is_new"))
+        .distinct()
+    }
     cand
       .join(sh.select(col("doc_id").as("new_id"), col("shingles").as("sha")),
         "new_id")

@@ -363,39 +363,29 @@ object ShingleIndex {
     // ONLY batch-relevant postings ever matter — for candidates AND for
     // the cap check (an old-only over-cap shingle can't produce a
     // candidate: the probe side is batch-only). One semi-join keys the
-    // stored scan to the batch; everything downstream (the df count,
-    // the candidate join) runs over this batch-bounded slice. Persisted:
-    // it feeds the df count and the candidate b-side.
+    // stored scan to the batch; everything downstream runs over this
+    // batch-bounded slice.
     val idxRel = idx.join(newInv.select(col("s")).distinct(),
         Seq("s"), "left_semi")
-      .persist()
-    // combined df per batch shingle = stored count + batch count —
-    // identical to the in-memory path's count over old ∪ new for every
-    // s the candidate stage can see
-    val dfOld = idxRel.groupBy(col("s")).agg(count(lit(1)).as("df_old"))
-    val dfNew = newInv.groupBy(col("s")).agg(count(lit(1)).as("df_new"))
-    val over = dfNew.join(dfOld, Seq("s"), "left")
-      .filter(coalesce(col("df_old"), lit(0L)) + col("df_new") > maxDocFreq)
-      .select(col("s"))
-    // probe side: the batch's under-cap postings (over-cap shingles are
-    // excluded combined-count-wise, exactly like the in-memory path)
-    val probe = newInv.join(over, Seq("s"), "left_anti").persist()
-    // stored side: every surviving probe key is under the combined cap,
-    // so the b-side is the relevant slice narrowed once more to probe's
-    // keys
-    val oldMatched = idxRel.join(probe.select(col("s")).distinct(),
-        Seq("s"), "left_semi")
-      .select(col("s"), col("doc_id"), lit(false).as("is_new"))
-    val bSide = oldMatched.unionByName(
-      probe.select(col("s"), col("doc_id"), lit(true).as("is_new")))
-    val cand = probe.as("a")
-      .join(bSide.as("b"),
-        col("a.s") === col("b.s")
-          && (col("a.doc_id") < col("b.doc_id") || !col("b.is_new"))
-          && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("match_id"),
-        col("b.is_new").as("match_is_new"))
-      .distinct()
+    // fused candidate stage (Dedup.incrementalCandidates): ONE
+    // groupBy(s) with two bounded caplists replaces the previous
+    // df_old/df_new aggregates, the over-cap join, two persists, a
+    // second semi-join, the union, and the candidate self-join; the
+    // combined size(new)+size(old) <= cap drop is exactly the old
+    // (df_old + df_new) > maxDocFreq rule, so the candidate set — and
+    // the store ≡ in-memory equality DedupIndexSpec pins — is
+    // unchanged. idxRel now has a single consumer, so its pin is gone
+    // too.
+    require(shNew.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "ShingleIndex.incrementalPairs requires bigint doc ids (the fused " +
+        "candidate stage collects them via graft_caplist); cast upstream " +
+        "or use Dedup.incrementalNearDupPairs' generic-id path")
+    val cand = Dedup.incrementalCandidates(
+      newInv.select(col("s"), col("doc_id"), lit(true).as("is_new"))
+        .unionByName(idxRel.select(col("s"), col("doc_id"),
+          lit(false).as("is_new"))),
+      maxDocFreq)
     // exact verify: match-side arrays come from the batch for new×new
     // and from the bucketed store for new×old — candidate-bounded reads
     val shOldStore = spark.table(s"${name}_sh")
